@@ -1,0 +1,136 @@
+"""SSML normalization: the deterministic tail of the reference pipeline.
+
+``preprocess_ssml_tags`` -> reference utils.py:351-368
+``clean_ssml_tags``      -> reference utils.py:370-416
+
+The reference's ``clean_ssml_tags`` parses under a ``<root>`` wrapper with
+lxml, recursively splices out elements whose tag is not in the allowed set
+(keeping their ``text + tail`` but DROPPING their descendants — a reference
+quirk we replicate), serializes, and runs the splice twice. lxml is not a
+dependency here: we parse with ``xml.etree.ElementTree`` and serialize with a
+small writer that matches lxml's conventions (``<tag/>`` self-closing without
+a space, ``&amp; &lt; &gt;`` escaping in text, ``"``-quoted attributes).
+Behavior is pinned by golden tests (tests/test_ssml.py).
+
+Known reference bug NOT replicated: utils.py:375-376 passes a ``str`` method
+as an ``re.sub`` callback, so any input containing ``<w ...>`` raises
+TypeError in the reference (swallowed by its retry wrapper, utils.py:296-307).
+We implement the documented intent: insert ``role="amazon:NN"`` when absent.
+"""
+
+from __future__ import annotations
+
+import html
+import re
+import xml.etree.ElementTree as ET
+from typing import List
+
+ALLOWED_TAGS: List[str] = ["break", "lang", "p", "s", "speak", "sub", "w"]
+
+_ALLOWED_PATTERN = re.compile(
+    r"</?({})(\s[^>]*)?/?>".format("|".join(ALLOWED_TAGS)), re.IGNORECASE
+)
+_ANY_TAG = re.compile(r"</?[^>]+>")
+
+
+def preprocess_ssml_tags(content: str) -> str:
+    """Unescape HTML entities, then delete every tag whose name is not in the
+    allowed SSML set (case-insensitive, attributes and self-closing allowed).
+    Parity: reference utils.py:351-368."""
+    content = html.unescape(content)
+
+    def keep_if_allowed(match: re.Match) -> str:
+        tag = match.group(0)
+        return tag if _ALLOWED_PATTERN.match(tag) else ""
+
+    return _ANY_TAG.sub(keep_if_allowed, content)
+
+
+# --- clean_ssml_tags ---------------------------------------------------------
+
+_BARE_BREAK = re.compile(r"<break\s*/?>")
+_W_TAG = re.compile(r"<w([^>]*)>")
+
+
+def _escape_text(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _escape_attr(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;").replace('"', "&quot;")
+    )
+
+
+def _serialize(elem: ET.Element, out: List[str]) -> None:
+    """lxml-style serialization: attribute order preserved, empty elements
+    self-closed as ``<tag/>`` (no space), text escaped minimally."""
+    out.append(f"<{elem.tag}")
+    for k, v in elem.attrib.items():
+        out.append(f' {k}="{_escape_attr(v)}"')
+    has_children = len(elem) > 0
+    if elem.text is None and not has_children:
+        out.append("/>")
+    else:
+        out.append(">")
+        if elem.text:
+            out.append(_escape_text(elem.text))
+        for child in elem:
+            _serialize(child, out)
+        out.append(f"</{elem.tag}>")
+    if elem.tail:
+        out.append(_escape_text(elem.tail))
+
+
+def _splice_disallowed(element: ET.Element) -> None:
+    """Remove children not in ALLOWED_TAGS, promoting ``text + tail`` into the
+    previous sibling's tail (or the parent's text). Descendants of removed
+    elements are dropped — reference utils.py:385-399 behavior."""
+    children = list(element)
+    for child in children:
+        if child.tag not in ALLOWED_TAGS:
+            text = (child.text or "") + (child.tail or "")
+            idx = list(element).index(child)
+            if idx > 0:
+                prev = list(element)[idx - 1]
+                prev.tail = (prev.tail or "") + text
+            else:
+                element.text = (element.text or "") + text
+            element.remove(child)
+        else:
+            _splice_disallowed(child)
+
+
+def _clean_tags_once(content: str) -> str:
+    try:
+        root = ET.fromstring(f"<root>{content}</root>")
+    except ET.ParseError:
+        return content  # passthrough on malformed XML (utils.py:381-383)
+    _splice_disallowed(root)
+    buf: List[str] = []
+    _serialize(root, buf)
+    return "".join(buf).replace("<root>", "").replace("</root>", "").replace("<root/>", "")
+
+
+def ensure_role_attribute(tag: str) -> str:
+    return tag.replace("<w", '<w role="amazon:NN"', 1) if "role=" not in tag else tag
+
+
+def clean_ssml_tags(content: str) -> str:
+    """Normalize SSML: default bare breaks to 1s, ensure <w role=...>, splice
+    out disallowed elements (twice, matching utils.py:407-410), and guarantee
+    a <speak> wrapper. Parity: reference utils.py:370-416."""
+    content = _BARE_BREAK.sub('<break time="1s"/>', content)
+    content = _W_TAG.sub(lambda m: ensure_role_attribute(m.group(0)), content)
+    content = _clean_tags_once(content)
+    final = _clean_tags_once(content)
+    if not final.strip().startswith("<speak>"):
+        final = f"<speak>{final}</speak>"
+    return final
+
+
+def normalize_ssml(content: str) -> str:
+    """The deterministic post-LLM normalization chain the reference applies to
+    every chunk: ``clean_ssml_tags(preprocess_ssml_tags(x))`` (utils.py:300).
+    This defines the final byte-level SSML format."""
+    return clean_ssml_tags(preprocess_ssml_tags(content))

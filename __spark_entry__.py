@@ -1,10 +1,16 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline (pages -> chunks+SSML)
+on sf0.001. ``queries()`` exposes every implemented operator from SURVEY.md
+§2 plus the training-data operators; ``oracle_sql()`` carries the DuckDB
+equivalent for each SQL-expressible query (identical column names; floats
+rounded to 6 in both engines; hashes are md5 so values match across engines).
+
+Queries that wrap Python-semantics UDFs (sentence chunking, DOM conversion,
+SSML normalization, stateful splitters) have no SQL oracle — the driver
+records the weaker rows-only check; their byte-level correctness is covered
+by tests/ (reference-parity + goldens + end-to-end oracle, `python -m pytest
+-x -q`).
 """
 
 from __future__ import annotations
@@ -12,27 +18,965 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from textractssmlprocessor_spark.corpus import pages_from_documents
+
+    return pages_from_documents(spark, sf_dir)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline on sf0.001 (url, chunk_number,
+    extracted_text, ssml, spans)."""
+    from textractssmlprocessor_spark.operators.extract import extract_chunks
+
+    pages = _pages(spark, "/root/testdata/sf0.001")
+    return extract_chunks(pages, num_partitions=8)
+
+
+# ---------------------------------------------------------------------------
+# SQL-checked queries (Spark DataFrame vs DuckDB oracle)
+# ---------------------------------------------------------------------------
+
+WORD_RE = r"\b[\w-]+\b"
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def q_cost_per_doc(spark, sf_dir):
+    # A1 estimate_cost (reference utils.py:441-454)
+    n = F.length("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n.cast("bigint").alias("character_count"),
+        F.round(n / 1000000 * 20, 6).alias("gpt_cost"),
+        F.round(n / 1000000 * 30, 6).alias("polly_cost_generative"),
+        F.round(n / 1000000 * 100, 6).alias("polly_cost_long_form"),
+    )
+
+
+def q_total_cost(spark, sf_dir):
+    # A2 estimate_total_cost (reference utils.py:456-478)
+    n = F.length("text")
+    return _docs(spark, sf_dir).agg(
+        F.sum(n).cast("bigint").alias("total_character_count"),
+        F.round(F.sum(n) / 1000000 * 20, 6).alias("total_gpt_cost"),
+        F.round(F.sum(n) / 1000000 * 30, 6).alias("total_polly_cost_generative"),
+        F.round(F.sum(n) / 1000000 * 100, 6).alias("total_polly_cost_long_form"),
+    )
+
+
+def q_count_words(spark, sf_dir):
+    # A3 count_words (reference ssml_validator.py:95-98)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(WORD_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_words"),
+    )
+
+
+def q_token_count(spark, sf_dir):
+    # BPE-ish token counting (training-data op)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+
+
+def q_preview(spark, sf_dir):
+    # A9 get_preview: first 5 words (reference ssml_validator.py:100-103)
+    words = F.regexp_extract_all("text", F.lit(WORD_RE), F.lit(0))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.array_join(F.slice(words, 1, 5), " "),
+            F.when(F.size(words) > 5, F.lit("...")).otherwise(F.lit("")),
+        ).alias("preview"),
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    # quality features (training-data op)
+    d = _docs(spark, sf_dir)
+    n = F.length("text").cast("double")
+    words = F.size(F.regexp_extract_all("text", F.lit(WORD_RE), F.lit(0)))
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
+    return d.select(
+        "doc_id",
+        F.round(alpha / n, 6).alias("alpha_ratio"),
+        F.round(punct / n, 6).alias("punct_ratio"),
+        F.round(alpha / words.cast("double"), 6).alias("mean_word_len"),
+        words.cast("bigint").alias("n_words"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    # language-ID heuristic: stopword-hit argmax, deterministic tie-break
+    from textractssmlprocessor_spark.operators.textstats import STOPWORDS
+
+    d = _docs(spark, sf_dir)
+    keys = []
+    for lang in sorted(STOPWORDS):
+        pat = r"\b(?:%s)\b" % "|".join(STOPWORDS[lang])
+        hits = F.size(F.regexp_extract_all(F.lower("text"), F.lit(pat), F.lit(0)))
+        keys.append(
+            F.concat(F.lpad((F.lit(100000) - hits).cast("string"), 6, "0"), F.lit(lang))
+        )
+    return d.select(
+        "doc_id", F.substring(F.array_min(F.array(*keys)), 7, 2).alias("lang_pred")
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    # document fingerprint: md5 of whitespace/case-normalized text
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias(
+            "fingerprint"
+        ),
+    )
+
+
+def _docs_with_dupes(spark, sf_dir):
+    """documents ∪ deterministic near/exact copies (dedup test corpus):
+    exact copies differ only in case+whitespace; near copies append a word."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    near = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appended tail token")).alias("text"),
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+_DOCS_WITH_DUPES_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, '  ' || upper(text) || '  ' FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT doc_id + 2000000, text || ' appended tail token' FROM documents WHERE doc_id % 11 = 0
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    from textractssmlprocessor_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_docs_with_dupes(spark, sf_dir)).select(
+        "fingerprint", "keep_id", F.col("n_dupes").cast("bigint").alias("n_dupes")
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from textractssmlprocessor_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs_with_dupes(spark, sf_dir), threshold=0.8, max_doc_freq=1000
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from textractssmlprocessor_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _docs_with_dupes(spark, sf_dir), num_hashes=16, bands=4, threshold=0.5
+    )
+
+
+def q_simhash_groups(spark, sf_dir):
+    from textractssmlprocessor_spark.operators.dedup import simhash_groups
+
+    return simhash_groups(_docs_with_dupes(spark, sf_dir)).select(
+        F.col("simhash").cast("bigint").alias("simhash"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "min_id",
+    )
+
+
+def q_cosine_topk(spark, sf_dir):
+    from textractssmlprocessor_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(_emb(spark, sf_dir), query_id=0, k=10)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    from textractssmlprocessor_spark.operators.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(_emb(spark, sf_dir), query_id=0, k=10)
+
+
+def _emb_with_dupes(spark, sf_dir):
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    copies = e.filter(F.col("vec_id") % 13 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return e.unionByName(copies)
+
+
+def q_embedding_near_dupes(spark, sf_dir):
+    from textractssmlprocessor_spark.operators.similarity import (
+        pairwise_near_duplicates,
+    )
+
+    return pairwise_near_duplicates(_emb_with_dupes(spark, sf_dir), threshold=0.999)
+
+
+def q_remove_headers(spark, sf_dir):
+    # F1 remove_headers (reference utils.py:52-58); multi-line input built
+    # in-engine so both engines see identical text
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("CHAPTER HEADING\n"), F.col("text"),
+            F.lit("\nTHE VERY LONG RUNNING HEAD OF PAGES\nlast line."),
+        ).alias("t"),
+    )
+    lines = F.split("t", "\n", -1)
+    kept = F.filter(
+        lines,
+        lambda x: ~(
+            (F.upper(x) == x)
+            & (F.lower(x) != x)
+            & (F.size(F.filter(F.split(x, r"\s+", -1), lambda w: w != "")) < 5)
+        ),
+    )
+    return d.select("doc_id", F.array_join(kept, "\n").alias("cleaned"))
+
+
+def q_remove_notes(spark, sf_dir):
+    # F3+F4 note/bracket strip (reference text_processing.py:6-19)
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("intro [Note: drop [nested [deep]]] "), F.col("text"),
+            F.lit(" mid [stray] <p> </p> tail<br> <small> </small>."),
+        ).alias("t"),
+    )
+    note_re = r"(?si)\[Note:(?:[^\[\]]|\[(?:[^\[\]]|\[(?:[^\[\]]|\[[^\[\]]*\])*\])*\])*\]"
+    t = F.regexp_replace("t", note_re, "")
+    t = F.regexp_replace(t, r"<p>\s*</p>", "")
+    t = F.regexp_replace(t, r"<br>\s*", "")
+    t = F.regexp_replace(t, r"<small>\s*</small>", "")
+    t = F.regexp_replace(t, r"(?s)\[.*?\]", "")
+    return d.select("doc_id", t.alias("cleaned"))
+
+
+def q_clean_text(spark, sf_dir):
+    # F5 subtitle text prep (reference timestamp.py:15-23)
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("<p>Tagged</p>  intro\n\n  \n"), F.col("text"), F.lit("  end  ")
+        ).alias("t"),
+    )
+    t = F.regexp_replace("t", r"<[^>]+>", "")
+    t = F.regexp_replace(t, " +", " ")
+    lines = F.filter(
+        F.transform(F.split(t, "\n", -1), lambda x: F.trim(x)), lambda x: x != ""
+    )
+    return d.select("doc_id", F.array_join(lines, "\n").alias("cleaned"))
+
+
+def q_split_sections(spark, sf_dir):
+    # X2 split_into_sections (reference text_processing.py:21-23) + 1-based
+    # section numbers (positional explode)
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("<h4><center>ONE</center></h4>"), F.col("text"),
+            F.lit("<h4><center>TWO</center></h4>tail of part two"),
+        ).alias("t"),
+    )
+    secs = F.filter(
+        F.transform(F.split("t", "<h4><center>", -1), lambda x: F.trim(x)),
+        lambda x: (x != "") & (x != "<br>"),
+    )
+    out = d.select("doc_id", F.posexplode(secs).alias("pos", "section_text"))
+    return out.select(
+        "doc_id", (F.col("pos") + 1).cast("bigint").alias("section_no"), "section_text"
+    )
+
+
+def q_speak_tag_check(spark, sf_dir):
+    # A5/rule: <speak> tag counting (reference ssml_validator.py:71-84) over a
+    # deterministically dirtied ssml column
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.concat(F.lit("<speak><speak>"), F.col("text"))
+        )
+        .when(F.col("doc_id") % 10 == 5, F.col("text"))
+        .otherwise(F.concat(F.lit("<speak>"), F.col("text"), F.lit("</speak>")))
+        .alias("ssml"),
+    )
+    opens = F.size(F.split("ssml", "<speak>", -1)) - 1
+    closes = F.size(F.split("ssml", "</speak>", -1)) - 1
+    return d.select(
+        "doc_id",
+        opens.cast("bigint").alias("n_open"),
+        closes.cast("bigint").alias("n_close"),
+        ((opens == 1) & (closes == 1)).alias("ok"),
+    )
+
+
+def q_punctuation_rule(spark, sf_dir):
+    # validator punctuation rule (reference ssml_validator.py:32-41)
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("<speak>"), F.col("text"), F.lit("</s>. done</speak>")),
+        )
+        .otherwise(F.concat(F.lit("<speak>"), F.col("text"), F.lit("</speak>")))
+        .alias("ssml"),
+    )
+    matches = F.regexp_extract_all("ssml", F.lit(r"(</?[^>]+>)\s*([.,:;])"), F.lit(0))
+    out = d.select("doc_id", F.explode(matches).alias("m"))
+    out = out.withColumn("tag", F.regexp_extract("m", r"^(</?[^>]+>)", 1)).filter(
+        ~F.col("tag").isin("<phoneme>", "</phoneme>", "<lang>", "</lang>")
+    )
+    return out.select("doc_id", "tag")
+
+
+def q_single_letters_rule(spark, sf_dir):
+    # validator stray-single-letter rule (reference ssml_validator.py:165-183);
+    # [B-HJ-NP-Zb-hj-np-ru-z] == the reference pattern minus lookahead
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 6 == 0, F.concat(F.col("text"), F.lit(" q x B end"))
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    hits = F.regexp_extract_all("t", F.lit(r"\b[B-HJ-NP-Zb-hj-np-ru-z]\b"), F.lit(0))
+    return d.select("doc_id", F.explode(hits).alias("letter"))
+
+
+def q_translation_ratio(spark, sf_dir):
+    # translation-length ratio check (reference ssml_validator.py:105-129)
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("text").alias("latin"),
+        F.when(F.col("doc_id") % 9 == 0, F.substring("text", 1, 20))
+        .otherwise(F.concat(F.lit("<speak>"), F.col("text"), F.lit(" more words here</speak>")))
+        .alias("ssml"),
+    )
+    clean_en = F.regexp_replace(
+        F.regexp_replace("ssml", r"(?s)<\s*sub\s+[^>]*>.*?</\s*sub\s*>", ""),
+        r"<[^>]+>", "",
+    )
+    lw = F.size(F.regexp_extract_all("latin", F.lit(WORD_RE), F.lit(0)))
+    ew = F.size(F.regexp_extract_all(clean_en, F.lit(WORD_RE), F.lit(0)))
+    return (
+        d.select(
+            "doc_id",
+            lw.cast("bigint").alias("latin_words"),
+            ew.cast("bigint").alias("english_words"),
+            F.round(ew / lw.cast("double"), 6).alias("ratio"),
+        )
+        .filter((F.col("ratio") < 0.95) | (F.col("ratio") > 3.0))
+    )
+
+
+def q_running_durations(spark, sf_dir):
+    # A6 cumulative audio time (reference timestamp.py:252-281): integer
+    # milliseconds so the running sum is exact in both engines
+    d = _docs(spark, sf_dir).select(
+        "doc_id", (F.col("n_chars") * 20).cast("bigint").alias("duration_ms")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return d.select(
+        "doc_id",
+        "duration_ms",
+        (F.sum("duration_ms").over(w) - F.col("duration_ms")).alias("start_ms"),
+        F.sum("duration_ms").over(w).alias("end_ms"),
+    )
+
+
+def q_srt_times(spark, sf_dir):
+    # T5 format_time (reference timestamp.py:227-231): HH:MM:SS,mmm with
+    # millisecond truncation, from the running-duration alignment
+    d = q_running_durations(spark, sf_dir)
+    def fmt(ms):
+        total = ms / F.lit(1000.0)
+        return F.format_string(
+            "%02d:%02d:%02d,%03d",
+            F.floor(total / 3600),
+            F.floor((total % 3600) / 60),
+            F.floor(total % 60),
+            F.floor((total % 1) * 1000),
+        )
+    return d.select(
+        "doc_id",
+        fmt(F.col("start_ms")).alias("srt_start"),
+        fmt(F.col("end_ms")).alias("srt_end"),
+    )
+
+
+def q_prev_next(spark, sf_dir):
+    # J2 prev/next navigation (reference app.py:119-125)
+    d = _docs(spark, sf_dir)
+    w = Window.orderBy("doc_id")
+    return d.select(
+        "doc_id",
+        F.lag("source").over(w).alias("prev_source"),
+        F.lead("source").over(w).alias("next_source"),
+    )
+
+
+def q_part_renumber(spark, sf_dir):
+    # O5 per-book part renumbering (reference ssml_processing.py:182-197)
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return d.select(
+        "doc_id", "source", F.row_number().over(w).cast("bigint").alias("part_no")
+    )
+
+
+def q_numeric_chunk_sort(spark, sf_dir):
+    # O1/S3 numeric sort of chunk filenames (reference utils.py:342-349)
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("book_"), (F.col("doc_id") % 7).cast("string"),
+            F.lit("_chunk_"), (F.pmod(F.col("doc_id") * 37, F.lit(991))).cast("string"),
+            F.lit(".txt"),
+        ).alias("fname"),
+    )
+    key = F.regexp_extract("fname", r"_chunk_(\d+)\.txt$", 1).cast("bigint")
+    w = Window.orderBy(key, "fname")
+    return d.select("doc_id", "fname", F.row_number().over(w).cast("bigint").alias("rank"))
+
+
+def q_resume_skip(spark, sf_dir):
+    # J5 global part numbering + resume skip (reference
+    # ssml_processing.py:91-110): row_number over global order, skip < start
+    d = _docs(spark, sf_dir)
+    w = Window.orderBy("doc_id")
+    return (
+        d.select("doc_id", F.row_number().over(w).cast("bigint").alias("global_part"))
+        .filter(F.col("global_part") >= 100)
+    )
+
+
+def q_media_metadata(spark, sf_dir):
+    # multimodal plumbing: binary payload -> typed metadata (hash/size via
+    # mapInPandas; md5 hex matches the SQL oracle)
+    from textractssmlprocessor_spark.operators.multimodal import media_metadata
+
+    d = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return media_metadata(d).select("url", "n_bytes", "content_hash")
+
+
+# ---------------------------------------------------------------------------
+# UDF-backed queries (no SQL oracle -> rows-only check; byte-level
+# correctness covered by the pytest suite)
+# ---------------------------------------------------------------------------
+
+
+def q_extract_chunks(spark, sf_dir):
+    from textractssmlprocessor_spark.operators.extract import extract_chunks
+
+    return extract_chunks(_pages(spark, sf_dir), num_partitions=32)
+
+
+def q_extract_documents(spark, sf_dir):
+    from textractssmlprocessor_spark.operators.extract import clean_pages
+
+    return clean_pages(_pages(spark, sf_dir), num_partitions=32)
+
+
+def q_split_ssml(spark, sf_dir):
+    from textractssmlprocessor_spark.operators.extract import (
+        extract_chunks,
+        split_ssml_chunks,
+    )
+
+    chunks = extract_chunks(_pages(spark, sf_dir), num_partitions=32)
+    return split_ssml_chunks(chunks).select(
+        "url", "chunk_number", "part_number", "ssml_part"
+    )
+
+
+def q_validate_corpus(spark, sf_dir):
+    from textractssmlprocessor_spark.operators.extract import extract_chunks
+    from textractssmlprocessor_spark.operators.validate import validate
+
+    chunks = extract_chunks(_pages(spark, sf_dir), num_partitions=32)
+    return validate(chunks)
+
+
+def q_srt_generate(spark, sf_dir):
+    from textractssmlprocessor_spark.operators.align import generate_srt
+    from textractssmlprocessor_spark.operators.extract import extract_chunks
+
+    chunks = extract_chunks(_pages(spark, sf_dir), num_partitions=32)
+    manifest = chunks.select(
+        "url",
+        F.col("chunk_number").alias("part_no"),
+        (F.length("extracted_text") * 0.06).alias("duration"),
+    )
+    return generate_srt(chunks, manifest, "english", use_shorter_subtitles=True)
+
+
+def q_dup_sentences(spark, sf_dir):
+    # J3 corpus-wide duplicate sentences (order-dependent first-wins;
+    # lookbehind split is Python/Java-regex-only -> no RE2/SQL oracle)
+    from textractssmlprocessor_spark.operators.validate import rule_duplicates
+
+    d = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(1).alias("chunk_number"),
+        F.when(
+            F.col("doc_id") % 8 == 0,
+            F.lit("A repeated sentinel sentence. Unique tail."),
+        )
+        .otherwise(F.col("text"))
+        .alias("ssml"),
+    )
+    return rule_duplicates(d)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # scans/aggregations (SURVEY §2.1/§2.5)
+        "cost_per_doc": q_cost_per_doc,
+        "total_cost": q_total_cost,
+        "count_words": q_count_words,
+        "token_count": q_token_count,
+        "preview": q_preview,
+        # projections/filters (§2.2)
+        "remove_headers": q_remove_headers,
+        "remove_notes": q_remove_notes,
+        "clean_text": q_clean_text,
+        "split_sections": q_split_sections,
+        # validator rules (§2.7)
+        "speak_tag_check": q_speak_tag_check,
+        "punctuation_rule": q_punctuation_rule,
+        "single_letters_rule": q_single_letters_rule,
+        "translation_ratio": q_translation_ratio,
+        "dup_sentences": q_dup_sentences,
+        # joins/windows/ordering (§2.6)
+        "running_durations": q_running_durations,
+        "srt_times": q_srt_times,
+        "prev_next": q_prev_next,
+        "part_renumber": q_part_renumber,
+        "numeric_chunk_sort": q_numeric_chunk_sort,
+        "resume_skip": q_resume_skip,
+        # training-data ops
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "simhash_groups": q_simhash_groups,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dupes": q_embedding_near_dupes,
+        "media_metadata": q_media_metadata,
+        # UDF pipeline (rows-only; byte-parity via pytest)
+        "extract_documents": q_extract_documents,
+        "extract_chunks": q_extract_chunks,
+        "split_ssml": q_split_ssml,
+        "validate_corpus": q_validate_corpus,
+        "srt_generate": q_srt_generate,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_WORD_RE_SQL = r"\b[\w-]+\b"
+_BPE_RE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from textractssmlprocessor_spark.operators.textstats import STOPWORDS
+
+    lang_keys = ", ".join(
+        "lpad((100000 - len(regexp_extract_all(lower(text), '\\b(?:%s)\\b')))::VARCHAR, 6, '0') || '%s'"
+        % ("|".join(STOPWORDS[lang]), lang)
+        for lang in sorted(STOPWORDS)
+    )
+
+    shingles = (
+        "list_distinct(list_transform("
+        "generate_series(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 2, 1)), "
+        "i -> array_to_string(string_split_regex(trim(lower(text)), '\\s+')[i:i+2], ' ')))"
+    )
+
+    minhash = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{k}|' || s)))" for k in range(16)
+    )
+    bands = ", ".join(
+        "md5(mh[%d] || '|' || mh[%d] || '|' || mh[%d] || '|' || mh[%d]) AS bucket%d"
+        % (b * 4 + 1, b * 4 + 2, b * 4 + 3, b * 4 + 4, b)
+        for b in range(4)
+    )
+
+    simhash_bits = " + ".join(
+        "(CASE WHEN list_sum(list_transform(ws, w -> CASE WHEN upper(substr(md5(w), %d, 1)) IN ('8','9','A','B','C','D','E','F') THEN 1 ELSE -1 END)) > 0 THEN %d ELSE 0 END)"
+        % (i, 2 ** (16 - i))
+        for i in range(1, 17)
+    )
+
+    fmt_ms = (
+        lambda col: "printf('%02d:%02d:%02d,%03d', "
+        f"floor(({col}/1000.0)/3600)::BIGINT, floor((({col}/1000.0)%3600)/60)::BIGINT, "
+        f"floor(({col}/1000.0)%60)::BIGINT, floor((({col}/1000.0)%1)*1000)::BIGINT)"
+    )
+
+    return {
+        "cost_per_doc": """
+            SELECT doc_id,
+                   length(text)::BIGINT AS character_count,
+                   round(length(text)/1000000.0*20, 6) AS gpt_cost,
+                   round(length(text)/1000000.0*30, 6) AS polly_cost_generative,
+                   round(length(text)/1000000.0*100, 6) AS polly_cost_long_form
+            FROM documents
+        """,
+        "total_cost": """
+            SELECT sum(length(text))::BIGINT AS total_character_count,
+                   round(sum(length(text))/1000000.0*20, 6) AS total_gpt_cost,
+                   round(sum(length(text))/1000000.0*30, 6) AS total_polly_cost_generative,
+                   round(sum(length(text))/1000000.0*100, 6) AS total_polly_cost_long_form
+            FROM documents
+        """,
+        "count_words": f"""
+            SELECT doc_id, len(regexp_extract_all(text, '{_WORD_RE_SQL}'))::BIGINT AS n_words
+            FROM documents
+        """,
+        "token_count": f"""
+            SELECT doc_id, len(regexp_extract_all(text, '{_BPE_RE_SQL}'))::BIGINT AS n_tokens
+            FROM documents
+        """,
+        "preview": f"""
+            SELECT doc_id,
+                   array_to_string(regexp_extract_all(text, '{_WORD_RE_SQL}')[1:5], ' ')
+                   || (CASE WHEN len(regexp_extract_all(text, '{_WORD_RE_SQL}')) > 5 THEN '...' ELSE '' END)
+                   AS preview
+            FROM documents
+        """,
+        "quality_score": f"""
+            SELECT doc_id,
+                   round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text)::DOUBLE, 6) AS alpha_ratio,
+                   round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text)::DOUBLE, 6) AS punct_ratio,
+                   round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                         / len(regexp_extract_all(text, '{_WORD_RE_SQL}'))::DOUBLE, 6) AS mean_word_len,
+                   len(regexp_extract_all(text, '{_WORD_RE_SQL}'))::BIGINT AS n_words
+            FROM documents
+        """,
+        "lang_id": f"""
+            SELECT doc_id, substr(list_min([{lang_keys}]), 7, 2) AS lang_pred
+            FROM documents
+        """,
+        "fingerprint": """
+            SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+            FROM documents
+        """,
+        "dedup_exact": f"""
+            WITH d AS ({_DOCS_WITH_DUPES_SQL})
+            SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+                   min(doc_id) AS keep_id,
+                   count(*)::BIGINT AS n_dupes
+            FROM d GROUP BY 1
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH d AS ({_DOCS_WITH_DUPES_SQL}),
+            sh AS (SELECT doc_id AS id, {shingles} AS sh FROM d),
+            sizes AS (SELECT id, len(sh) AS n_sh FROM sh),
+            ex AS (SELECT id, unnest(sh) AS shingle FROM sh),
+            keep AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 1000),
+            exk AS (SELECT ex.id, ex.shingle FROM ex JOIN keep USING (shingle)),
+            pairs AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+                FROM exk a JOIN exk b ON a.shingle = b.shingle AND a.id < b.id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(common / (sa.n_sh + sb.n_sh - common)::DOUBLE, 6) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE common / (sa.n_sh + sb.n_sh - common)::DOUBLE >= 0.8
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH d AS ({_DOCS_WITH_DUPES_SQL}),
+            sh AS (SELECT doc_id AS id, {shingles} AS sh FROM d),
+            sig AS (SELECT id, sh, [{minhash}] AS mh FROM sh),
+            banded AS (SELECT id, sh, {bands} FROM sig),
+            lng AS (
+                SELECT id, sh, 0 AS band, bucket0 AS bucket FROM banded
+                UNION ALL SELECT id, sh, 1, bucket1 FROM banded
+                UNION ALL SELECT id, sh, 2, bucket2 FROM banded
+                UNION ALL SELECT id, sh, 3, bucket3 FROM banded
+            ),
+            cand AS (
+                SELECT a.id AS id_a, b.id AS id_b,
+                       first(a.sh) AS sh_a, first(b.sh) AS sh_b
+                FROM lng a JOIN lng b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+                GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b,
+                   round(len(list_intersect(sh_a, sh_b)) / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))::DOUBLE, 6) AS jaccard
+            FROM cand
+            WHERE len(list_intersect(sh_a, sh_b)) / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))::DOUBLE >= 0.5
+        """,
+        "simhash_groups": f"""
+            WITH d AS ({_DOCS_WITH_DUPES_SQL}),
+            w AS (SELECT doc_id AS id, list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS ws FROM d),
+            h AS (SELECT id, ({simhash_bits})::BIGINT AS simhash FROM w)
+            SELECT simhash, count(*)::BIGINT AS n_docs, min(id) AS min_id
+            FROM h GROUP BY simhash HAVING count(*) > 1
+        """,
+        "cosine_topk": """
+            WITH e AS (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS v FROM embeddings),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+            SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS cosine_sim
+            FROM e, q WHERE vec_id != 0
+            ORDER BY cosine_sim DESC, vec_id LIMIT 10
+        """,
+        "ann_lsh_topk": """
+            WITH e AS (
+                SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS v,
+                       (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+                     + (CASE WHEN embedding[9] >= 0 THEN 2 ELSE 0 END)
+                     + (CASE WHEN embedding[17] >= 0 THEN 4 ELSE 0 END)
+                     + (CASE WHEN embedding[25] >= 0 THEN 8 ELSE 0 END)
+                     + (CASE WHEN embedding[33] >= 0 THEN 16 ELSE 0 END)
+                     + (CASE WHEN embedding[41] >= 0 THEN 32 ELSE 0 END)
+                     + (CASE WHEN embedding[49] >= 0 THEN 64 ELSE 0 END)
+                     + (CASE WHEN embedding[57] >= 0 THEN 128 ELSE 0 END) AS bucket
+                FROM embeddings
+            ),
+            q AS (SELECT v AS qv, bucket AS qbucket FROM e WHERE vec_id = 0)
+            SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS cosine_sim
+            FROM e, q WHERE vec_id != 0 AND bucket = qbucket
+            ORDER BY cosine_sim DESC, vec_id LIMIT 10
+        """,
+        "embedding_near_dupes": """
+            WITH base AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 13 = 0
+            ),
+            e AS (
+                SELECT vec_id AS id, list_transform(embedding, v -> v::DOUBLE) AS v,
+                       (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+                     + (CASE WHEN embedding[9] >= 0 THEN 2 ELSE 0 END)
+                     + (CASE WHEN embedding[17] >= 0 THEN 4 ELSE 0 END)
+                     + (CASE WHEN embedding[25] >= 0 THEN 8 ELSE 0 END)
+                     + (CASE WHEN embedding[33] >= 0 THEN 16 ELSE 0 END)
+                     + (CASE WHEN embedding[41] >= 0 THEN 32 ELSE 0 END)
+                     + (CASE WHEN embedding[49] >= 0 THEN 64 ELSE 0 END)
+                     + (CASE WHEN embedding[57] >= 0 THEN 128 ELSE 0 END) AS bucket
+                FROM base
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+            FROM e a JOIN e b ON a.bucket = b.bucket AND a.id < b.id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.999
+        """,
+        "remove_headers": """
+            WITH d AS (
+                SELECT doc_id,
+                       'CHAPTER HEADING' || chr(10) || text || chr(10) ||
+                       'THE VERY LONG RUNNING HEAD OF PAGES' || chr(10) || 'last line.' AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   array_to_string(
+                       list_filter(string_split(t, chr(10)),
+                           x -> NOT (upper(x) = x AND lower(x) != x
+                                     AND len(list_filter(string_split_regex(x, '\\s+'), w -> w != '')) < 5)),
+                       chr(10)) AS cleaned
+            FROM d
+        """,
+        "remove_notes": """
+            WITH d AS (
+                SELECT doc_id,
+                       'intro [Note: drop [nested [deep]]] ' || text ||
+                       ' mid [stray] <p> </p> tail<br> <small> </small>.' AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(t,
+                             '(?si)\\[Note:(?:[^\\[\\]]|\\[(?:[^\\[\\]]|\\[(?:[^\\[\\]]|\\[[^\\[\\]]*\\])*\\])*\\])*\\]', '', 'g'),
+                           '<p>\\s*</p>', '', 'g'),
+                         '<br>\\s*', '', 'g'),
+                       '<small>\\s*</small>', '', 'g'),
+                     '(?s)\\[.*?\\]', '', 'g') AS cleaned
+            FROM d
+        """,
+        "clean_text": """
+            WITH d AS (
+                SELECT doc_id,
+                       '<p>Tagged</p>  intro' || chr(10) || chr(10) || '  ' || chr(10) || text || '  end  ' AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   array_to_string(
+                       list_filter(
+                           list_transform(
+                               string_split(regexp_replace(regexp_replace(t, '<[^>]+>', '', 'g'), ' +', ' ', 'g'), chr(10)),
+                               x -> trim(x)),
+                           x -> x != ''),
+                       chr(10)) AS cleaned
+            FROM d
+        """,
+        "split_sections": """
+            WITH d AS (
+                SELECT doc_id,
+                       '<h4><center>ONE</center></h4>' || text ||
+                       '<h4><center>TWO</center></h4>tail of part two' AS t
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id,
+                       list_filter(list_transform(string_split(t, '<h4><center>'), x -> trim(x)),
+                                   x -> x != '' AND x != '<br>') AS secs
+                FROM d
+            )
+            SELECT doc_id, g.i::BIGINT AS section_no, secs[g.i] AS section_text
+            FROM s, unnest(generate_series(1, len(secs))) AS g(i)
+        """,
+        "speak_tag_check": """
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 = 0 THEN '<speak><speak>' || text
+                            WHEN doc_id % 10 = 5 THEN text
+                            ELSE '<speak>' || text || '</speak>' END AS ssml
+                FROM documents
+            )
+            SELECT doc_id,
+                   (len(string_split(ssml, '<speak>')) - 1)::BIGINT AS n_open,
+                   (len(string_split(ssml, '</speak>')) - 1)::BIGINT AS n_close,
+                   (len(string_split(ssml, '<speak>')) - 1 = 1
+                    AND len(string_split(ssml, '</speak>')) - 1 = 1) AS ok
+            FROM d
+        """,
+        "punctuation_rule": """
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 4 = 0 THEN '<speak>' || text || '</s>. done</speak>'
+                            ELSE '<speak>' || text || '</speak>' END AS ssml
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id, unnest(regexp_extract_all(ssml, '(</?[^>]+>)\\s*([.,:;])')) AS m
+                FROM d
+            )
+            SELECT doc_id, regexp_extract(m, '^(</?[^>]+>)', 1) AS tag
+            FROM m
+            WHERE regexp_extract(m, '^(</?[^>]+>)', 1) NOT IN ('<phoneme>', '</phoneme>', '<lang>', '</lang>')
+        """,
+        "single_letters_rule": """
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 6 = 0 THEN text || ' q x B end' ELSE text END AS t
+                FROM documents
+            )
+            SELECT doc_id, unnest(regexp_extract_all(t, '\\b[B-HJ-NP-Zb-hj-np-ru-z]\\b')) AS letter
+            FROM d
+        """,
+        "translation_ratio": f"""
+            WITH d AS (
+                SELECT doc_id, text AS latin,
+                       CASE WHEN doc_id % 9 = 0 THEN substr(text, 1, 20)
+                            ELSE '<speak>' || text || ' more words here</speak>' END AS ssml
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(latin, '{_WORD_RE_SQL}'))::BIGINT AS latin_words,
+                       len(regexp_extract_all(
+                           regexp_replace(regexp_replace(ssml, '(?s)<\\s*sub\\s+[^>]*>.*?</\\s*sub\\s*>', '', 'g'),
+                                          '<[^>]+>', '', 'g'),
+                           '{_WORD_RE_SQL}'))::BIGINT AS english_words
+                FROM d
+            )
+            SELECT doc_id, latin_words, english_words,
+                   round(english_words / latin_words::DOUBLE, 6) AS ratio
+            FROM c
+            WHERE english_words / latin_words::DOUBLE < 0.95
+               OR english_words / latin_words::DOUBLE > 3.0
+        """,
+        "running_durations": """
+            SELECT doc_id,
+                   (n_chars * 20)::BIGINT AS duration_ms,
+                   (sum(n_chars * 20) OVER w - n_chars * 20)::BIGINT AS start_ms,
+                   (sum(n_chars * 20) OVER w)::BIGINT AS end_ms
+            FROM documents
+            WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "srt_times": f"""
+            WITH r AS (
+                SELECT doc_id,
+                       (sum(n_chars * 20) OVER w - n_chars * 20)::BIGINT AS start_ms,
+                       (sum(n_chars * 20) OVER w)::BIGINT AS end_ms
+                FROM documents
+                WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
+            SELECT doc_id, {fmt_ms('start_ms')} AS srt_start, {fmt_ms('end_ms')} AS srt_end
+            FROM r
+        """,
+        "prev_next": """
+            SELECT doc_id,
+                   lag(source) OVER (ORDER BY doc_id) AS prev_source,
+                   lead(source) OVER (ORDER BY doc_id) AS next_source
+            FROM documents
+        """,
+        "part_renumber": """
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source ORDER BY doc_id)::BIGINT AS part_no
+            FROM documents
+        """,
+        "numeric_chunk_sort": """
+            WITH d AS (
+                SELECT doc_id,
+                       'book_' || (doc_id % 7)::VARCHAR || '_chunk_' || ((doc_id * 37) % 991)::VARCHAR || '.txt' AS fname
+                FROM documents
+            )
+            SELECT doc_id, fname,
+                   row_number() OVER (ORDER BY regexp_extract(fname, '_chunk_(\\d+)\\.txt$', 1)::BIGINT, fname)::BIGINT AS rank
+            FROM d
+        """,
+        "resume_skip": """
+            SELECT doc_id, global_part FROM (
+                SELECT doc_id, row_number() OVER (ORDER BY doc_id)::BIGINT AS global_part
+                FROM documents
+            ) WHERE global_part >= 100
+        """,
+        "media_metadata": """
+            SELECT 'doc://' || doc_id::VARCHAR AS url,
+                   octet_length(encode(text))::BIGINT AS n_bytes,
+                   md5(text) AS content_hash
+            FROM documents
+        """,
+    }

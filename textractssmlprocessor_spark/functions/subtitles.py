@@ -168,6 +168,10 @@ def chunk_subtitles(
     """Per-chunk subtitle records for one aligned chunk
     (reference timestamp.py:182-199, text already chosen per language)."""
     cleaned = clean_text(text)
+    if not cleaned:
+        # the reference would divide by zero (timestamp.py:53); empty chunks
+        # are filtered upstream in our plan, this guard keeps UDFs total
+        return []
     if not use_shorter_subtitles:
         return [{"text": cleaned, "start": start_time, "end": end_time}]
     if language == "english":

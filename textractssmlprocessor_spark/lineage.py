@@ -1,0 +1,101 @@
+"""Per-partition lineage + checkpoint-resume (north-rule requirement).
+
+The reference's resume semantic is a global part counter skipping
+already-produced outputs (reference ssml_processing.py:106-110). At cluster
+scale that becomes: deterministically bucket documents by url hash, record a
+lineage row per completed bucket (counts + checksum), and on rerun anti-join
+completed buckets so only missing work re-executes. Writes are idempotent at
+bucket granularity (partitionBy(bucket) parquet overwrite per bucket).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_BUCKETS_DEFAULT = 64
+
+
+def with_bucket(df: DataFrame, n_buckets: int = N_BUCKETS_DEFAULT) -> DataFrame:
+    """Stable url-hash bucket: pmod(xxhash64(url), n). The same salt key used
+    for repartitioning, so a bucket is co-located by construction."""
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int")
+    )
+
+
+def lineage_rows(chunks: DataFrame) -> DataFrame:
+    """Aggregate one lineage row per bucket: doc/chunk counts + an
+    order-insensitive checksum (xor-free: sum of per-row xxhash64 mod 2^63,
+    stable under partitioning/row order)."""
+    return chunks.groupBy("bucket").agg(
+        F.lit("done").alias("status"),
+        F.countDistinct("url").cast("int").alias("n_docs"),
+        F.count(F.lit(1)).cast("int").alias("n_chunks"),
+        F.conv(
+            F.sum(
+                F.pmod(
+                    F.xxhash64(F.col("url"), F.col("chunk_number"), F.col("ssml")),
+                    F.lit(2 ** 61 - 1),
+                )
+            ).cast("string"),
+            10,
+            16,
+        ).alias("checksum"),
+    )
+
+
+def completed_buckets(spark: SparkSession, lineage_path: str) -> DataFrame:
+    """Read the lineage table if it exists; else an empty frame."""
+    if not _exists(lineage_path):
+        from .schema import LINEAGE_SCHEMA
+
+        return spark.createDataFrame([], LINEAGE_SCHEMA)
+    return spark.read.parquet(lineage_path).filter(F.col("status") == "done")
+
+
+def resume_filter(
+    pages: DataFrame, spark: SparkSession, lineage_path: str,
+    n_buckets: int = N_BUCKETS_DEFAULT,
+) -> DataFrame:
+    """Drop documents whose bucket already completed: broadcast anti-join on
+    the (tiny) lineage table — no shuffle of the big side."""
+    done = completed_buckets(spark, lineage_path).select("bucket")
+    return with_bucket(pages, n_buckets).join(
+        F.broadcast(done), on="bucket", how="left_anti"
+    )
+
+
+def run_with_lineage(
+    pages: DataFrame,
+    spark: SparkSession,
+    output_path: str,
+    lineage_path: str,
+    n_buckets: int = N_BUCKETS_DEFAULT,
+    languages: list[str] | None = None,
+) -> DataFrame:
+    """Checkpoint-resumable extraction: skip completed buckets, extract the
+    rest, append output partitioned by bucket, then append lineage rows.
+    Returns the chunks written in this run."""
+    from .operators.extract import extract_chunks
+
+    todo = resume_filter(pages, spark, lineage_path, n_buckets)
+    chunks = with_bucket(extract_chunks(todo, languages=languages), n_buckets)
+    chunks.write.mode("append").partitionBy("bucket").parquet(output_path)
+    written = spark.read.parquet(output_path).join(
+        F.broadcast(
+            completed_buckets(spark, lineage_path).select("bucket")
+        ),
+        on="bucket",
+        how="left_anti",
+    )
+    lineage_rows(written).write.mode("append").parquet(lineage_path)
+    return written
+
+
+def _exists(path: str) -> bool:
+    if path.startswith("file:"):
+        path = path[len("file:"):]
+    return os.path.exists(path)

@@ -1,0 +1,137 @@
+"""Chunk-to-audio alignment and SRT generation (reference timestamp.py
+create_timestamps lifecycle, SURVEY.md §3.2).
+
+The reference zips chunks and mp3 files positionally in RAM with a running
+duration sum (timestamp.py:252-281). Spark restatement:
+
+- positional align (J1) = row_number() over each side's natural order,
+  inner join on the index (the inner join IS the reference's truncation
+  guard: chunks beyond the last audio part drop);
+- running sum (A6) = window sum ordered by part index;
+- subtitle explode (X4/X5) = Arrow-batched UDF -> posexplode;
+- global subtitle index (J4) = row_number over (chunk order, subtitle order);
+- SRT content (K4) = ordered concat of numbered blocks.
+
+Alignment is per ``project`` (the reference's per-directory run), so every
+window partitions by project — at scale each project's chunk stream is
+modest while projects parallelize across the cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .udfs import subtitles_udf
+
+
+def align_chunks_to_audio(
+    chunks: DataFrame,
+    manifest: DataFrame,
+    project_col: str = "url",
+) -> DataFrame:
+    """chunks (project, chunk_number, ...) x manifest (project, part_no,
+    duration) -> aligned chunks with start_time/end_time."""
+    cw = Window.partitionBy(project_col).orderBy("chunk_number")
+    mw = Window.partitionBy(project_col).orderBy("part_no")
+    c = chunks.withColumn("idx", F.row_number().over(cw))
+    m = manifest.withColumn("idx", F.row_number().over(mw)).select(
+        project_col, "idx", "duration"
+    )
+    joined = c.join(m, on=[project_col, "idx"], how="inner")
+    run = Window.partitionBy(project_col).orderBy("idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        joined.withColumn("end_time", F.sum("duration").over(run))
+        .withColumn("start_time", F.col("end_time") - F.col("duration"))
+        .drop("idx")
+    )
+
+
+def explode_subtitles(
+    aligned: DataFrame,
+    language: str,
+    use_shorter_subtitles: bool,
+    text_col: str | None = None,
+    project_col: str = "url",
+) -> DataFrame:
+    """Aligned chunks -> one row per subtitle with global per-project index
+    (reference timestamp.py:182-206)."""
+    if text_col is None:
+        text_col = "ssml" if language == "english" else "extracted_text"
+    subs = aligned.select(
+        project_col,
+        "chunk_number",
+        F.posexplode(
+            subtitles_udf(
+                F.col(text_col),
+                F.col("start_time"),
+                F.col("end_time"),
+                F.lit(language),
+                F.lit(use_shorter_subtitles),
+            )
+        ).alias("sub_pos", "sub"),
+    )
+    w = Window.partitionBy(project_col).orderBy("chunk_number", "sub_pos")
+    return subs.select(
+        project_col,
+        F.row_number().over(w).alias("subtitle_index"),
+        F.col("sub.text").alias("text"),
+        F.col("sub.start").alias("start"),
+        F.col("sub.end").alias("end"),
+    )
+
+
+def _format_time_col(seconds) -> F.Column:
+    """HH:MM:SS,mmm with millisecond truncation (timestamp.py:227-231),
+    as a native column expression."""
+    total = seconds
+    hours = F.floor(total / 3600)
+    minutes = F.floor((total % 3600) / 60)
+    secs = F.floor(total % 60)
+    millis = F.floor((total % 1) * 1000)
+    return F.format_string("%02d:%02d:%02d,%03d", hours, minutes, secs, millis)
+
+
+def srt_content(subtitles: DataFrame, project_col: str = "url") -> DataFrame:
+    """(project, srt) — the full SRT document per project, assembled with an
+    ordered collect over the window (deterministic; single row per project)."""
+    block = F.concat(
+        F.col("subtitle_index").cast("string"), F.lit("\n"),
+        _format_time_col(F.col("start")), F.lit(" --> "),
+        _format_time_col(F.col("end")), F.lit("\n"),
+        F.col("text"), F.lit("\n\n"),
+    )
+    # collect_list gives no ordering guarantee after a shuffle: collect
+    # (index, block) structs, sort the array by index, then join — one
+    # deterministic row per project.
+    return (
+        subtitles.groupBy(project_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("subtitle_index").alias("i"), block.alias("b"))
+                        )
+                    ),
+                    lambda s: s["b"],
+                ),
+                "",
+            ).alias("srt")
+        )
+    )
+
+
+def generate_srt(
+    chunks: DataFrame,
+    manifest: DataFrame,
+    language: str,
+    use_shorter_subtitles: bool,
+    project_col: str = "url",
+) -> DataFrame:
+    aligned = align_chunks_to_audio(chunks, manifest, project_col)
+    subs = explode_subtitles(aligned, language, use_shorter_subtitles,
+                             project_col=project_col)
+    return srt_content(subs, project_col)

@@ -1,0 +1,211 @@
+"""Deduplication operators for web-scale corpora.
+
+All variants are pure DataFrame compositions — no Python in the hot path —
+and every hash is derived from md5 hex strings so the same computation is
+reproducible in any engine (the DuckDB oracle computes identical values).
+
+- exact:        md5 over whitespace/case-normalized text, groupBy, keep min id
+- n-gram Jaccard: shingle explode -> equi-join on shingle -> pair agg
+                  (the join shuffles on the shingle key: uniform by
+                  construction since shingles ARE the content; hot shingles
+                  (stopword n-grams) are capped with a document-frequency
+                  filter, the standard web-dedup trick)
+- MinHash+LSH:  per-seed minhash = min(md5(seed|shingle)); band buckets ->
+                candidate pairs via bucket self-join -> exact Jaccard verify.
+                At 100 TB the bucket join touches only colliding docs, never
+                the full cross product.
+- SimHash:      16-bit engine-portable variant: bit i = majority over words
+                of (md5(word) hex digit i >= 8); near-dups = equal simhash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import fingerprint
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Survivor per exact-content group: min id wins. Returns
+    (fingerprint, keep_id, n_dupes)."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).cast("int").alias("n_dupes"),
+        )
+    )
+
+
+def word_shingles(text_col, n: int = 3):
+    """Distinct word n-grams as a native array expression (no UDF)."""
+    words = F.split(F.trim(F.lower(text_col)), r"\s+")
+    k = F.size(words) - (n - 1)
+    return F.array_distinct(
+        F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", words)))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """All document pairs with n-gram Jaccard >= threshold.
+
+    Plan: explode shingles -> df-filter hot shingles -> self-join on shingle
+    -> count common per pair -> |A|+|B|-common denominator. The only
+    shuffles are the shingle join and the pair aggregation; both keys are
+    high-cardinality by construction.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
+    )
+    sizes = shingled.select("id", F.size("sh").alias("n_sh"))
+    exploded = shingled.select("id", F.explode("sh").alias("shingle"))
+    # cap pathological shingles (document-frequency filter)
+    df_counts = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    exploded = exploded.join(
+        df_counts.filter(F.col("df") <= max_doc_freq).select("shingle"),
+        on="shingle",
+        how="inner",
+    )
+    pairs = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), on="shingle", how="inner")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def minhash_signature(text_col, n: int = 3, num_hashes: int = 16):
+    """Array of ``num_hashes`` minhash values: seed-k permutation simulated by
+    md5(k|shingle); min over shingles. Engine-portable (md5 everywhere)."""
+    sh = word_shingles(text_col, n)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{k}|"), s)))
+            )
+            for k in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs from banded MinHash buckets, verified with exact
+    n-gram Jaccard. rows_per_band = num_hashes // bands."""
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), n).alias("sh"),
+        minhash_signature(F.col(text_col), n, num_hashes).alias("mh"),
+    )
+    banded = sig.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col("mh")[b * rows_per_band + r]
+                                       for r in range(rows_per_band)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "bucket"], how="inner")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = cand.withColumn(
+        "jaccard",
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")),
+    ).filter(F.col("jaccard") >= threshold)
+    return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def simhash16(text_col):
+    """16-bit portable simhash: for hex position i in md5(word), bit = 1 iff
+    the majority of words have digit >= 8 (top bit of the nibble)."""
+    words = F.array_distinct(F.split(F.trim(F.lower(text_col)), r"\s+"))
+    hashes = F.transform(words, lambda w: F.md5(w))
+    bits = []
+    for i in range(1, 17):
+        votes = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                F.upper(F.substring(h, i, 1)).isin("8", "9", "A", "B", "C", "D", "E", "F"),
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+        bits.append(F.when(votes > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** (16 - i)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def simhash_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Documents sharing an identical 16-bit simhash (near-dup candidates)."""
+    h = df.select(F.col(id_col).alias("id"), simhash16(F.col(text_col)).alias("simhash"))
+    return (
+        h.groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.min("id").alias("min_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

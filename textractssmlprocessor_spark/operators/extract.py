@@ -1,0 +1,110 @@
+"""Flagship extraction pipeline: pages -> (url, chunk_number, extracted_text,
+ssml, spans).
+
+Spark-first restatement of the reference's process_text_file lifecycle
+(reference utils.py:278-319, SURVEY.md §3.1):
+
+    scan -> filter/prune -> salted repartition -> clean (T1/F2) ->
+    chunk+spans (X1) -> posexplode -> normalize SSML (T8 + T2/T3)
+
+Scale properties (the parts that must survive 1000 executors / 100 TB):
+- ``html`` binary is decoded JVM-side (F.decode) and dropped immediately —
+  the widest column never crosses into Python and never reaches a shuffle;
+- the only shuffle in the whole plan is the explicit salted repartition by
+  url hash (host-level skew defusal per the north rule); everything after is
+  narrow: UDF projections + posexplode pipeline in one stage;
+- all Python work is Arrow-batched pandas UDFs, fused by Spark into a single
+  ArrowEvalPython node per stage chain; batch size capped in session.py so a
+  100 MB outlier document cannot OOM an executor;
+- lang/null filters sit BEFORE any UDF so they push into the parquet/Iceberg
+  scan (UDFs would block pushdown, SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .udfs import (
+    chunk_with_spans_udf,
+    clean_document_udf,
+    clean_plaintext_udf,
+    ssml_normalize_udf,
+)
+
+DEFAULT_SALT_PARTITIONS = 256
+
+
+def salted_repartition(df: DataFrame, num_partitions: int, key: str = "url") -> DataFrame:
+    """Explicit skew defusal: repartition on xxhash64(url) so that documents
+    from one hot host spread uniformly across partitions regardless of the
+    source file layout (north_rule requirement)."""
+    return df.repartition(num_partitions, F.xxhash64(F.col(key)))
+
+
+def clean_pages(
+    df: DataFrame,
+    languages: list[str] | None = None,
+    num_partitions: int = DEFAULT_SALT_PARTITIONS,
+    strip_boilerplate: bool = False,
+) -> DataFrame:
+    """pages -> (url, warc_ts, lang, extracted_text).
+
+    ``extracted_text`` is the reference's latin-correlate content
+    (utils.py:289-291): HTML payloads pass through convert_html_to_ssml,
+    plain text passes through unchanged (or through the boilerplate strip
+    chain when ``strip_boilerplate`` — text_processing path)."""
+    if languages:
+        df = df.filter(F.col("lang").isin(languages))  # pushed into the scan
+    df = df.filter(F.col("html").isNotNull() | F.col("text").isNotNull())
+    # Decode JVM-side, then drop the binary column before any UDF/shuffle.
+    payload = F.coalesce(F.decode(F.col("html"), "UTF-8"), F.col("text"))
+    df = df.select("url", "warc_ts", "lang", payload.alias("payload"))
+    df = salted_repartition(df, num_partitions)
+    cleaned = clean_document_udf(F.col("payload"))
+    if strip_boilerplate:
+        cleaned = clean_plaintext_udf(cleaned)
+    return df.select(
+        "url", "warc_ts", "lang", cleaned.alias("extracted_text")
+    )
+
+
+def extract_chunks(
+    df: DataFrame,
+    languages: list[str] | None = None,
+    num_partitions: int = DEFAULT_SALT_PARTITIONS,
+    strip_boilerplate: bool = False,
+) -> DataFrame:
+    """pages -> (url, chunk_number, extracted_text, ssml, spans): the full
+    reference pipeline output table (FIXTURES.md §2). chunk_number is 1-based
+    (reference utils.py:309)."""
+    docs = clean_pages(df, languages, num_partitions, strip_boilerplate)
+    chunked = docs.select(
+        "url",
+        F.posexplode(chunk_with_spans_udf(F.col("extracted_text"))).alias(
+            "pos", "c"
+        ),
+    )
+    return chunked.select(
+        "url",
+        (F.col("pos") + 1).cast("int").alias("chunk_number"),
+        F.col("c.chunk").alias("extracted_text"),
+        ssml_normalize_udf(F.col("c.chunk")).alias("ssml"),
+        F.array(
+            F.struct(
+                F.col("c.start").alias("start"),
+                F.col("c.end").alias("end"),
+                F.lit("chunk").alias("kind"),
+            )
+        ).alias("spans"),
+    )
+
+
+def split_ssml_chunks(df: DataFrame, ssml_col: str = "ssml") -> DataFrame:
+    """Tag-aware ≤2500-char re-split of normalized SSML (reference
+    ssml_processing.py:9-56) -> adds (part_number, ssml_part)."""
+    from .udfs import split_ssml_udf
+
+    return df.select(
+        "*", F.posexplode(split_ssml_udf(F.col(ssml_col))).alias("part_pos", "ssml_part")
+    ).withColumn("part_number", (F.col("part_pos") + 1).cast("int")).drop("part_pos")

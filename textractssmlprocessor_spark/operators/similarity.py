@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the correctness baseline; sign-LSH bucketing is
+the scale path (candidates only within a bucket — at 10^9 vectors the
+bucket join replaces the full cross product). Dot products run JVM-side via
+higher-order functions (zip_with + aggregate): no Python, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _doubled(col: str) -> Column:
+    # float32 -> float64 before arithmetic so Spark and the SQL oracle agree
+    return F.transform(F.col(col), lambda v: v.cast("double"))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine to the query vector (brute force). The query
+    row is a 1-row broadcast join — the scan stays narrow and map-only."""
+    q = embeddings.filter(F.col(id_col) == query_id).select(
+        _doubled(vec_col).alias("qvec")
+    )
+    scored = (
+        embeddings.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(cosine(_doubled(vec_col), F.col("qvec")), 6).alias("cosine_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
+
+
+def sign_lsh_bucket(vec_col: str, dims: list[int] | None = None) -> Column:
+    """Bucket id from sign bits of selected dimensions — a deterministic,
+    engine-portable random-hyperplane LSH surrogate (axis-aligned planes)."""
+    if dims is None:
+        dims = [1, 9, 17, 25, 33, 41, 49, 57]
+    bit_terms = [
+        F.when(F.element_at(F.col(vec_col), d) >= 0, F.lit(2 ** i)).otherwise(F.lit(0))
+        for i, d in enumerate(dims)
+    ]
+    out = bit_terms[0]
+    for t in bit_terms[1:]:
+        out = out + t
+    return out
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors sharing the query's sign-LSH
+    bucket. Bucketing prunes the scan to ~1/2^b of the corpus."""
+    with_bucket = embeddings.withColumn("bucket", sign_lsh_bucket(vec_col))
+    q = with_bucket.filter(F.col(id_col) == query_id).select(
+        _doubled(vec_col).alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    scored = (
+        with_bucket.filter(F.col(id_col) != query_id)
+        .join(F.broadcast(q), on=[F.col("bucket") == F.col("qbucket")])
+        .select(
+            F.col(id_col),
+            F.round(cosine(_doubled(vec_col), F.col("qvec")), 6).alias("cosine_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
+
+
+def pairwise_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within LSH buckets (scale path for
+    embedding dedup): bucket self-join -> cosine filter."""
+    b = embeddings.select(
+        F.col(id_col).alias("id"),
+        _doubled(vec_col).alias("v"),
+        sign_lsh_bucket(vec_col).alias("bucket"),
+    )
+    return (
+        b.alias("a")
+        .join(b.alias("x"), on="bucket", how="inner")
+        .filter(F.col("a.id") < F.col("x.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("x.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("x.v")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -1,0 +1,93 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
+ "sf": ..., "docs_per_sec": ...}
+
+The headline metric is the flagship extraction pipeline (documents/sec
+extracted, the BASELINE.json target); supporting queries cover the other
+heavy operator families (dedup join, ANN scan, validation, SRT assembly).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    import __spark_entry__ as entrymod
+    from textractssmlprocessor_spark.corpus import pages_from_documents
+    from textractssmlprocessor_spark.operators.extract import extract_chunks
+    from textractssmlprocessor_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cores=cores, shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    pages = pages_from_documents(spark, sf_dir)
+    n_docs = pages.count()
+
+    # warmup: spin up python workers + JIT before timing
+    run_noop(extract_chunks(pages, num_partitions=cores * 2).limit(200))
+
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
+    run_noop(extract_chunks(pages, num_partitions=cores * 2))
+    timings["extract_chunks"] = round(time.time() - t0, 3)
+
+    bench_queries = [
+        "extract_documents",
+        "validate_corpus",
+        "split_ssml",
+        "srt_generate",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "simhash_groups",
+        "cosine_topk",
+        "embedding_near_dupes",
+        "lang_id",
+        "quality_score",
+        "running_durations",
+    ]
+    qs = entrymod.queries()
+    for name in bench_queries:
+        t0 = time.time()
+        run_noop(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    docs_per_sec = round(n_docs / timings["extract_chunks"], 2)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_docs": n_docs,
+                "docs_per_sec": docs_per_sec,
+                "cores": cores,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+"""spark-submit entrypoint for the extraction pipeline.
+
+    spark-submit --py-files textractssmlprocessor_spark.zip \
+        textractssmlprocessor_spark/jobs/extract_job.py \
+        --input  <pages parquet/iceberg path> \
+        --output <chunks output path> \
+        --lineage <lineage table path> \
+        [--languages en,la] [--buckets 4096] [--partitions 16384]
+
+Resumable: reruns skip buckets recorded as done in the lineage table
+(anti-join on the broadcast lineage set). Designed for multi-executor
+clusters; the same code runs unchanged on local[N].
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--lineage", required=True)
+    p.add_argument("--languages", default=None)
+    p.add_argument("--buckets", type=int, default=4096)
+    p.add_argument("--partitions", type=int, default=None)
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from textractssmlprocessor_spark import lineage as L
+
+    spark = (
+        SparkSession.builder.appName("extract-webtext")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+
+    pages = spark.read.parquet(args.input)
+    langs = args.languages.split(",") if args.languages else None
+    written = L.run_with_lineage(
+        pages,
+        spark,
+        output_path=args.output,
+        lineage_path=args.lineage,
+        n_buckets=args.buckets,
+        languages=langs,
+    )
+    print(f"chunks written this run: {written.count()}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -28,21 +28,14 @@ def with_bucket(df: DataFrame, n_buckets: int = N_BUCKETS_DEFAULT) -> DataFrame:
 
 def lineage_rows(chunks: DataFrame) -> DataFrame:
     """Aggregate one lineage row per bucket: doc/chunk counts + an
-    order-insensitive checksum (xor-free: sum of per-row xxhash64 mod 2^63,
-    stable under partitioning/row order)."""
+    order-insensitive checksum (bit_xor of per-row xxhash64 — stable under
+    partitioning/row order, immune to overflow)."""
     return chunks.groupBy("bucket").agg(
         F.lit("done").alias("status"),
         F.countDistinct("url").cast("int").alias("n_docs"),
         F.count(F.lit(1)).cast("int").alias("n_chunks"),
-        F.conv(
-            F.sum(
-                F.pmod(
-                    F.xxhash64(F.col("url"), F.col("chunk_number"), F.col("ssml")),
-                    F.lit(2 ** 61 - 1),
-                )
-            ).cast("string"),
-            10,
-            16,
+        F.hex(
+            F.bit_xor(F.xxhash64(F.col("url"), F.col("chunk_number"), F.col("ssml")))
         ).alias("checksum"),
     )
 

@@ -522,7 +522,9 @@ def q_validate_corpus(spark, sf_dir):
     from textractssmlprocessor_spark.operators.extract import extract_chunks
     from textractssmlprocessor_spark.operators.validate import validate
 
-    chunks = extract_chunks(_pages(spark, sf_dir), num_partitions=32)
+    # 10 rule branches read the chunk table: materialize the UDF pipeline
+    # once instead of re-running it per branch
+    chunks = extract_chunks(_pages(spark, sf_dir), num_partitions=32).localCheckpoint()
     return validate(chunks)
 
 
@@ -530,7 +532,7 @@ def q_srt_generate(spark, sf_dir):
     from textractssmlprocessor_spark.operators.align import generate_srt
     from textractssmlprocessor_spark.operators.extract import extract_chunks
 
-    chunks = extract_chunks(_pages(spark, sf_dir), num_partitions=32)
+    chunks = extract_chunks(_pages(spark, sf_dir), num_partitions=32).localCheckpoint()
     manifest = chunks.select(
         "url",
         F.col("chunk_number").alias("part_no"),
@@ -628,11 +630,11 @@ def oracle_sql() -> dict[str, str]:
     )
 
     minhash = ", ".join(
-        f"list_min(list_transform(sh, s -> md5('{k}|' || s)))" for k in range(16)
+        f"list_min(list_transform(sh, h -> md5('{k}|' || h)))" for k in range(16)
     )
     bands = ", ".join(
-        "md5(mh[%d] || '|' || mh[%d] || '|' || mh[%d] || '|' || mh[%d]) AS bucket%d"
-        % (b * 4 + 1, b * 4 + 2, b * 4 + 3, b * 4 + 4, b)
+        "md5('%d' || '|' || mh[%d] || '|' || mh[%d] || '|' || mh[%d] || '|' || mh[%d])"
+        % (b, b * 4 + 1, b * 4 + 2, b * 4 + 3, b * 4 + 4)
         for b in range(4)
     )
 
@@ -724,25 +726,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": f"""
             WITH d AS ({_DOCS_WITH_DUPES_SQL}),
-            sh AS (SELECT doc_id AS id, {shingles} AS sh FROM d),
+            sh AS (SELECT doc_id AS id,
+                          list_distinct(list_transform({shingles}, s -> substr(md5(s), 1, 8))) AS sh
+                   FROM d),
             sig AS (SELECT id, sh, [{minhash}] AS mh FROM sh),
-            banded AS (SELECT id, sh, {bands} FROM sig),
-            lng AS (
-                SELECT id, sh, 0 AS band, bucket0 AS bucket FROM banded
-                UNION ALL SELECT id, sh, 1, bucket1 FROM banded
-                UNION ALL SELECT id, sh, 2, bucket2 FROM banded
-                UNION ALL SELECT id, sh, 3, bucket3 FROM banded
-            ),
+            banded AS (SELECT id, unnest([{bands}]) AS bucket FROM sig),
             cand AS (
-                SELECT a.id AS id_a, b.id AS id_b,
-                       first(a.sh) AS sh_a, first(b.sh) AS sh_b
-                FROM lng a JOIN lng b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
-                GROUP BY a.id, b.id
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.id < b.id
             )
             SELECT id_a, id_b,
-                   round(len(list_intersect(sh_a, sh_b)) / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))::DOUBLE, 6) AS jaccard
+                   round(len(list_intersect(sa.sh, sb.sh)) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE, 6) AS jaccard
             FROM cand
-            WHERE len(list_intersect(sh_a, sh_b)) / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))::DOUBLE >= 0.5
+            JOIN sh sa ON sa.id = id_a
+            JOIN sh sb ON sb.id = id_b
+            WHERE len(list_intersect(sa.sh, sb.sh)) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE >= 0.5
         """,
         "simhash_groups": f"""
             WITH d AS ({_DOCS_WITH_DUPES_SQL}),

@@ -102,14 +102,22 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-def minhash_signature(text_col, n: int = 3, num_hashes: int = 16):
-    """Array of ``num_hashes`` minhash values: seed-k permutation simulated by
-    md5(k|shingle); min over shingles. Engine-portable (md5 everywhere)."""
-    sh = word_shingles(text_col, n)
+def hashed_shingles(text_col, n: int = 3):
+    """Shingles compressed to 8-hex md5 prefixes: 3-10x smaller arrays in
+    every shuffle, identical Jaccard (collisions negligible), and the same
+    values are computable by any engine with md5."""
+    return F.array_distinct(
+        F.transform(word_shingles(text_col, n), lambda s: F.substring(F.md5(s), 1, 8))
+    )
+
+
+def minhash_signature_from_hashed(sh_col, num_hashes: int = 16):
+    """minhash_k = min over hashed shingles of md5(k|h8): the md5(k|.) acts
+    as the seed-k permutation."""
     return F.array(
         *[
             F.array_min(
-                F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{k}|"), s)))
+                F.transform(sh_col, lambda h: F.md5(F.concat(F.lit(f"{k}|"), h)))
             )
             for k in range(num_hashes)
         ]
@@ -126,50 +134,55 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Candidate pairs from banded MinHash buckets, verified with exact
-    n-gram Jaccard. rows_per_band = num_hashes // bands."""
+    Jaccard over hashed shingles.
+
+    Scale structure: the band table shuffled into the self-join is NARROW
+    (id, band, bucket) — shingle arrays never ride through the candidate
+    join; they are joined back exactly once per surviving pair. At 10^9 docs
+    the candidate join touches only colliding bucket groups.
+    """
     rows_per_band = num_hashes // bands
     sig = df.select(
         F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), n).alias("sh"),
-        minhash_signature(F.col(text_col), n, num_hashes).alias("mh"),
-    )
+        hashed_shingles(F.col(text_col), n).alias("sh"),
+    ).withColumn("mh", minhash_signature_from_hashed(F.col("sh"), num_hashes))
+
+    shingle_tbl = sig.select("id", "sh")
     banded = sig.select(
         "id",
-        "sh",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|", *[F.col("mh")[b * rows_per_band + r]
-                                       for r in range(rows_per_band)]
-                            )
-                        ).alias("bucket"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit(str(b)),
+                            *[F.col("mh")[b * rows_per_band + r]
+                              for r in range(rows_per_band)],
+                        )
                     )
                     for b in range(bands)
                 ]
             )
-        ).alias("bb"),
-    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        ).alias("bucket"),
+    )
     cand = (
         banded.alias("a")
-        .join(banded.alias("b"), on=["band", "bucket"], how="inner")
+        .join(banded.alias("b"), on="bucket", how="inner")
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    verified = cand.withColumn(
-        "jaccard",
-        F.size(F.array_intersect("sh_a", "sh_b"))
-        / F.size(F.array_union("sh_a", "sh_b")),
-    ).filter(F.col("jaccard") >= threshold)
+    verified = (
+        cand.join(shingle_tbl.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(shingle_tbl.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
     return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 

@@ -488,6 +488,79 @@ def q_media_metadata(spark, sf_dir):
     return media_metadata(d).select("url", "n_bytes", "content_hash")
 
 
+def _blocks(spark, sf_dir):
+    """Deterministic synthetic OCR blocks table from documents: 8-word lines,
+    5 lines per page, plus a running head and a page-number folio per page
+    (exercises the north-star block-to-line + boilerplate path)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    words = d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.posexplode(F.split("text", " ", -1)).alias("pos", "wtext"),
+    )
+    wb = words.select(
+        "url",
+        F.floor(F.col("pos") / 40).cast("bigint").alias("page_no"),
+        F.col("pos").cast("bigint").alias("block_id"),
+        ((F.col("pos") % 8) * 0.12).alias("left"),
+        (0.12 + F.floor((F.col("pos") % 40) / 8) * 0.15).alias("top"),
+        F.col("wtext").alias("text"),
+    )
+    pages = wb.select("url", "page_no").distinct()
+    header = pages.select(
+        "url", "page_no", F.lit(9000000).cast("bigint").alias("block_id"),
+        F.lit(0.0).alias("left"), F.lit(0.02).alias("top"),
+        F.lit("THE RUNNING HEAD").alias("text"),
+    )
+    folio = pages.select(
+        "url", "page_no", F.lit(9000001).cast("bigint").alias("block_id"),
+        F.lit(0.45).alias("left"), F.lit(0.95).alias("top"),
+        (F.col("page_no") + 1).cast("string").alias("text"),
+    )
+    return wb.unionByName(header).unionByName(folio)
+
+
+_BLOCKS_SQL = """
+    wraw AS (
+        SELECT 'doc://' || doc_id::VARCHAR AS url,
+               string_split(text, ' ') AS ws
+        FROM documents
+    ),
+    wb AS (
+        SELECT url,
+               ((g.i - 1) // 40)::BIGINT AS page_no,
+               (g.i - 1)::BIGINT AS block_id,
+               ((g.i - 1) % 8) * 0.12 AS "left",
+               0.12 + floor(((g.i - 1) % 40) / 8) * 0.15 AS top,
+               ws[g.i] AS text
+        FROM wraw, unnest(generate_series(1, len(ws))) AS g(i)
+    ),
+    pages AS (SELECT DISTINCT url, page_no FROM wb),
+    blocks AS (
+        SELECT * FROM wb
+        UNION ALL
+        SELECT url, page_no, 9000000::BIGINT, 0.0, 0.02, 'THE RUNNING HEAD' FROM pages
+        UNION ALL
+        SELECT url, page_no, 9000001::BIGINT, 0.45, 0.95, (page_no + 1)::VARCHAR FROM pages
+    )
+"""
+
+
+def q_ocr_lines(spark, sf_dir):
+    from textractssmlprocessor_spark.operators.ocr import blocks_to_lines
+
+    return blocks_to_lines(_blocks(spark, sf_dir)).select(
+        "url", "page_no", "line_no", "line_text", F.round("top", 6).alias("top")
+    )
+
+
+def q_ocr_reconstruct(spark, sf_dir):
+    from textractssmlprocessor_spark.operators.ocr import reconstruct_documents
+
+    return reconstruct_documents(_blocks(spark, sf_dir)).withColumnRenamed(
+        "text", "reconstructed_text"
+    )
+
+
 # ---------------------------------------------------------------------------
 # UDF-backed queries (no SQL oracle -> rows-only check; byte-level
 # correctness covered by the pytest suite)
@@ -597,6 +670,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_near_dupes": q_embedding_near_dupes,
         "media_metadata": q_media_metadata,
+        # OCR block-to-line reconstruction (north-star path)
+        "ocr_lines": q_ocr_lines,
+        "ocr_reconstruct": q_ocr_reconstruct,
         # UDF pipeline (rows-only; byte-parity via pytest)
         "extract_documents": q_extract_documents,
         "extract_chunks": q_extract_chunks,
@@ -707,7 +783,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": f"""
             WITH d AS ({_DOCS_WITH_DUPES_SQL}),
-            sh AS (SELECT doc_id AS id, {shingles} AS sh FROM d),
+            sh AS (SELECT doc_id AS id,
+                          list_distinct(list_transform({shingles}, s -> substr(md5(s), 1, 8))) AS sh
+                   FROM d),
             sizes AS (SELECT id, len(sh) AS n_sh FROM sh),
             ex AS (SELECT id, unnest(sh) AS shingle FROM sh),
             keep AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 1000),
@@ -976,5 +1054,54 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text))::BIGINT AS n_bytes,
                    md5(text) AS content_hash
             FROM documents
+        """,
+        "ocr_lines": f"""
+            WITH {_BLOCKS_SQL},
+            lines AS (
+                SELECT url, page_no, floor(top / 0.02)::BIGINT AS line_key,
+                       string_agg(text, ' ' ORDER BY "left", block_id, text) AS line_text,
+                       min(top) AS top
+                FROM blocks
+                GROUP BY url, page_no, line_key
+            )
+            SELECT url, page_no,
+                   row_number() OVER (PARTITION BY url, page_no ORDER BY line_key)::BIGINT AS line_no,
+                   line_text, round(top, 6) AS top
+            FROM lines
+        """,
+        "ocr_reconstruct": f"""
+            WITH {_BLOCKS_SQL},
+            lines0 AS (
+                SELECT url, page_no, floor(top / 0.02)::BIGINT AS line_key,
+                       string_agg(text, ' ' ORDER BY "left", block_id, text) AS line_text,
+                       min(top) AS top
+                FROM blocks
+                GROUP BY url, page_no, line_key
+            ),
+            lines AS (
+                SELECT url, page_no,
+                       row_number() OVER (PARTITION BY url, page_no ORDER BY line_key)::BIGINT AS line_no,
+                       line_text, top
+                FROM lines0
+            ),
+            nodigit AS (
+                SELECT * FROM lines
+                WHERE NOT regexp_matches(line_text, '^\\s*[-—.\\s]*(\\d+|[ivxlcdm]+)[-—.\\s]*\\s*$')
+            ),
+            npages AS (SELECT url, count(DISTINCT page_no) AS n_pages FROM nodigit GROUP BY url),
+            edge AS (SELECT * FROM nodigit WHERE top <= 0.08 OR top >= 0.9),
+            repeats AS (
+                SELECT e.url, e.line_text
+                FROM edge e
+                GROUP BY e.url, e.line_text
+                HAVING count(DISTINCT e.page_no) >= (SELECT n_pages FROM npages WHERE npages.url = e.url) * 0.5
+            ),
+            kept AS (
+                SELECT n.* FROM nodigit n
+                LEFT JOIN repeats r ON n.url = r.url AND n.line_text = r.line_text
+                WHERE NOT (r.line_text IS NOT NULL AND (n.top <= 0.08 OR n.top >= 0.9))
+            )
+            SELECT url, string_agg(line_text, chr(10) ORDER BY page_no, line_no) AS reconstructed_text
+            FROM kept GROUP BY url
         """,
     }

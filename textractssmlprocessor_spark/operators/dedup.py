@@ -69,10 +69,11 @@ def ngram_jaccard_pairs(
     Plan: explode shingles -> df-filter hot shingles -> self-join on shingle
     -> count common per pair -> |A|+|B|-common denominator. The only
     shuffles are the shingle join and the pair aggregation; both keys are
-    high-cardinality by construction.
+    high-cardinality by construction. Shingles ride as 8-hex md5 prefixes so
+    every shuffle moves 8-byte keys, not full n-gram strings.
     """
     shingled = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
+        F.col(id_col).alias("id"), hashed_shingles(F.col(text_col), n).alias("sh")
     )
     sizes = shingled.select("id", F.size("sh").alias("n_sh"))
     exploded = shingled.select("id", F.explode("sh").alias("shingle"))

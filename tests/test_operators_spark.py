@@ -1,0 +1,204 @@
+"""Spark-level operator tests: dedup, similarity, OCR reconstruction, SRT
+round-trip, multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+def test_dedup_exact_finds_normalized_copies(spark, docs):
+    from textractssmlprocessor_spark.operators.dedup import dedup_exact
+
+    d = docs.select("doc_id", "text")
+    copies = d.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text")).alias("text"),
+    )
+    groups = dedup_exact(d.unionByName(copies)).collect()
+    dup_groups = [g for g in groups if g["n_dupes"] > 1]
+    assert len(dup_groups) == d.count()
+    # survivor is always the original (min id)
+    assert all(g["keep_id"] < 10000 for g in dup_groups)
+
+
+def test_minhash_lsh_finds_near_dupes(spark, docs):
+    from textractssmlprocessor_spark.operators.dedup import minhash_lsh_pairs
+
+    d = docs.select("doc_id", "text").limit(100)
+    near = d.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tiny suffix")).alias("text"),
+    )
+    pairs = minhash_lsh_pairs(d.unionByName(near), threshold=0.5).collect()
+    found = {(p["id_a"], p["id_b"]) for p in pairs}
+    hits = sum(1 for r in d.collect() if (r["doc_id"], r["doc_id"] + 10000) in found)
+    # banded MinHash at s~0.9 catches nearly every planted pair
+    assert hits >= 90
+
+
+def test_cosine_topk_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from textractssmlprocessor_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    q = rows[0]
+    sims = sorted(
+        (
+            (-float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q))), vid)
+            for vid, v in rows.items()
+            if vid != 0
+        )
+    )
+    expected = [(vid, round(-s, 6)) for s, vid in sims[:10]]
+    got = [(r["vec_id"], r["cosine_sim"]) for r in cosine_topk(emb, 0, 10).collect()]
+    assert {v for v, _ in got} == {v for v, _ in expected}
+    for (gv, gs), (ev, es) in zip(
+        sorted(got, key=lambda x: x[0]), sorted(expected, key=lambda x: x[0])
+    ):
+        assert math.isclose(gs, es, abs_tol=1e-5), (gv, gs, es)
+
+
+def test_ocr_reconstruction_drops_boilerplate(spark):
+    from textractssmlprocessor_spark.operators.ocr import reconstruct_documents
+
+    # two pages, 2 content lines each, running head + folio on both pages
+    blocks = []
+    for page in (0, 1):
+        blocks.append(("u1", page, 900 + page, 0.0, 0.02, "RUNNING HEAD"))
+        blocks.append(("u1", page, 910 + page, 0.45, 0.95, str(page + 1)))
+        for line in (0, 1):
+            top = 0.2 + line * 0.2
+            for i, w in enumerate(["alpha", "beta", "gamma"]):
+                blocks.append(
+                    ("u1", page, page * 100 + line * 10 + i, i * 0.2, top,
+                     f"{w}{page}{line}")
+                )
+    df = spark.createDataFrame(
+        blocks, ["url", "page_no", "block_id", "left", "top", "text"]
+    )
+    out = reconstruct_documents(df).collect()
+    assert len(out) == 1
+    text = out[0]["text"]
+    assert "RUNNING HEAD" not in text
+    assert text.split("\n") == [
+        "alpha00 beta00 gamma00",
+        "alpha01 beta01 gamma01",
+        "alpha10 beta10 gamma10",
+        "alpha11 beta11 gamma11",
+    ]
+
+
+def test_ocr_keeps_non_repeating_edge_lines(spark):
+    from textractssmlprocessor_spark.operators.ocr import reconstruct_documents
+
+    # an edge line that appears on only 1 of 3 pages is NOT boilerplate
+    blocks = []
+    for page in range(3):
+        blocks.append(("u1", page, page * 10, 0.0, 0.5, f"body{page}"))
+    blocks.append(("u1", 0, 99, 0.0, 0.02, "unique chapter opening"))
+    df = spark.createDataFrame(
+        blocks, ["url", "page_no", "block_id", "left", "top", "text"]
+    )
+    text = reconstruct_documents(df).collect()[0]["text"]
+    assert "unique chapter opening" in text
+
+
+def test_srt_roundtrip(spark):
+    """generate_srt -> parse_srt recovers every subtitle with exact times
+    (ms truncation is the only loss, bounded by 1ms)."""
+    from textractssmlprocessor_spark.operators.align import generate_srt, parse_srt
+
+    chunks = spark.createDataFrame(
+        [
+            ("u1", 1, "First sentence here. Second one now.", "x"),
+            ("u1", 2, "Third sentence arrives. Fourth closes.", "x"),
+        ],
+        ["url", "chunk_number", "ssml", "extracted_text"],
+    )
+    manifest = spark.createDataFrame(
+        [("u1", 1, 4.0), ("u1", 2, 6.5)], ["url", "part_no", "duration"]
+    )
+    srt = generate_srt(chunks, manifest, "english", use_shorter_subtitles=False)
+    parsed = parse_srt(srt).orderBy("index").collect()
+    assert [r["index"] for r in parsed] == [1, 2]
+    assert parsed[0]["text"] == "First sentence here. Second one now."
+    assert abs(parsed[0]["start"] - 0.0) < 0.002
+    assert abs(parsed[0]["end"] - 4.0) < 0.002
+    assert abs(parsed[1]["start"] - 4.0) < 0.002
+    assert abs(parsed[1]["end"] - 10.5) < 0.002
+
+
+def test_srt_against_reference_generator(spark):
+    """SRT content parity: Spark generate_srt output == reference
+    generate_srt_content given the same aligned chunks."""
+    from reference_oracle import ref_timestamp
+
+    from textractssmlprocessor_spark.operators.align import generate_srt
+
+    chunk_rows = [
+        ("u1", 1, "Alpha sentence one. Beta follows quickly.", "latin one."),
+        ("u1", 2, "Gamma continues the tale. Delta ends it now.", "latin two."),
+        ("u1", 3, "Epsilon. Zeta. " + "Eta theta iota kappa " * 10, "latin three."),
+    ]
+    durations = [3.25, 5.0, 11.75]
+
+    ref = ref_timestamp()
+    all_chunks = []
+    cum = 0.0
+    for (u, n, ssml, latin), dur in zip(chunk_rows, durations):
+        c = {
+            "cleaned_english_translation": ssml,
+            "original_latin": latin,
+            "start_time": cum,
+        }
+        cum += dur
+        c["end_time"] = cum
+        all_chunks.append(c)
+
+    for shorter in (False, True):
+        expected = ref.generate_srt_content(all_chunks, "english", shorter)
+        chunks = spark.createDataFrame(
+            chunk_rows, ["url", "chunk_number", "ssml", "extracted_text"]
+        )
+        manifest = spark.createDataFrame(
+            [("u1", i + 1, d) for i, d in enumerate(durations)],
+            ["url", "part_no", "duration"],
+        )
+        got = generate_srt(chunks, manifest, "english", shorter).collect()[0]["srt"]
+        assert got == expected, f"shorter={shorter}"
+
+
+def test_multimodal_metadata_and_frames(spark):
+    from textractssmlprocessor_spark.operators.multimodal import (
+        media_metadata,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [("u1", bytearray(b"x" * 3000)), ("u2", bytearray(b"y" * 100)), ("u3", None)],
+        ["url", "payload"],
+    )
+    meta = {r["url"]: r for r in media_metadata(df).collect()}
+    assert meta["u1"]["n_bytes"] == 3000
+    assert meta["u2"]["n_bytes"] == 100
+    assert meta["u1"]["content_hash"] != meta["u2"]["content_hash"]
+    assert 64 <= meta["u1"]["width"] <= 255
+
+    frames = sample_frames(df, every_n_bytes=1024).collect()
+    by_url = {}
+    for f in frames:
+        by_url.setdefault(f["url"], []).append(f)
+    assert len(by_url["u1"]) == 3  # 3000 bytes / 1024 -> 3 slices
+    assert len(by_url["u2"]) == 1
+    assert "u3" not in by_url

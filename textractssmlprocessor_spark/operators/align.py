@@ -124,6 +124,45 @@ def srt_content(subtitles: DataFrame, project_col: str = "url") -> DataFrame:
     )
 
 
+def parse_srt(srt_docs: DataFrame, srt_col: str = "srt",
+              project_col: str = "url") -> DataFrame:
+    """SRT scan (S5, reference audio_processing.py:55-87): whole SRT document
+    strings -> one row per subtitle (index, start, end, text). Block split,
+    time parsing, and validation mirror the reference parser; invalid blocks
+    are skipped. Native expressions end-to-end."""
+    blocks = F.split(F.trim(F.col(srt_col)), r"\n\s*\n", -1)
+    b = srt_docs.select(project_col, F.explode(blocks).alias("block"))
+    parts = F.split("block", "\n", 3)
+    time_re = r"(\d{2}:\d{2}:\d{2},\d{3}) --> (\d{2}:\d{2}:\d{2},\d{3})"
+
+    def to_sec(ts):
+        sp = F.split(ts, ":")
+        return (
+            sp[0].cast("double") * 3600
+            + sp[1].cast("double") * 60
+            + F.regexp_replace(sp[2], ",", ".").cast("double")
+        )
+
+    out = b.select(
+        project_col,
+        parts[0].alias("idx_s"),
+        parts[1].alias("time_range"),
+        F.trim(parts[2]).alias("text"),
+    ).filter(
+        (F.size(F.split("block", "\n", -1)) >= 3)
+        & F.col("time_range").rlike("^" + time_re)
+    )
+    start_s = F.regexp_extract("time_range", time_re, 1)
+    end_s = F.regexp_extract("time_range", time_re, 2)
+    return out.select(
+        project_col,
+        F.col("idx_s").cast("int").alias("index"),
+        to_sec(start_s).alias("start"),
+        to_sec(end_s).alias("end"),
+        "text",
+    )
+
+
 def generate_srt(
     chunks: DataFrame,
     manifest: DataFrame,

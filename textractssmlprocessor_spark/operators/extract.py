@@ -25,12 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .udfs import (
-    chunk_with_spans_udf,
-    clean_document_udf,
-    clean_plaintext_udf,
-    ssml_normalize_udf,
-)
+from .udfs import clean_document_udf, clean_plaintext_udf
 
 DEFAULT_SALT_PARTITIONS = 256
 
@@ -73,23 +68,30 @@ def extract_chunks(
     df: DataFrame,
     languages: list[str] | None = None,
     num_partitions: int = DEFAULT_SALT_PARTITIONS,
-    strip_boilerplate: bool = False,
 ) -> DataFrame:
     """pages -> (url, chunk_number, extracted_text, ssml, spans): the full
     reference pipeline output table (FIXTURES.md §2). chunk_number is 1-based
-    (reference utils.py:309)."""
-    docs = clean_pages(df, languages, num_partitions, strip_boilerplate)
-    chunked = docs.select(
-        "url",
-        F.posexplode(chunk_with_spans_udf(F.col("extracted_text"))).alias(
-            "pos", "c"
-        ),
+    (reference utils.py:309).
+
+    The entire Python path (clean -> chunk -> substitute -> normalize) is ONE
+    fused pandas UDF (`extract_full_udf`): one Arrow round trip per batch,
+    then a native posexplode — no chunk text re-enters Python."""
+    from .udfs import extract_full_udf
+
+    if languages:
+        df = df.filter(F.col("lang").isin(languages))  # pushed into the scan
+    df = df.filter(F.col("html").isNotNull() | F.col("text").isNotNull())
+    payload = F.coalesce(F.decode(F.col("html"), "UTF-8"), F.col("text"))
+    df = df.select("url", payload.alias("payload"))
+    df = salted_repartition(df, num_partitions)
+    chunked = df.select(
+        "url", F.posexplode(extract_full_udf(F.col("payload"))).alias("pos", "c")
     )
     return chunked.select(
         "url",
         (F.col("pos") + 1).cast("int").alias("chunk_number"),
         F.col("c.chunk").alias("extracted_text"),
-        ssml_normalize_udf(F.col("c.chunk")).alias("ssml"),
+        F.col("c.ssml").alias("ssml"),
         F.array(
             F.struct(
                 F.col("c.start").alias("start"),

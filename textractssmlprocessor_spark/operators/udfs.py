@@ -24,8 +24,43 @@ from ..functions.cleaning import (
 from ..functions.dom import convert_html_to_ssml
 from ..functions.ssml import normalize_ssml
 from ..functions.subs import expand_substitutions
+from pyspark.sql.types import IntegerType, StructField, StructType
+
 from ..schema import CHUNK_WITH_SPAN_TYPE, SUBTITLE_TYPE
 from ..functions.subtitles import chunk_subtitles
+
+EXTRACTED_CHUNK_TYPE = StructType(
+    [
+        StructField("chunk", StringType(), True),
+        StructField("ssml", StringType(), True),
+        StructField("start", IntegerType(), True),
+        StructField("end", IntegerType(), True),
+    ]
+)
+
+
+@F.pandas_udf(ArrayType(EXTRACTED_CHUNK_TYPE))
+def extract_full_udf(payload: pd.Series) -> pd.Series:
+    """FUSED extraction: clean -> chunk+spans -> substitutions -> SSML
+    normalize in ONE Arrow round trip (the whole reference lifecycle
+    utils.py:278-319 per batch). Halves JVM<->Python traffic vs chaining
+    separate UDFs across the posexplode."""
+
+    def full(t):
+        if t is None:
+            return None
+        cleaned = convert_html_to_ssml(t) if is_html(t) else t
+        return [
+            {
+                "chunk": c,
+                "ssml": normalize_ssml(expand_substitutions(c)),
+                "start": s,
+                "end": e,
+            }
+            for c, s, e in chunk_text_with_spans(cleaned)
+        ]
+
+    return payload.map(full)
 
 
 @F.pandas_udf(StringType())

@@ -488,6 +488,50 @@ def q_media_metadata(spark, sf_dir):
     return media_metadata(d).select("url", "n_bytes", "content_hash")
 
 
+def q_ssml_display_text(spark, sf_dir):
+    # T13 SSML -> clean display text (reference file_processing.py:36-42):
+    # newline at tag boundaries, squeeze blank-line runs, strip
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("<speak><p>"), F.col("text"),
+            F.lit("</p>\n\n<p>second para</p><break/></speak>"),
+        ).alias("ssml"),
+    )
+    pieces = F.filter(F.split("ssml", r"<[^>]+>", -1), lambda p: p != "")
+    t = F.array_join(pieces, "\n")
+    t = F.regexp_replace(t, r"(?s)\n\s*\n", "\n\n")
+    t = F.regexp_replace(t, r"(?s)(\n\s*){2,}", "\n\n")
+    return d.select("doc_id", F.trim(t).alias("display_text"))
+
+
+def q_chapter_titles(spark, sf_dir):
+    # F12 leading all-caps title run (reference text_processing.py:25-40):
+    # take lines while isupper & non-empty, stop at first miss
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("BOOK ONE\nTHE ARGUMENT\n"), F.col("text")),
+        )
+        .otherwise(F.concat(F.lit("plain opening line\n"), F.col("text")))
+        .alias("t"),
+    )
+    lines = F.transform(F.split("t", "\n", -1), lambda x: F.trim(x))
+    is_title = lambda x: (F.upper(x) == x) & (F.lower(x) != x) & (x != "")  # noqa: E731
+    # position of first non-title line = length of the leading title run
+    flags = F.transform(lines, lambda x: F.when(is_title(x), F.lit(1)).otherwise(F.lit(0)))
+    pos = F.array_position(flags, 0)  # 0 when every line is a title line
+    run_len = (
+        F.when(pos == 0, F.size(flags)).otherwise(pos - 1)
+    ).cast("int")
+    return d.select(
+        "doc_id",
+        F.array_join(F.slice(lines, 1, run_len), "\n").alias("title"),
+        run_len.cast("bigint").alias("n_title_lines"),
+    )
+
+
 def _blocks(spark, sf_dir):
     """Deterministic synthetic OCR blocks table from documents: 8-word lines,
     5 lines per page, plus a running head and a page-number folio per page
@@ -614,6 +658,21 @@ def q_srt_generate(spark, sf_dir):
     return generate_srt(chunks, manifest, "english", use_shorter_subtitles=True)
 
 
+def q_sample_frames(spark, sf_dir):
+    # multimodal 1->N frame sampling plumbing (deterministic byte slicing)
+    from textractssmlprocessor_spark.operators.multimodal import sample_frames
+
+    d = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return sample_frames(d, every_n_bytes=128).select(
+        "url",
+        F.col("frame_no").cast("bigint").alias("frame_no"),
+        F.length("frame").cast("bigint").alias("frame_bytes"),
+    )
+
+
 def q_dup_sentences(spark, sf_dir):
     # J3 corpus-wide duplicate sentences (order-dependent first-wins;
     # lookbehind split is Python/Java-regex-only -> no RE2/SQL oracle)
@@ -670,6 +729,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_near_dupes": q_embedding_near_dupes,
         "media_metadata": q_media_metadata,
+        "ssml_display_text": q_ssml_display_text,
+        "chapter_titles": q_chapter_titles,
+        "sample_frames": q_sample_frames,
         # OCR block-to-line reconstruction (north-star path)
         "ocr_lines": q_ocr_lines,
         "ocr_reconstruct": q_ocr_reconstruct,
@@ -1054,6 +1116,53 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text))::BIGINT AS n_bytes,
                    md5(text) AS content_hash
             FROM documents
+        """,
+        "ssml_display_text": """
+            WITH d AS (
+                SELECT doc_id,
+                       '<speak><p>' || text || '</p>' || chr(10) || chr(10) ||
+                       '<p>second para</p><break/></speak>' AS ssml
+                FROM documents
+            )
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       regexp_replace(
+                           array_to_string(list_filter(string_split_regex(ssml, '<[^>]+>'), p -> p != ''), chr(10)),
+                           '(?s)\\n\\s*\\n', chr(10) || chr(10), 'g'),
+                       '(?s)(\\n\\s*){2,}', chr(10) || chr(10), 'g')) AS display_text
+            FROM d
+        """,
+        "chapter_titles": """
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN 'BOOK ONE' || chr(10) || 'THE ARGUMENT' || chr(10) || text
+                            ELSE 'plain opening line' || chr(10) || text END AS t
+                FROM documents
+            ),
+            l AS (
+                SELECT doc_id,
+                       list_transform(string_split(t, chr(10)), x -> trim(x)) AS lines
+                FROM d
+            ),
+            r AS (
+                SELECT doc_id, lines,
+                       coalesce(nullif(list_position(
+                           list_transform(lines, x -> CASE WHEN upper(x) = x AND lower(x) != x AND x != '' THEN 1 ELSE 0 END),
+                           0), 0) - 1, len(lines)) AS run_len
+                FROM l
+            )
+            SELECT doc_id,
+                   array_to_string(lines[1:run_len], chr(10)) AS title,
+                   run_len::BIGINT AS n_title_lines
+            FROM r
+        """,
+        "sample_frames": """
+            SELECT 'doc://' || doc_id::VARCHAR AS url,
+                   (g.i - 1)::BIGINT AS frame_no,
+                   least(128, octet_length(encode(text)) - (g.i - 1) * 128)::BIGINT AS frame_bytes
+            FROM documents,
+                 unnest(generate_series(1, greatest(ceil(octet_length(encode(text)) / 128.0)::BIGINT, 1))) AS g(i)
         """,
         "ocr_lines": f"""
             WITH {_BLOCKS_SQL},

@@ -105,14 +105,18 @@ def synthesize_pages(
     skew_fraction: float = 0.01,
     skew_multiplier: int = 64,
     n_hosts: int = 1000,
+    sentences_per_doc: int = 24,
 ) -> DataFrame:
     """Scalable deterministic corpus: body text is a repeated rotation of the
-    sentence bank; ``skew_fraction`` of docs are ``skew_multiplier``x longer
-    and all live on host 0 (host-level skew, the north-rule scenario)."""
+    sentence bank (default ~1.5 KB/doc — a realistic Common-Crawl main-text
+    size); ``skew_fraction`` of docs are ``skew_multiplier``x longer and all
+    live on host 0 (host-level skew, the north-rule scenario)."""
     bank = F.array(*[F.lit(s) for s in _SENTENCE_BANK])
     base = spark.range(n_docs).withColumnRenamed("id", "doc_id")
     is_skewed = (F.col("doc_id") % int(1 / skew_fraction)) == 0
-    reps = F.when(is_skewed, F.lit(8 * skew_multiplier)).otherwise(F.lit(8))
+    reps = F.when(
+        is_skewed, F.lit(sentences_per_doc * skew_multiplier)
+    ).otherwise(F.lit(sentences_per_doc))
     host = F.when(is_skewed, F.lit(0)).otherwise(F.col("doc_id") % n_hosts)
     body = F.concat_ws(
         " ",

@@ -1153,7 +1153,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM l
             )
             SELECT doc_id,
-                   array_to_string(lines[1:run_len], chr(10)) AS title,
+                   coalesce(array_to_string(lines[1:run_len], chr(10)), '') AS title,
                    run_len::BIGINT AS n_title_lines
             FROM r
         """,

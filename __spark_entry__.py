@@ -658,6 +658,38 @@ def q_srt_generate(spark, sf_dir):
     return generate_srt(chunks, manifest, "english", use_shorter_subtitles=True)
 
 
+def q_polly_assignment(spark, sf_dir):
+    # K5/J5/K7 structural semantics: voice->engine map, global part
+    # numbering + resume skip, per-book renumbering, output naming
+    # (reference ssml_processing.py:62-197)
+    from textractssmlprocessor_spark.operators.polly import (
+        assign_voices,
+        renumber_parts_per_book,
+        resume_from_part,
+    )
+
+    chunks = _docs(spark, sf_dir).select(
+        F.col("source").alias("url"),
+        F.col("doc_id").alias("chunk_number"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("Ruth"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("Gregory"))
+        .when(F.col("doc_id") % 5 == 2, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("UnknownVoice"))
+        .otherwise(F.lit("Matthew"))
+        .alias("voice"),
+    )
+    out = renumber_parts_per_book(resume_from_part(assign_voices(chunks), 50))
+    return out.select(
+        "url",
+        "chunk_number",
+        "voice_id",
+        "engine",
+        F.col("global_part_number").cast("bigint").alias("global_part_number"),
+        F.col("book_part_number").cast("bigint").alias("book_part_number"),
+        "output_file",
+    )
+
+
 def q_sample_frames(spark, sf_dir):
     # multimodal 1->N frame sampling plumbing (deterministic byte slicing)
     from textractssmlprocessor_spark.operators.multimodal import sample_frames
@@ -729,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_near_dupes": q_embedding_near_dupes,
         "media_metadata": q_media_metadata,
+        "polly_assignment": q_polly_assignment,
         "ssml_display_text": q_ssml_display_text,
         "chapter_titles": q_chapter_titles,
         "sample_frames": q_sample_frames,
@@ -1116,6 +1149,31 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text))::BIGINT AS n_bytes,
                    md5(text) AS content_hash
             FROM documents
+        """,
+        "polly_assignment": """
+            WITH chunks AS (
+                SELECT source AS url, doc_id AS chunk_number,
+                       CASE WHEN doc_id % 5 = 0 THEN 'Ruth'
+                            WHEN doc_id % 5 = 1 THEN 'Gregory'
+                            WHEN doc_id % 5 = 2 THEN NULL
+                            WHEN doc_id % 5 = 3 THEN 'UnknownVoice'
+                            ELSE 'Matthew' END AS voice
+                FROM documents
+            ),
+            assigned AS (
+                SELECT url, chunk_number,
+                       CASE WHEN coalesce(voice, 'Matthew') IN ('Ruth', 'Matthew', 'Gregory')
+                            THEN coalesce(voice, 'Matthew') ELSE 'Matthew' END AS voice_id,
+                       row_number() OVER (ORDER BY url, chunk_number)::BIGINT AS global_part_number
+                FROM chunks
+            ),
+            kept AS (SELECT * FROM assigned WHERE global_part_number >= 50)
+            SELECT url, chunk_number, voice_id,
+                   CASE voice_id WHEN 'Gregory' THEN 'long-form' ELSE 'generative' END AS engine,
+                   global_part_number,
+                   row_number() OVER (PARTITION BY url ORDER BY global_part_number)::BIGINT AS book_part_number,
+                   printf('%s_part%03d_%s.mp3', url, global_part_number, voice_id) AS output_file
+            FROM kept
         """,
         "ssml_display_text": """
             WITH d AS (

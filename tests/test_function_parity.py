@@ -219,3 +219,12 @@ def test_count_words_parity(text):
     from textractssmlprocessor_spark.operators.textstats import count_words_py
 
     assert count_words_py(text) == ref_ssml_validator().count_words(text)
+
+
+def test_title_file_template_parity(tmp_path):
+    ref = ref_utils()
+    name = ref.generate_title_file("T", str(tmp_path), "base", 1, 3)
+    with open(tmp_path / name, encoding="utf-8") as f:
+        ref_content = f.read()
+    assert cleaning.title_file_content() == ref_content
+    assert cleaning.title_file_name("base", 3) == name

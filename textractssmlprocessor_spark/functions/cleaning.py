@@ -191,3 +191,21 @@ def ssml_to_display_text(content: str) -> str:
     text = _BLANK_RUN.sub("\n\n", text)
     text = _BLANK_RUN2.sub("\n\n", text)
     return text.strip()
+
+
+# --- K6: title-file stub (reference utils.py:321-331) -----------------------
+# The template is reproduced verbatim, including the reference's odd literal
+# "[TITLE </speak>]" placeholder line.
+
+
+def title_file_content() -> str:
+    return (
+        "<speak>\n"
+        '<break time="1s"/>[TITLE </speak>]\n'
+        '<break time="2s"/>\n'
+        "</speak>"
+    )
+
+
+def title_file_name(base_name: str, chunk_num: int) -> str:
+    return f"{base_name}_Title_voice_Ruth_chunk_{chunk_num}.txt"

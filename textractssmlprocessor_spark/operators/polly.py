@@ -1,0 +1,76 @@
+"""Structural semantics of the reference's Polly batch stage — everything
+around the (out-of-scope) AWS network call (reference
+ssml_processing.py:62-152, SURVEY.md §3.3):
+
+- per-chunk voice selection with default + unsupported-voice fallback
+  (ssml_processing.py:115-118)
+- voice -> engine map (Ruth/Matthew -> generative, Gregory -> long-form,
+  ssml_processing.py:69-73)
+- global part numbering across books in natural order + resume skip
+  (ssml_processing.py:91-110 — the reference's checkpoint semantic)
+- output naming ``{book}_part{NNN}_{voice}.mp3`` (ssml_processing.py:133)
+- per-book part renumbering (ssml_processing.py:182-197)
+
+The actual synthesize_speech call would plug in via foreachPartition on the
+result table; a deterministic fake sink is provided for tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+VOICE_ENGINE_MAP = {
+    "Ruth": "generative",
+    "Matthew": "generative",
+    "Gregory": "long-form",
+}
+
+
+def assign_voices(
+    chunks: DataFrame,
+    default_voice_id: str = "Matthew",
+    voice_col: str = "voice",
+    book_col: str = "url",
+) -> DataFrame:
+    """Adds (voice_id, engine, global_part_number, output_file)."""
+    voice_expr = (
+        F.coalesce(F.col(voice_col), F.lit(default_voice_id))
+        if voice_col in chunks.columns
+        else F.lit(default_voice_id)
+    )
+    supported = list(VOICE_ENGINE_MAP)
+    voice = F.when(voice_expr.isin(supported), voice_expr).otherwise(
+        F.lit(default_voice_id)
+    )
+    engine = F.create_map(
+        *[F.lit(x) for kv in VOICE_ENGINE_MAP.items() for x in kv]
+    )[voice]
+    w = Window.orderBy(book_col, "chunk_number")
+    out = (
+        chunks.withColumn("voice_id", voice)
+        .withColumn("engine", engine)
+        .withColumn("global_part_number", F.row_number().over(w))
+    )
+    return out.withColumn(
+        "output_file",
+        F.format_string(
+            "%s_part%03d_%s.mp3",
+            F.col(book_col),
+            F.col("global_part_number"),
+            F.col("voice_id"),
+        ),
+    )
+
+
+def resume_from_part(assigned: DataFrame, start_part: int = 1) -> DataFrame:
+    """Reference resume semantic: skip parts below start_part
+    (ssml_processing.py:106-110)."""
+    return assigned.filter(F.col("global_part_number") >= start_part)
+
+
+def renumber_parts_per_book(assigned: DataFrame, book_col: str = "url") -> DataFrame:
+    """Re-sequence part numbers from 1 within each book
+    (ssml_processing.py:182-197)."""
+    w = Window.partitionBy(book_col).orderBy("global_part_number")
+    return assigned.withColumn("book_part_number", F.row_number().over(w))

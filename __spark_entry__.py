@@ -229,6 +229,12 @@ def _emb_with_dupes(spark, sf_dir):
     return e.unionByName(copies)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    from textractssmlprocessor_spark.operators.similarity import ann_ivf_topk
+
+    return ann_ivf_topk(_emb(spark, sf_dir), query_id=0, k=10, n_cells=8)
+
+
 def q_embedding_near_dupes(spark, sf_dir):
     from textractssmlprocessor_spark.operators.similarity import (
         pairwise_near_duplicates,
@@ -759,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_groups": q_simhash_groups,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dupes": q_embedding_near_dupes,
         "media_metadata": q_media_metadata,
         "polly_assignment": q_polly_assignment,
@@ -945,6 +952,26 @@ def oracle_sql() -> dict[str, str]:
             q AS (SELECT v AS qv, bucket AS qbucket FROM e WHERE vec_id = 0)
             SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS cosine_sim
             FROM e, q WHERE vec_id != 0 AND bucket = qbucket
+            ORDER BY cosine_sim DESC, vec_id LIMIT 10
+        """,
+        "ann_ivf_topk": """
+            WITH e AS (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS v FROM embeddings),
+            c AS (SELECT vec_id::INT AS cell, v AS cvec FROM e ORDER BY vec_id LIMIT 8),
+            scored AS (
+                SELECT e.vec_id AS id, e.v, c.cell,
+                       round(list_cosine_similarity(e.v, c.cvec), 6) AS sim
+                FROM e CROSS JOIN c
+            ),
+            assigned AS (
+                SELECT id, v, cell FROM (
+                    SELECT id, v, cell,
+                           row_number() OVER (PARTITION BY id ORDER BY sim DESC, cell) AS rn
+                    FROM scored
+                ) WHERE rn = 1
+            ),
+            q AS (SELECT v AS qvec, cell AS qcell FROM assigned WHERE id = 0)
+            SELECT id AS vec_id, round(list_cosine_similarity(v, qvec), 6) AS cosine_sim
+            FROM assigned, q WHERE id != 0 AND cell = qcell
             ORDER BY cosine_sim DESC, vec_id LIMIT 10
         """,
         "embedding_near_dupes": """

@@ -202,3 +202,38 @@ def test_multimodal_metadata_and_frames(spark):
     assert len(by_url["u1"]) == 3  # 3000 bytes / 1024 -> 3 slices
     assert len(by_url["u2"]) == 1
     assert "u3" not in by_url
+
+
+def test_salted_repartition_spreads_hot_host(spark):
+    """North-rule skew defusal: a corpus where 30% of docs share one host
+    must still spread ~uniformly across partitions after salting."""
+    from textractssmlprocessor_spark.corpus import synthesize_pages
+    from textractssmlprocessor_spark.operators.extract import salted_repartition
+
+    pages = synthesize_pages(spark, 4000, n_hosts=3, sentences_per_doc=4)
+    parts = 16
+    sizes = (
+        salted_repartition(pages, parts)
+        .rdd.glom()
+        .map(len)
+        .collect()
+    )
+    assert len(sizes) == parts
+    mean = sum(sizes) / parts
+    assert max(sizes) < mean * 1.3, sizes  # no partition >30% above mean
+
+
+def test_ann_ivf_is_subset_of_exact_ranking(spark, sf_dir):
+    """IVF results are a valid approximate subset: every returned neighbor's
+    similarity matches the exact computation for that id."""
+    from textractssmlprocessor_spark.operators.similarity import (
+        ann_ivf_topk,
+        cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {r["vec_id"]: r["cosine_sim"] for r in cosine_topk(emb, 0, 500).collect()}
+    approx = ann_ivf_topk(emb, 0, 10).collect()
+    assert 0 < len(approx) <= 10
+    for r in approx:
+        assert abs(exact[r["vec_id"]] - r["cosine_sim"]) < 1e-6

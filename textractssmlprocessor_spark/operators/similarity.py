@@ -97,6 +97,81 @@ def ann_lsh_topk(
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF cell assignment: nearest centroid by cosine (broadcast the
+    centroid table — it is tiny by construction). Returns
+    (id, vec, cell)."""
+    c = centroids.select(
+        F.col("cell").alias("cell"), F.col("cvec").alias("cvec")
+    )
+    scored = (
+        embeddings.select(F.col(id_col).alias("id"), _doubled(vec_col).alias("v"))
+        .crossJoin(F.broadcast(c))
+        # rounded before the argmin so cell assignment is reproducible across
+        # engines (ties broken by cell id)
+        .withColumn("sim", F.round(cosine(F.col("v"), F.col("cvec")), 6))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "v", "cell")
+    )
+
+
+def default_centroids(
+    embeddings: DataFrame, k: int = 8, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVF 'training': the first k vectors by id are the
+    centroids (IVF-flat with externally supplied centroids; a production
+    build would run k-means — the search structure is identical)."""
+    return (
+        embeddings.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.col(id_col).cast("int").alias("cell"), _doubled(vec_col).alias("cvec")
+        )
+    )
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: score only vectors in the query's cell.
+    At 10^9 vectors the probed cell is ~1/n_cells of the corpus and the
+    assignment is a broadcast map-side pass — no shuffle of the big side
+    except the per-id argmin window (which a production build avoids by
+    computing argmin with aggregate expressions)."""
+    cents = default_centroids(embeddings, n_cells, id_col, vec_col)
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+    q = assigned.filter(F.col("id") == query_id).select(
+        F.col("v").alias("qvec"), F.col("cell").alias("qcell")
+    )
+    return (
+        assigned.filter(F.col("id") != query_id)
+        .join(F.broadcast(q), on=[F.col("cell") == F.col("qcell")])
+        .select(
+            F.col("id").alias(id_col),
+            F.round(cosine(F.col("v"), F.col("qvec")), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def pairwise_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.99,

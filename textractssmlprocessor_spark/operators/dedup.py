@@ -26,6 +26,17 @@ from pyspark.sql import functions as F
 from .textstats import fingerprint
 
 
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Spread a possibly few-partition input (single parquet file) across the
+    cluster BEFORE the md5-heavy shingle/signature computation — otherwise
+    the whole corpus hashes on a handful of tasks. At real scale the scan
+    already has thousands of splits; this keeps small inputs honest too."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parallelism:
+        return df
+    return df.repartition(parallelism, F.col(id_col))
+
+
 def dedup_exact(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -72,7 +83,7 @@ def ngram_jaccard_pairs(
     high-cardinality by construction. Shingles ride as 8-hex md5 prefixes so
     every shuffle moves 8-byte keys, not full n-gram strings.
     """
-    shingled = df.select(
+    shingled = _spread(df, id_col).select(
         F.col(id_col).alias("id"), hashed_shingles(F.col(text_col), n).alias("sh")
     )
     sizes = shingled.select("id", F.size("sh").alias("n_sh"))
@@ -143,7 +154,7 @@ def minhash_lsh_pairs(
     the candidate join touches only colliding bucket groups.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    sig = _spread(df, id_col).select(
         F.col(id_col).alias("id"),
         hashed_shingles(F.col(text_col), n).alias("sh"),
     ).withColumn("mh", minhash_signature_from_hashed(F.col("sh"), num_hashes))
@@ -214,7 +225,9 @@ def simhash_groups(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Documents sharing an identical 16-bit simhash (near-dup candidates)."""
-    h = df.select(F.col(id_col).alias("id"), simhash16(F.col(text_col)).alias("simhash"))
+    h = _spread(df, id_col).select(
+        F.col(id_col).alias("id"), simhash16(F.col(text_col)).alias("simhash")
+    )
     return (
         h.groupBy("simhash")
         .agg(

@@ -237,3 +237,21 @@ def test_ann_ivf_is_subset_of_exact_ranking(spark, sf_dir):
     assert 0 < len(approx) <= 10
     for r in approx:
         assert abs(exact[r["vec_id"]] - r["cosine_sim"]) < 1e-6
+
+
+def test_align_truncates_when_more_chunks_than_audio(spark):
+    """FIXTURES §3 truncation guard (timestamp.py:266-268): chunks beyond
+    the last audio part drop via the inner join."""
+    from textractssmlprocessor_spark.operators.align import align_chunks_to_audio
+
+    chunks = spark.createDataFrame(
+        [("u1", i, f"Chunk {i} text.", "x") for i in range(1, 6)],
+        ["url", "chunk_number", "ssml", "extracted_text"],
+    )
+    manifest = spark.createDataFrame(
+        [("u1", 1, 2.0), ("u1", 2, 3.0)], ["url", "part_no", "duration"]
+    )
+    aligned = align_chunks_to_audio(chunks, manifest).orderBy("chunk_number").collect()
+    assert [r["chunk_number"] for r in aligned] == [1, 2]
+    assert aligned[0]["start_time"] == 0.0 and aligned[0]["end_time"] == 2.0
+    assert aligned[1]["start_time"] == 2.0 and aligned[1]["end_time"] == 5.0

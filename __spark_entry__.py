@@ -126,18 +126,10 @@ def q_quality_score(spark, sf_dir):
 
 def q_lang_id(spark, sf_dir):
     # language-ID heuristic: stopword-hit argmax, deterministic tie-break
-    from textractssmlprocessor_spark.operators.textstats import STOPWORDS
+    from textractssmlprocessor_spark.operators.textstats import lang_id
 
-    d = _docs(spark, sf_dir)
-    keys = []
-    for lang in sorted(STOPWORDS):
-        pat = r"\b(?:%s)\b" % "|".join(STOPWORDS[lang])
-        hits = F.size(F.regexp_extract_all(F.lower("text"), F.lit(pat), F.lit(0)))
-        keys.append(
-            F.concat(F.lpad((F.lit(100000) - hits).cast("string"), 6, "0"), F.lit(lang))
-        )
-    return d.select(
-        "doc_id", F.substring(F.array_min(F.array(*keys)), 7, 2).alias("lang_pred")
+    return _docs(spark, sf_dir).select(
+        "doc_id", lang_id(F.col("text")).alias("lang_pred")
     )
 
 

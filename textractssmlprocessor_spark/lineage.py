@@ -46,7 +46,13 @@ def completed_buckets(spark: SparkSession, lineage_path: str) -> DataFrame:
         from .schema import LINEAGE_SCHEMA
 
         return spark.createDataFrame([], LINEAGE_SCHEMA)
-    return spark.read.parquet(lineage_path).filter(F.col("status") == "done")
+    # dropDuplicates guards against a bucket recorded twice (e.g. a rerun
+    # that raced its own lineage append)
+    return (
+        spark.read.parquet(lineage_path)
+        .filter(F.col("status") == "done")
+        .dropDuplicates(["bucket"])
+    )
 
 
 def resume_filter(
@@ -76,7 +82,12 @@ def run_with_lineage(
 
     todo = resume_filter(pages, spark, lineage_path, n_buckets)
     chunks = with_bucket(extract_chunks(todo, languages=languages), n_buckets)
-    chunks.write.mode("append").partitionBy("bucket").parquet(output_path)
+    # Dynamic partition overwrite makes bucket writes idempotent: a rerun of
+    # a bucket that crashed between its data write and its lineage append
+    # REPLACES the partial partition instead of appending duplicates.
+    chunks.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("bucket").parquet(output_path)
     written = spark.read.parquet(output_path).join(
         F.broadcast(
             completed_buckets(spark, lineage_path).select("bucket")

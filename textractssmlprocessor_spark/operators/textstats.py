@@ -62,25 +62,17 @@ def stopword_hits(col: Column, lang: str) -> Column:
 
 def lang_id(col: Column) -> Column:
     """argmax over per-language stopword hits; deterministic tie-break by
-    language code order."""
-    pairs = [
-        F.struct(
-            stopword_hits(col, lang).alias("hits"),
-            F.lit(lang).alias("lang"),
+    language code order. Encoded as min over ``zeropad(100000-hits)||lang``
+    string keys — a form any SQL engine reproduces exactly (the DuckDB
+    oracle uses the identical expression)."""
+    keys = [
+        F.concat(
+            F.lpad((F.lit(100000) - stopword_hits(col, lang)).cast("string"), 6, "0"),
+            F.lit(lang),
         )
         for lang in sorted(STOPWORDS)
     ]
-    # array_max on struct(hits, lang): max hits, then max lang — make the
-    # tie-break deterministic-ascending by comparing on (hits, reversed lang)
-    # instead: we simply sort descending by hits then ascending lang via
-    # sort_array on (negated hits, lang).
-    arr = F.array(
-        *[
-            F.struct((-p["hits"]).alias("neg"), p["lang"].alias("lang"))
-            for p in pairs
-        ]
-    )
-    return F.sort_array(arr)[0]["lang"]
+    return F.substring(F.array_min(F.array(*keys)), 7, 2)
 
 
 # --- quality scoring ----------------------------------------------------------

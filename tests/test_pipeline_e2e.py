@@ -184,3 +184,32 @@ def test_lineage_partial_resume(spark, pages, tmp_path):
     # finish the job; now nothing remains
     lineage.run_with_lineage(pages, spark, out, lin, n_buckets=8)
     assert lineage.resume_filter(pages, spark, lin, n_buckets=8).count() == 0
+
+
+def test_lineage_crash_between_write_and_lineage_is_idempotent(spark, pages, tmp_path):
+    """Crash window: bucket data written but lineage row missing -> the
+    rerun must REPLACE the partition, not append duplicates."""
+    from textractssmlprocessor_spark import lineage
+    from textractssmlprocessor_spark.operators.extract import extract_chunks
+
+    out = str(tmp_path / "chunks3")
+    lin = str(tmp_path / "lineage3")
+
+    # simulate the crashed first run: chunks written for some buckets, but
+    # NO lineage rows recorded
+    partial = lineage.with_bucket(
+        extract_chunks(pages.limit(100), num_partitions=8), 8
+    )
+    partial.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("bucket").parquet(out)
+
+    # full rerun: every bucket reprocesses (lineage empty) and overwrites
+    lineage.run_with_lineage(pages, spark, out, lin, n_buckets=8)
+    final = spark.read.parquet(out)
+    total = final.count()
+    distinct = final.select("url", "chunk_number").distinct().count()
+    assert total == distinct, "duplicate (url, chunk_number) rows after resume"
+    # and the rerun covered the whole corpus
+    n_urls = final.select("url").distinct().count()
+    assert n_urls == pages.count()

@@ -89,3 +89,24 @@ def test_latin_subtitles_property(text, start, dur):
 @given(st.floats(min_value=0, max_value=200000, allow_nan=False))
 def test_format_time_property(seconds):
     assert cleaning.format_time(seconds) == ref_timestamp().format_time(seconds)
+
+
+_ABBR_TEXT = st.lists(
+    st.sampled_from(
+        ["ibid.", "e.g.", "i.e.", "etc.", "cf.", "viz.", "vs.", "ca.", "fl.",
+         "et al.", "ch. 3", "vol. 2", "p. 14", "pp. 14", "word", "P. 9",
+         "Etc.", "1 Corinthians", "II Samuel", "XIV", "I", "A.B.", "."]
+    ),
+    min_size=0,
+    max_size=40,
+).map(" ".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_ABBR_TEXT)
+def test_fused_abbreviations_equal_sequential(text):
+    from textractssmlprocessor_spark.functions import subs
+
+    assert subs.expand_abbreviations(text) == subs.expand_abbreviations_sequential(
+        text
+    )

@@ -49,6 +49,18 @@ _ABBREVIATIONS: List[Tuple[str, str]] = [
 
 _COMPILED_ABBREV = [(re.compile(p, re.IGNORECASE), r) for p, r in _ABBREVIATIONS]
 
+# Single-pass fused form of the table above: one alternation with named
+# groups, replacement picked by which branch matched. The branches are
+# mutually exclusive at any given position (each is anchored on a distinct
+# literal prefix), so one left-to-right pass produces the same output as the
+# sequential per-pattern passes — at 1/14th the scan cost. Fast-path guard:
+# every branch requires a '.', so text without one skips the scan entirely.
+_FUSED_ABBREV = re.compile(
+    "|".join(f"(?P<g{i}>{p})" for i, (p, _) in enumerate(_ABBREVIATIONS)),
+    re.IGNORECASE,
+)
+_FUSED_REPL = {f"g{i}": r for i, (_, r) in enumerate(_ABBREVIATIONS)}
+
 _BOOK_ARABIC = re.compile(
     r"\b([123])\s+(%s)\b" % "|".join(_NUMBERED_BOOKS)
 )
@@ -83,6 +95,14 @@ def expand_bible_books(text: str) -> str:
 
 
 def expand_abbreviations(text: str) -> str:
+    if "." not in text:
+        return text
+    return _FUSED_ABBREV.sub(lambda m: _FUSED_REPL[m.lastgroup], text)
+
+
+def expand_abbreviations_sequential(text: str) -> str:
+    """Reference-shaped sequential form kept as the equivalence oracle for
+    the fused single-pass implementation (tests assert identical output)."""
     for pat, repl in _COMPILED_ABBREV:
         text = pat.sub(repl, text)
     return text

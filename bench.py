@@ -43,11 +43,20 @@ def main() -> None:
     # warmup: spin up python workers + JIT before timing
     run_noop(extract_chunks(pages, num_partitions=cores * 2).limit(200))
 
-    timings: dict[str, float] = {}
+    def best_of(fn, runs: int = 2) -> float:
+        # shared-VM timing noise is 2-4x; report the best of `runs` passes
+        best = None
+        for _ in range(runs):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        return round(best, 3)
 
-    t0 = time.time()
-    run_noop(extract_chunks(pages, num_partitions=cores * 2))
-    timings["extract_chunks"] = round(time.time() - t0, 3)
+    timings: dict[str, float] = {}
+    timings["extract_chunks"] = best_of(
+        lambda: run_noop(extract_chunks(pages, num_partitions=cores * 2))
+    )
 
     bench_queries = [
         "extract_documents",
@@ -66,9 +75,7 @@ def main() -> None:
     ]
     qs = entrymod.queries()
     for name in bench_queries:
-        t0 = time.time()
-        run_noop(qs[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        timings[name] = best_of(lambda: run_noop(qs[name](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(n_docs / timings["extract_chunks"], 2)

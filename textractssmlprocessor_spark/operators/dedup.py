@@ -5,15 +5,17 @@ and every hash is derived from md5 hex strings so the same computation is
 reproducible in any engine (the DuckDB oracle computes identical values).
 
 - exact:        md5 over whitespace/case-normalized text, groupBy, keep min id
-- n-gram Jaccard: shingle explode -> equi-join on shingle -> pair agg
-                  (the join shuffles on the shingle key: uniform by
-                  construction since shingles ARE the content; hot shingles
+- n-gram Jaccard: shingle explode -> groupBy shingle collecting the sorted id
+                  list -> native pair explode -> pair agg. Singleton shingles
+                  (the vast majority of a web corpus) die at the first
+                  aggregation without ever entering a join; hot shingles
                   (stopword n-grams) are capped with a document-frequency
-                  filter, the standard web-dedup trick)
+                  filter, the standard web-dedup trick. Two shuffles total
+                  (shingle agg, pair agg), both on high-cardinality keys.
 - MinHash+LSH:  per-seed minhash = min(md5(seed|shingle)); band buckets ->
-                candidate pairs via bucket self-join -> exact Jaccard verify.
-                At 100 TB the bucket join touches only colliding docs, never
-                the full cross product.
+                candidate pairs via the same group-and-pair-explode ->
+                exact Jaccard verify. At 100 TB the pair generation touches
+                only colliding bucket groups, never the full cross product.
 - SimHash:      16-bit engine-portable variant: bit i = majority over words
                 of (md5(word) hex digit i >= 8); near-dups = equal simhash.
 """
@@ -67,6 +69,40 @@ def word_shingles(text_col, n: int = 3):
     )
 
 
+def _cooccurrence_pairs(exploded: DataFrame, key_col: str, max_group: int) -> DataFrame:
+    """(id_a, id_b, common) for every id pair sharing >=1 key, via
+    groupBy(key) -> sorted id list -> native pair explode -> pair agg.
+
+    Groups of size 1 (the vast majority: most shingles/buckets are unique
+    to one document in a web corpus) are discarded at the first aggregation
+    and never produce join traffic. Groups larger than `max_group` are
+    dropped (document-frequency cap on stopword shingles / degenerate
+    buckets). Agg-buffer memory per key is bounded by max_group ids — for
+    adversarial inputs with millions of repeats of one key, pre-filter hot
+    keys with a broadcast anti-join before calling this.
+    """
+    groups = (
+        exploded.groupBy(key_col)
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_group))
+    )
+    # all (i < j) pairs from the sorted list, generated JVM-side
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        groups.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -77,10 +113,9 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All document pairs with n-gram Jaccard >= threshold.
 
-    Plan: explode shingles -> df-filter hot shingles -> self-join on shingle
-    -> count common per pair -> |A|+|B|-common denominator. The only
-    shuffles are the shingle join and the pair aggregation; both keys are
-    high-cardinality by construction. Shingles ride as 8-hex md5 prefixes so
+    Plan: explode shingles -> group-and-pair-explode (_cooccurrence_pairs)
+    -> |A|+|B|-common denominator. Two shuffles (shingle agg, pair agg),
+    both on high-cardinality keys. Shingles ride as 8-hex md5 prefixes so
     every shuffle moves 8-byte keys, not full n-gram strings.
     """
     shingled = _spread(df, id_col).select(
@@ -88,20 +123,7 @@ def ngram_jaccard_pairs(
     )
     sizes = shingled.select("id", F.size("sh").alias("n_sh"))
     exploded = shingled.select("id", F.explode("sh").alias("shingle"))
-    # cap pathological shingles (document-frequency filter)
-    df_counts = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    exploded = exploded.join(
-        df_counts.filter(F.col("df") <= max_doc_freq).select("shingle"),
-        on="shingle",
-        how="inner",
-    )
-    pairs = (
-        exploded.alias("a")
-        .join(exploded.alias("b"), on="shingle", how="inner")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+    pairs = _cooccurrence_pairs(exploded, "shingle", max_doc_freq)
     out = (
         pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
@@ -148,10 +170,12 @@ def minhash_lsh_pairs(
     """Candidate pairs from banded MinHash buckets, verified with exact
     Jaccard over hashed shingles.
 
-    Scale structure: the band table shuffled into the self-join is NARROW
-    (id, band, bucket) — shingle arrays never ride through the candidate
-    join; they are joined back exactly once per surviving pair. At 10^9 docs
-    the candidate join touches only colliding bucket groups.
+    Scale structure: the band table entering candidate generation is NARROW
+    (id, bucket) — shingle arrays never ride through it; they are joined
+    back exactly once per surviving candidate pair. Candidates come from
+    group-and-pair-explode over the bucket key (_cooccurrence_pairs), so
+    non-colliding buckets (the vast majority at 10^9 docs) are discarded at
+    the first aggregation and never join.
     """
     rows_per_band = num_hashes // bands
     sig = _spread(df, id_col).select(
@@ -178,12 +202,8 @@ def minhash_lsh_pairs(
             )
         ).alias("bucket"),
     )
-    cand = (
-        banded.alias("a")
-        .join(banded.alias("b"), on="bucket", how="inner")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    cand = _cooccurrence_pairs(banded, "bucket", max_group=10000).select(
+        "id_a", "id_b"
     )
     verified = (
         cand.join(shingle_tbl.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")

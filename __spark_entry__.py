@@ -703,6 +703,24 @@ def q_sample_frames(spark, sf_dir):
     )
 
 
+def q_sessionize_events(spark, sf_dir):
+    # gap-based sessionization (batch form of the applyInPandasWithState
+    # streaming operator; stream==batch equality proven in test_streaming)
+    from textractssmlprocessor_spark.streaming.sessionize import (
+        sessionize_events_batch,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = sessionize_events_batch(ev, gap_seconds=1800.0)
+    return s.select(
+        "user_id",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("end_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
 def q_dup_sentences(spark, sf_dir):
     # J3 corpus-wide duplicate sentences (order-dependent first-wins;
     # lookbehind split is Python/Java-regex-only -> no RE2/SQL oracle)
@@ -764,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ssml_display_text": q_ssml_display_text,
         "chapter_titles": q_chapter_titles,
         "sample_frames": q_sample_frames,
+        "sessionize_events": q_sessionize_events,
         # OCR block-to-line reconstruction (north-star path)
         "ocr_lines": q_ocr_lines,
         "ocr_reconstruct": q_ocr_reconstruct,
@@ -1162,6 +1181,24 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, row_number() OVER (ORDER BY doc_id)::BIGINT AS global_part
                 FROM documents
             ) WHERE global_part >= 100
+        """,
+        "sessionize_events": """
+            WITH o AS (
+                SELECT user_id, event_id, value, epoch_us(ts) AS t,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                                 (PARTITION BY user_id ORDER BY ts, event_id)
+                                 <= 1800000000
+                            THEN 0 ELSE 1 END AS brk
+                FROM events
+            ),
+            s AS (
+                SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_no
+                FROM o
+            )
+            SELECT user_id, min(t)::BIGINT AS start_us, max(t)::BIGINT AS end_us,
+                   count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
+            FROM s GROUP BY user_id, session_no
         """,
         "media_metadata": """
             SELECT 'doc://' || doc_id::VARCHAR AS url,

@@ -78,3 +78,120 @@ def test_windowed_event_counts_matches_batch(spark, sf_dir, tmp_path):
     assert got, "watermark emitted no windows"
     for k, v in got.items():
         assert expected[k] == v, k
+
+
+def test_sessionize_stream_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState sessionization == batch window sessionization.
+
+    Three parquet drops processed one file per trigger: the real events,
+    then two far-future sentinel events. The sentinels advance the
+    watermark so every real session's event-time timeout fires before the
+    availableNow query drains."""
+    import time as _time
+
+    from textractssmlprocessor_spark.streaming.sessionize import (
+        sessionize_events_batch,
+        sessionize_events_stream,
+    )
+
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+                "user_id", "value")
+    )
+    landing = str(tmp_path / "ev")
+    events.coalesce(1).write.mode("overwrite").parquet(landing)
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    for i, days in enumerate((10, 11)):
+        _time.sleep(1.1)  # file-source orders by modification time
+        spark.createDataFrame(
+            [(-(i + 1), max_ts + __import__("datetime").timedelta(days=days),
+              -1, 0.0)],
+            "event_id long, ts timestamp, user_id long, value double",
+        ).write.mode("append").parquet(landing)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    sessions = sessionize_events_stream(stream, gap="30 minutes", watermark="1 minute")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]):
+            (r["n_events"], round(r["sum_value"], 6))
+        for r in spark.sql("select * from sessions_out").collect()
+        if r["user_id"] != -1
+    }
+    expected = {
+        (r["user_id"], r["session_start"], r["session_end"]):
+            (r["n_events"], round(r["sum_value"], 6))
+        for r in sessionize_events_batch(events, 1800.0).collect()
+    }
+    assert got, "no sessions emitted"
+    assert got == expected
+
+
+def test_sessionize_out_of_order_arrival(spark, tmp_path):
+    """Events arriving in non-chronological batches must not produce
+    gap-violating sessions (regression: an event older than the open
+    session's start used to merge unconditionally, welding two sessions
+    across a > gap span)."""
+    import datetime as dt
+    import time as _time
+
+    from textractssmlprocessor_spark.streaming.sessionize import (
+        sessionize_events_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    landing = str(tmp_path / "ev")
+    # deliberately out of chronological order: the 00:50 event lands first
+    drops = [
+        [(3, t0 + dt.timedelta(minutes=50), 7, 4.0)],
+        [(1, t0, 7, 1.0), (2, t0 + dt.timedelta(minutes=10), 7, 2.0)],
+        [(9, t0 + dt.timedelta(days=9), -1, 0.0)],
+        [(8, t0 + dt.timedelta(days=10), -1, 0.0)],
+    ]
+    for rows in drops:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        _time.sleep(1.2)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    q = (
+        sessionize_events_stream(stream, gap="30 minutes", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("ooo_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["session_start"], r["session_end"], r["n_events"], round(r["sum_value"], 6))
+        for r in spark.sql(
+            "select * from ooo_sessions where user_id = 7"
+        ).collect()
+    )
+    # within-watermark reordering must still yield the exact batch sessions
+    assert got == [
+        (t0, t0 + dt.timedelta(minutes=10), 2, 3.0),
+        (t0 + dt.timedelta(minutes=50), t0 + dt.timedelta(minutes=50), 1, 4.0),
+    ]

@@ -62,6 +62,11 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        print(f"known: {sorted(qs)}")
+        sys.exit(2)
     ok = fail = 0
     for name, fn in qs.items():
         if only and name not in only:

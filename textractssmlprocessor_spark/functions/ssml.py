@@ -122,8 +122,11 @@ def clean_ssml_tags(content: str) -> str:
     a <speak> wrapper. Parity: reference utils.py:370-416."""
     content = _BARE_BREAK.sub('<break time="1s"/>', content)
     content = _W_TAG.sub(lambda m: ensure_role_attribute(m.group(0)), content)
-    content = _clean_tags_once(content)
-    final = _clean_tags_once(content)
+    once = _clean_tags_once(content)
+    # the reference splices twice (utils.py:407-410); when the first pass is
+    # a fixed point (no disallowed tags, clean serialization — the common
+    # case) the second pass is the identity and its parse can be skipped
+    final = once if once == content else _clean_tags_once(once)
     if not final.strip().startswith("<speak>"):
         final = f"<speak>{final}</speak>"
     return final

@@ -73,6 +73,7 @@ _ROMAN_NUMERAL = re.compile(
 )
 
 _ROMAN_VALUES = {"I": 1, "V": 5, "X": 10, "L": 50, "C": 100, "D": 500, "M": 1000}
+_ROMAN_GATE = re.compile(r"[IVXLCDM]{2}")
 
 
 def roman_to_int(s: str) -> int:
@@ -87,6 +88,10 @@ def roman_to_int(s: str) -> int:
 
 def expand_bible_books(text: str) -> str:
     """'1 Corinthians' / 'II Samuel' -> 'First Corinthians' / 'Second Samuel'."""
+    # both patterns are case-sensitive and require a book name verbatim: a
+    # memchr scan proves the alternation can't match (common case: no scan)
+    if not any(b in text for b in _NUMBERED_BOOKS):
+        return text
     text = _BOOK_ARABIC.sub(lambda m: f"{_ORDINALS[m.group(1)]} {m.group(2)}", text)
     text = _BOOK_ROMAN.sub(
         lambda m: f"{_ROMAN_TO_ORDINAL[m.group(1)]} {m.group(2)}", text
@@ -94,8 +99,28 @@ def expand_bible_books(text: str) -> str:
     return text
 
 
+# Literal cores: every branch of _FUSED_ABBREV requires one of these as a
+# case-insensitive substring of any match ("pp." is covered by "p."), so a
+# memchr-speed scan of the lowercased text proves the expensive alternation
+# can't match. Exotic codepoints that re.IGNORECASE folds onto core letters
+# (derived by probing sre: İ U+0130, ı U+0131 -> i; ſ U+017F -> s; plus the
+# combining dot U+0307 that 'İ'.lower() emits) are normalized first so the
+# guard never skips a text the regex would rewrite.
+_ABBREV_CORES = (
+    "ibid.", "e.g.", "i.e.", "etc.", "cf.", "viz.", "vs.", "ca.", "fl.",
+    "et al.", "ch.", "vol.", "p.",
+)
+_FOLD_EXOTIC = str.maketrans({0x130: "i", 0x131: "i", 0x17F: "s", 0x307: None})
+
+
 def expand_abbreviations(text: str) -> str:
     if "." not in text:
+        return text
+    if "İ" in text or "ı" in text or "ſ" in text or "̇" in text:
+        low = text.translate(_FOLD_EXOTIC).lower()
+    else:
+        low = text.lower()
+    if not any(c in low for c in _ABBREV_CORES):
         return text
     return _FUSED_ABBREV.sub(lambda m: _FUSED_REPL[m.lastgroup], text)
 
@@ -118,6 +143,10 @@ def convert_roman_numerals(text: str) -> str:
             return s
         return str(roman_to_int(s))
 
+    # any match needs >= 2 consecutive roman chars: a single character-class
+    # scan (C loop) gates the backtracking alternation
+    if _ROMAN_GATE.search(text) is None:
+        return text
     return _ROMAN_NUMERAL.sub(repl, text)
 
 

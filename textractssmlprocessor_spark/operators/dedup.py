@@ -113,26 +113,54 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All document pairs with n-gram Jaccard >= threshold.
 
-    Plan: explode shingles -> group-and-pair-explode (_cooccurrence_pairs)
-    -> |A|+|B|-common denominator. Two shuffles (shingle agg, pair agg),
-    both on high-cardinality keys. Shingles ride as 8-hex md5 prefixes so
-    every shuffle moves 8-byte keys, not full n-gram strings.
+    Plan: explode shingles (each row carrying its document's shingle COUNT,
+    so no separate sizes branch re-hashes the corpus and no join-back is
+    needed) -> groupBy shingle collecting sorted (id, n_sh) members ->
+    native (i<j) pair explode -> pair agg -> Jaccard from the carried
+    counts. Exactly two shuffles (shingle agg, pair agg), both on
+    high-cardinality keys; singleton shingles die at the first aggregation.
+    Shingles ride as 8-hex md5 prefixes so the shuffle moves 8-byte keys,
+    not full n-gram strings.
     """
     shingled = _spread(df, id_col).select(
         F.col(id_col).alias("id"), hashed_shingles(F.col(text_col), n).alias("sh")
     )
-    sizes = shingled.select("id", F.size("sh").alias("n_sh"))
-    exploded = shingled.select("id", F.explode("sh").alias("shingle"))
-    pairs = _cooccurrence_pairs(exploded, "shingle", max_doc_freq)
-    out = (
-        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    exploded = shingled.select(
+        "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
     )
+    groups = (
+        exploded.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "n_sh"))).alias("members"))
+        .filter((F.size("members") >= 2) & (F.size("members") <= max_doc_freq))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("members"),
+            lambda x, i: F.transform(
+                F.slice(F.col("members"), i + F.lit(2), F.size(F.col("members"))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    x["n_sh"].alias("n_a"),
+                    y["id"].alias("id_b"),
+                    y["n_sh"].alias("n_b"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        groups.select(F.explode(pair_arr).alias("p"))
+        .groupBy(
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.n_a").alias("n_a"),
+            F.col("p.id_b").alias("id_b"),
+            F.col("p.n_b").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = pairs.withColumn(
+        "jaccard",
+        F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
+    ).filter(F.col("jaccard") >= threshold)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 

@@ -72,6 +72,7 @@ def main() -> None:
         "lang_id",
         "quality_score",
         "running_durations",
+        "sessionize_events",
     ]
     qs = entrymod.queries()
     for name in bench_queries:

@@ -194,6 +194,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    materialize: bool = True,
 ) -> DataFrame:
     """Candidate pairs from banded MinHash buckets, verified with exact
     Jaccard over hashed shingles.
@@ -204,12 +205,19 @@ def minhash_lsh_pairs(
     group-and-pair-explode over the bucket key (_cooccurrence_pairs), so
     non-colliding buckets (the vast majority at 10^9 docs) are discarded at
     the first aggregation and never join.
+
+    The signature table feeds three subtrees (bands + both verify sides);
+    without materialization Spark recomputes the 16-seed md5 minhash per
+    subtree. ``materialize=True`` localCheckpoints it once (executor-local
+    storage); a production run would write it to a table instead.
     """
     rows_per_band = num_hashes // bands
     sig = _spread(df, id_col).select(
         F.col(id_col).alias("id"),
         hashed_shingles(F.col(text_col), n).alias("sh"),
     ).withColumn("mh", minhash_signature_from_hashed(F.col("sh"), num_hashes))
+    if materialize:
+        sig = sig.localCheckpoint(eager=False)
 
     shingle_tbl = sig.select("id", "sh")
     banded = sig.select(

@@ -721,6 +721,52 @@ def q_sessionize_events(spark, sf_dir):
     )
 
 
+def q_media_features(spark, sf_dir):
+    # REAL multimodal feature extraction: L2-normalized 64-bin byte
+    # histogram over the binary payload (consumable by cosine_topk/ANN)
+    from textractssmlprocessor_spark.operators.multimodal import (
+        byte_histogram_features,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    f = byte_histogram_features(d)
+    return (
+        f.select("url", F.posexplode("features").alias("dim", "value"))
+        .filter(F.col("value") != 0)
+        .select(
+            "url",
+            F.col("dim").cast("bigint").alias("dim"),
+            F.round("value", 6).alias("value"),
+        )
+    )
+
+
+def q_resize_media(spark, sf_dir):
+    # stubbed resize with REAL plumbing: integer-resampled payload; content
+    # checked end-to-end via md5 over the hex encoding (engine-portable)
+    from textractssmlprocessor_spark.operators.multimodal import resize_media_stub
+
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.length("text") > 0)
+        .select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+    )
+    r = resize_media_stub(d, width=8, height=8)
+    return r.select(
+        "url",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        F.md5(F.hex("payload")).alias("content_hex_md5"),
+    )
+
+
 def q_dup_sentences(spark, sf_dir):
     # J3 corpus-wide duplicate sentences (order-dependent first-wins;
     # lookbehind split is Python/Java-regex-only -> no RE2/SQL oracle)
@@ -783,6 +829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chapter_titles": q_chapter_titles,
         "sample_frames": q_sample_frames,
         "sessionize_events": q_sessionize_events,
+        "media_features": q_media_features,
+        "resize_media": q_resize_media,
         # OCR block-to-line reconstruction (north-star path)
         "ocr_lines": q_ocr_lines,
         "ocr_reconstruct": q_ocr_reconstruct,
@@ -1199,6 +1247,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(t)::BIGINT AS start_us, max(t)::BIGINT AS end_us,
                    count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
             FROM s GROUP BY user_id, session_no
+        """,
+        "media_features": """
+            WITH d AS (
+                SELECT 'doc://' || doc_id::VARCHAR AS url, hex(encode(text)) AS hx
+                FROM documents
+            ),
+            b AS (
+                SELECT url,
+                       ((instr('0123456789ABCDEF', substr(hx, (2*i-1)::BIGINT, 1)) - 1) * 16
+                        + instr('0123456789ABCDEF', substr(hx, (2*i)::BIGINT, 1)) - 1) // 4 AS dim
+                FROM d, unnest(generate_series(1, len(hx) // 2)) AS t(i)
+            ),
+            c AS (SELECT url, dim, count(*)::DOUBLE AS cnt FROM b GROUP BY 1, 2),
+            n AS (SELECT url, sqrt(sum(cnt * cnt)) AS nrm FROM c GROUP BY 1)
+            SELECT c.url, dim::BIGINT AS dim, round(cnt / nrm, 6) AS value
+            FROM c JOIN n USING (url)
+        """,
+        "resize_media": """
+            WITH d AS (
+                SELECT 'doc://' || doc_id::VARCHAR AS url, hex(encode(text)) AS hx,
+                       octet_length(encode(text)) AS L
+                FROM documents WHERE octet_length(encode(text)) > 0
+            )
+            SELECT url, 8::BIGINT AS width, 8::BIGINT AS height, 64::BIGINT AS n_bytes,
+                   md5(array_to_string(
+                       list_transform(generate_series(0, 63),
+                           k -> substr(hx, (2 * (CASE WHEN L = 1 THEN 0
+                                                      ELSE (k * (L - 1)) // 63 END) + 1)::BIGINT, 2)),
+                       '')) AS content_hex_md5
+            FROM d
         """,
         "media_metadata": """
             SELECT 'doc://' || doc_id::VARCHAR AS url,

@@ -255,3 +255,44 @@ def test_align_truncates_when_more_chunks_than_audio(spark):
     assert [r["chunk_number"] for r in aligned] == [1, 2]
     assert aligned[0]["start_time"] == 0.0 and aligned[0]["end_time"] == 2.0
     assert aligned[1]["start_time"] == 2.0 and aligned[1]["end_time"] == 5.0
+
+
+def test_byte_histogram_features_numpy_parity(spark):
+    import numpy as np
+
+    from textractssmlprocessor_spark.operators.multimodal import (
+        byte_histogram_features,
+    )
+
+    payloads = [b"hello world", bytes(range(256)) * 3, b"", None, b"\x00" * 100]
+    df = spark.createDataFrame(
+        [(f"u{i}", p) for i, p in enumerate(payloads)],
+        "url string, payload binary",
+    )
+    got = {r["url"]: r["features"] for r in byte_histogram_features(df).collect()}
+    for i, p in enumerate(payloads):
+        if p is None:
+            assert got[f"u{i}"] is None
+            continue
+        arr = np.frombuffer(p, dtype=np.uint8)
+        hist = np.bincount(arr >> 2, minlength=64).astype("float64")
+        norm = np.sqrt((hist * hist).sum())
+        exp = (hist / norm if norm else hist).tolist()
+        assert got[f"u{i}"] == exp, f"u{i}"
+    # unit norm for non-empty payloads
+    assert abs(sum(v * v for v in got["u0"]) - 1.0) < 1e-12
+
+
+def test_resize_media_stub_deterministic(spark):
+    from textractssmlprocessor_spark.operators.multimodal import resize_media_stub
+
+    df = spark.createDataFrame(
+        [("a", b"0123456789"), ("b", b"x"), ("c", None)],
+        "url string, payload binary",
+    )
+    out = {r["url"]: r for r in resize_media_stub(df, 4, 2).collect()}
+    # 8 bytes resampled from 10 via (k*9)//7
+    assert bytes(out["a"]["payload"]) == bytes(b"0123456789"[(k * 9) // 7] for k in range(8))
+    assert bytes(out["b"]["payload"]) == b"x" * 8  # single byte broadcast
+    assert out["c"]["payload"] is None
+    assert out["a"]["width"] == 4 and out["a"]["height"] == 2

@@ -1237,7 +1237,7 @@ def oracle_sql() -> dict[str, str]:
                                  (PARTITION BY user_id ORDER BY ts, event_id)
                                  <= 1800000000
                             THEN 0 ELSE 1 END AS brk
-                FROM events
+                FROM events WHERE ts IS NOT NULL
             ),
             s AS (
                 SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id

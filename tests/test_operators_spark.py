@@ -296,3 +296,17 @@ def test_resize_media_stub_deterministic(spark):
     assert bytes(out["b"]["payload"]) == b"x" * 8  # single byte broadcast
     assert out["c"]["payload"] is None
     assert out["a"]["width"] == 4 and out["a"]["height"] == 2
+
+
+def test_minhash_max_bucket_cap_semantics(spark):
+    from textractssmlprocessor_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "identical content words repeated for shingles here") for i in range(4)]
+        + [(99, "totally different text with other tokens entirely")],
+        "doc_id long, text string",
+    )
+    # default: uncapped -> all C(4,2)=6 identical pairs survive
+    assert minhash_lsh_pairs(docs).count() == 6
+    # cap below the group size silently skips the bucket (documented)
+    assert minhash_lsh_pairs(docs, max_bucket=3).count() == 0

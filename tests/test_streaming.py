@@ -195,3 +195,62 @@ def test_sessionize_out_of_order_arrival(spark, tmp_path):
         (t0, t0 + dt.timedelta(minutes=10), 2, 3.0),
         (t0 + dt.timedelta(minutes=50), t0 + dt.timedelta(minutes=50), 1, 4.0),
     ]
+
+
+def test_sessionize_stream_null_handling(spark, tmp_path):
+    """NULL values sum as 0 (like F.sum) and NULL ts rows drop in both
+    forms. (Pre-1970 event times are untestable in the stream: Spark's
+    watermark floors at epoch 0 and evicts sub-watermark rows before the
+    state function — documented engine limitation.)"""
+    import datetime as dt
+    import time as _time
+
+    from textractssmlprocessor_spark.streaming.sessionize import (
+        sessionize_events_batch,
+        sessionize_events_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    landing = str(tmp_path / "ev")
+    drops = [
+        [(1, t0, 5, 2.0), (2, t0 + dt.timedelta(minutes=5), 5, None),
+         (3, None, 5, 9.0)],
+        [(9, t0 + dt.timedelta(days=9), -1, 0.0)],
+        [(8, t0 + dt.timedelta(days=10), -1, 0.0)],
+    ]
+    for rows in drops:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        _time.sleep(1.2)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    q = (
+        sessionize_events_stream(stream, gap="30 minutes", watermark="1 minute")
+        .writeStream.format("memory")
+        .queryName("null_handling")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = [
+        (r["session_start"], r["session_end"], r["n_events"], r["sum_value"])
+        for r in spark.sql(
+            "select * from null_handling where user_id = 5"
+        ).collect()
+    ]
+    expected = [
+        (r["session_start"], r["session_end"], r["n_events"], r["sum_value"])
+        for r in sessionize_events_batch(
+            spark.createDataFrame(drops[0], schema)
+        ).collect()
+    ]
+    # one session: 2 events (null-ts row dropped), null value adds 0
+    assert expected == [(t0, t0 + dt.timedelta(minutes=5), 2, 2.0)]
+    assert got == expected

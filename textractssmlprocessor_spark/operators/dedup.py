@@ -69,37 +69,44 @@ def word_shingles(text_col, n: int = 3):
     )
 
 
-def _cooccurrence_pairs(exploded: DataFrame, key_col: str, max_group: int) -> DataFrame:
-    """(id_a, id_b, common) for every id pair sharing >=1 key, via
-    groupBy(key) -> sorted id list -> native pair explode -> pair agg.
+def _cooccurrence_member_pairs(
+    exploded: DataFrame,
+    key_col: str,
+    member,
+    max_group: int | None = None,
+) -> DataFrame:
+    """(a, b) rows for every ordered member pair sharing >=1 key, via
+    groupBy(key) -> sorted member list -> two-step pair explode.
 
     Groups of size 1 (the vast majority: most shingles/buckets are unique
     to one document in a web corpus) are discarded at the first aggregation
-    and never produce join traffic. Groups larger than `max_group` are
-    dropped (document-frequency cap on stopword shingles / degenerate
-    buckets). Agg-buffer memory per key is bounded by max_group ids — for
-    adversarial inputs with millions of repeats of one key, pre-filter hot
-    keys with a broadcast anti-join before calling this.
+    and never produce join traffic. The pair explode is TWO steps —
+    posexplode the member, then explode the member's strict suffix — so
+    per-output-row allocation is O(group), never the O(group^2) a single
+    flattened pair array would materialize (a 10^4-member group streams
+    5*10^7 pairs without ever holding them at once).
+
+    ``max_group`` (optional) drops groups above a size cap (document-
+    frequency cap on stopword shingles). Agg-buffer memory per key is
+    bounded by the group size either way — for adversarial inputs with
+    millions of repeats of one key, pre-filter hot keys with a broadcast
+    anti-join before calling this.
     """
     groups = (
         exploded.groupBy(key_col)
-        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_group))
+        .agg(F.array_sort(F.collect_list(member)).alias("members"))
+        .filter(F.size("members") >= 2)
     )
-    # all (i < j) pairs from the sorted list, generated JVM-side
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
+    if max_group is not None:
+        groups = groups.filter(F.size("members") <= max_group)
+    step1 = groups.select(
+        F.posexplode("members").alias("i", "a"), F.col("members")
     )
-    return (
-        groups.select(F.explode(pair_arr).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
+    return step1.select(
+        "a",
+        F.explode(
+            F.slice(F.col("members"), F.col("i") + F.lit(2), F.size("members"))
+        ).alias("b"),
     )
 
 
@@ -128,32 +135,15 @@ def ngram_jaccard_pairs(
     exploded = shingled.select(
         "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
     )
-    groups = (
-        exploded.groupBy("shingle")
-        .agg(F.array_sort(F.collect_list(F.struct("id", "n_sh"))).alias("members"))
-        .filter((F.size("members") >= 2) & (F.size("members") <= max_doc_freq))
-    )
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("members"),
-            lambda x, i: F.transform(
-                F.slice(F.col("members"), i + F.lit(2), F.size(F.col("members"))),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"),
-                    x["n_sh"].alias("n_a"),
-                    y["id"].alias("id_b"),
-                    y["n_sh"].alias("n_b"),
-                ),
-            ),
-        )
-    )
     pairs = (
-        groups.select(F.explode(pair_arr).alias("p"))
+        _cooccurrence_member_pairs(
+            exploded, "shingle", F.struct("id", "n_sh"), max_group=max_doc_freq
+        )
         .groupBy(
-            F.col("p.id_a").alias("id_a"),
-            F.col("p.n_a").alias("n_a"),
-            F.col("p.id_b").alias("id_b"),
-            F.col("p.n_b").alias("n_b"),
+            F.col("a.id").alias("id_a"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.n_sh").alias("n_b"),
         )
         .agg(F.count(F.lit(1)).alias("common"))
     )
@@ -195,6 +185,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     materialize: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate pairs from banded MinHash buckets, verified with exact
     Jaccard over hashed shingles.
@@ -210,6 +201,12 @@ def minhash_lsh_pairs(
     without materialization Spark recomputes the 16-seed md5 minhash per
     subtree. ``materialize=True`` localCheckpoints it once (executor-local
     storage); a production run would write it to a table instead.
+
+    ``max_bucket`` is None by default — every colliding pair is a
+    candidate, matching the uncapped banded-self-join semantics (and the
+    DuckDB oracle). Set it at production scale to skip degenerate buckets
+    (e.g. the all-identical-boilerplate cluster), accepting that pairs
+    inside skipped buckets are NOT reported.
     """
     rows_per_band = num_hashes // bands
     sig = _spread(df, id_col).select(
@@ -238,8 +235,10 @@ def minhash_lsh_pairs(
             )
         ).alias("bucket"),
     )
-    cand = _cooccurrence_pairs(banded, "bucket", max_group=10000).select(
-        "id_a", "id_b"
+    cand = (
+        _cooccurrence_member_pairs(banded, "bucket", F.col("id"), max_group=max_bucket)
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
     verified = (
         cand.join(shingle_tbl.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")

@@ -66,7 +66,9 @@ _STATE_SCHEMA = StructType(
 def sessionize_events_batch(events: DataFrame, gap_seconds: float = 1800.0) -> DataFrame:
     """(user_id, session_start, session_end, n_events, sum_value), one row
     per gap-delimited session. Order within a user is (ts, event_id) so ties
-    are deterministic."""
+    are deterministic. NULL-ts rows are dropped (not sessionizable; the
+    streaming form does the same)."""
+    events = events.filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     t = F.unix_micros(F.col("ts").cast("timestamp"))  # exact µs, no float drift
     gap_us = int(gap_seconds * 1_000_000)
@@ -115,10 +117,32 @@ def sessionize_events_stream(
 ) -> DataFrame:
     """Streaming sessionization with bounded per-user state.
 
-    Emits a session row when (a) a later event proves the gap elapsed, or
-    (b) the event-time timeout fires (watermark passed session_end + gap).
-    Input needs (ts timestamp, user_id long, value double).
+    Emits a session row when the event-time timeout fires or a batch shows
+    the watermark passed ``session_end + gap``. Input needs
+    (ts timestamp, user_id long, value double). Rows with NULL ts are not
+    sessionizable and are dropped (matching nothing in the batch form,
+    which orders by ts — callers should filter them identically); NULL
+    values count as events with value 0, matching ``F.sum``'s
+    null-skipping in the batch aggregation.
+
+    Requires ``spark.sql.session.timeZone=UTC``: Arrow hands the UDF
+    tz-naive session-local timestamps while ``getCurrentWatermarkMs`` is
+    UTC epoch, so any other session timezone would shear the lateness and
+    timeout arithmetic by the UTC offset. Asserted at build time rather
+    than silently corrupting sessions.
+
+    Engine limitation (observed on Spark 4.1): the streaming watermark
+    floors at epoch 0 and Spark evicts sub-watermark rows before they
+    reach the state function, so events with pre-1970 timestamps never
+    enter any session here (the batch form handles them fine).
     """
+    tz = events_stream.sparkSession.conf.get("spark.sql.session.timeZone")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00"):
+        raise ValueError(
+            f"sessionize_events_stream requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}): pandas receives session-local naive timestamps but "
+            f"watermark/timeout timestamps are UTC epoch"
+        )
     gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
 
     def fn(
@@ -135,12 +159,17 @@ def sessionize_events_stream(
             ts_list, val_list = state.get
             buf.extend(zip(ts_list, val_list))
         for pdf in pdfs:
+            pdf = pdf[pdf["ts"].notna()]  # NULL ts: not sessionizable
             if len(pdf):
                 ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
-                vals = pdf["value"].tolist()
+                vals = pdf["value"].fillna(0.0).tolist()  # like F.sum(null)
                 # lateness contract: incoming rows older than the watermark
-                # are dropped (they could belong to a flushed session)
-                buf.extend(e for e in zip(ts_us, vals) if e[0] >= wm_us)
+                # are dropped (they could belong to a flushed session);
+                # wm_us == 0 means "no watermark yet" (Spark's sentinel),
+                # not the 1970 epoch — nothing is late then
+                buf.extend(
+                    e for e in zip(ts_us, vals) if wm_us == 0 or e[0] >= wm_us
+                )
         if not buf:
             if state.exists:
                 state.remove()
@@ -152,8 +181,9 @@ def sessionize_events_stream(
         )
         # a session is final once no within-watermark event can extend it:
         # every future row has ts >= watermark, so end + gap < watermark
-        # seals it
-        closed = [s for s in sessions if s[1] + gap_us < wm_us]
+        # seals it (never before the first real watermark: wm_us == 0 is
+        # the no-watermark sentinel, and pre-1970 sessions must not flush)
+        closed = [s for s in sessions if wm_us > 0 and s[1] + gap_us < wm_us]
         open_sessions = sessions[len(closed):]
         if open_sessions:
             keep_from = open_sessions[0][0]  # first still-open session start

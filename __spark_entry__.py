@@ -712,10 +712,16 @@ def q_sessionize_events(spark, sf_dir):
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     s = sessionize_events_batch(ev, gap_seconds=1800.0)
+    # NTZ-to-NTZ diff: identical µs on any driver session timezone
+    # (unix_micros(cast) would shift by the session offset vs the oracle)
+    us = (
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', "
+        "cast({} as timestamp_ntz))"
+    )
     return s.select(
         "user_id",
-        F.unix_micros(F.col("session_start").cast("timestamp")).alias("start_us"),
-        F.unix_micros(F.col("session_end").cast("timestamp")).alias("end_us"),
+        F.expr(us.format("session_start")).alias("start_us"),
+        F.expr(us.format("session_end")).alias("end_us"),
         "n_events",
         "sum_value",
     )

@@ -70,7 +70,13 @@ def sessionize_events_batch(events: DataFrame, gap_seconds: float = 1800.0) -> D
     streaming form does the same)."""
     events = events.filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    t = F.unix_micros(F.col("ts").cast("timestamp"))  # exact µs, no float drift
+    # exact µs via NTZ-to-NTZ timestampdiff: no float drift, and no
+    # session-timezone dependence (unix_micros(cast) would shear by the
+    # session offset on non-UTC drivers; DuckDB's epoch_us is tz-free)
+    t = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', "
+        "cast(ts as timestamp_ntz))"
+    )
     gap_us = int(gap_seconds * 1_000_000)
     is_break = (
         F.when(t - F.lag(t).over(w) <= F.lit(gap_us), F.lit(0))

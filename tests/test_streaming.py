@@ -254,3 +254,33 @@ def test_sessionize_stream_null_handling(spark, tmp_path):
     # one session: 2 events (null-ts row dropped), null value adds 0
     assert expected == [(t0, t0 + dt.timedelta(minutes=5), 2, 2.0)]
     assert got == expected
+
+
+def test_stream_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """A replayed foreachBatch invocation (same batch_id, e.g. after a crash
+    between data write and checkpoint commit) must overwrite its own output,
+    not append a duplicate copy."""
+    from textractssmlprocessor_spark.corpus import pages_from_documents
+    from textractssmlprocessor_spark.operators.extract import extract_chunks
+    from textractssmlprocessor_spark.streaming.extract_stream import (
+        extract_stream,
+        stream_pages,
+    )
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    pages = pages_from_documents(spark, sf_dir).limit(50)
+    pages.write.mode("overwrite").parquet(landing)
+
+    q = extract_stream(stream_pages(spark, landing), out, str(tmp_path / "c1"),
+                       num_partitions=4)
+    q.awaitTermination(120)
+    expected = spark.read.parquet(out).count()
+    assert expected > 0
+
+    # simulate a replay of batch 0: fresh checkpoint, same output path ->
+    # the same batch_id partition is overwritten, not appended
+    q2 = extract_stream(stream_pages(spark, landing), out, str(tmp_path / "c2"),
+                        num_partitions=4)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == expected

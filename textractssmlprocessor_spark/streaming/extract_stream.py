@@ -37,12 +37,24 @@ def extract_stream(
     num_partitions: int = 32,
     available_now: bool = True,
 ) -> StreamingQuery:
-    """Micro-batch extraction: each batch runs the fused pipeline and appends
-    parquet; the checkpoint makes restarts exactly-once at batch granularity."""
+    """Micro-batch extraction with idempotent batch writes.
+
+    The streaming checkpoint makes batch REPLAY possible after a crash; a
+    plain append would then duplicate the replayed batch's rows
+    (foreachBatch is at-least-once). Writing each batch into its own
+    ``batch_id=`` partition with dynamic partition overwrite makes the
+    replay overwrite its previous (possibly partial) output instead —
+    the standard exactly-once foreachBatch sink pattern."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         chunks = extract_chunks(batch_df, num_partitions=num_partitions)
-        chunks.write.mode("append").parquet(output_path)
+        (
+            chunks.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(output_path)
+        )
 
     writer = (
         pages_stream.writeStream.foreachBatch(process_batch)

@@ -310,3 +310,25 @@ def test_minhash_max_bucket_cap_semantics(spark):
     assert minhash_lsh_pairs(docs).count() == 6
     # cap below the group size silently skips the bucket (documented)
     assert minhash_lsh_pairs(docs, max_bucket=3).count() == 0
+
+
+def test_read_pages_parquet_and_validation(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+
+    from textractssmlprocessor_spark.corpus import pages_from_documents
+    from textractssmlprocessor_spark.sources import PAGES_COLUMNS, read_pages
+
+    p = str(tmp_path / "pages")
+    pages_from_documents(spark, sf_dir).write.mode("overwrite").parquet(p)
+    got = read_pages(spark, p)  # format inferred from the path separator
+    assert got.columns == PAGES_COLUMNS
+    assert got.count() == pages_from_documents(spark, sf_dir).count()
+
+    # extra columns are pruned, missing columns rejected loudly
+    spark.range(3).selectExpr("'u' AS url").write.mode("overwrite").parquet(
+        str(tmp_path / "bad")
+    )
+    with _pytest.raises(ValueError, match="missing columns"):
+        read_pages(spark, str(tmp_path / "bad"))
+    with _pytest.raises(ValueError, match="unsupported"):
+        read_pages(spark, p, format="csvish")

@@ -110,3 +110,46 @@ def test_fused_abbreviations_equal_sequential(text):
     assert subs.expand_abbreviations(text) == subs.expand_abbreviations_sequential(
         text
     )
+
+
+# --- sessionize gap-split property (pure function, no Spark) ----------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**7),
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=10**6),
+)
+def test_split_sessions_matches_bruteforce(events, gap_us):
+    from textractssmlprocessor_spark.streaming.sessionize import _split_sessions
+
+    events = sorted(events)
+    ts = [e[0] for e in events]
+    vals = [e[1] for e in events]
+    got = _split_sessions(ts, vals, gap_us)
+
+    # brute force: split where the inter-event delta exceeds the gap
+    sessions, cur = [], [0]
+    for i in range(1, len(ts)):
+        if ts[i] - ts[i - 1] > gap_us:
+            sessions.append(cur)
+            cur = []
+        cur.append(i)
+    sessions.append(cur)
+    expected = [
+        (ts[s[0]], ts[s[-1]], len(s), sum(vals[i] for i in s)) for s in sessions
+    ]
+    assert [(g[0], g[1], g[2]) for g in got] == [
+        (e[0], e[1], e[2]) for e in expected
+    ]
+    for g, e in zip(got, expected):
+        assert abs(g[3] - e[3]) < 1e-9

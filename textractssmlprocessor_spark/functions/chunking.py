@@ -53,34 +53,37 @@ def chunk_text_with_spans(
     to single spaces, matching the reference's ``sentence + " "`` join).
     """
     sentences = sentencize(text)
-    # Locate each sentence's offset by scanning forward (sentences appear in
-    # order and verbatim in the input).
-    offsets: List[Tuple[int, int]] = []
-    cursor = 0
-    for s in sentences:
-        i = text.index(s, cursor)
-        offsets.append((i, i + len(s)))
-        cursor = i + len(s)
-
+    index = text.index  # local binds: this loop runs per sentence per doc
     out: List[Tuple[str, int, int]] = []
-    current = ""
+    parts: List[str] = []  # sentences of the open chunk (joined on flush)
+    cur_len = 0
+    cursor = 0
     span_start = -1
     span_end = -1
-    for s, (b, e) in zip(sentences, offsets):
-        if len(current) + len(s) > max_chunk_size and current:
-            out.append((current.strip(), span_start, span_end))
-            current = ""
-            span_start = -1
+
+    def flush() -> None:
+        # " ".join(...)  + .strip() is byte-equal to the reference's
+        # `current += s + " "` accumulation followed by .strip(): interiors
+        # are identical, and strip() normalizes both variants' ends
+        # (sentencize sentences may carry leading/trailing whitespace)
+        out.append((" ".join(parts).strip(), span_start, span_end))
+
+    for s in sentences:
+        b = index(s, cursor)
+        e = cursor = b + len(s)
+        if cur_len + len(s) > max_chunk_size and parts:
+            flush()
+            parts, cur_len, span_start = [], 0, -1
         if span_start < 0:
             span_start = b
-        current += s + " "
+        parts.append(s)
+        cur_len += len(s) + 1
         span_end = e
-        if len(current) >= max_chunk_size:
-            out.append((current.strip(), span_start, span_end))
-            current = ""
-            span_start = -1
-    if current:
-        out.append((current.strip(), span_start, span_end))
+        if cur_len >= max_chunk_size:
+            flush()
+            parts, cur_len, span_start = [], 0, -1
+    if parts:
+        flush()
     return out
 
 

@@ -90,7 +90,7 @@ def expand_bible_books(text: str) -> str:
     """'1 Corinthians' / 'II Samuel' -> 'First Corinthians' / 'Second Samuel'."""
     # both patterns are case-sensitive and require a book name verbatim: a
     # memchr scan proves the alternation can't match (common case: no scan)
-    if not any(b in text for b in _NUMBERED_BOOKS):
+    if not any(map(text.__contains__, _NUMBERED_BOOKS)):
         return text
     text = _BOOK_ARABIC.sub(lambda m: f"{_ORDINALS[m.group(1)]} {m.group(2)}", text)
     text = _BOOK_ROMAN.sub(
@@ -120,7 +120,9 @@ def expand_abbreviations(text: str) -> str:
         low = text.translate(_FOLD_EXOTIC).lower()
     else:
         low = text.lower()
-    if not any(c in low for c in _ABBREV_CORES):
+    # any(map(...)) keeps the 13 memchr scans free of per-item generator
+    # frames (measurably faster at millions of chunks per executor)
+    if not any(map(low.__contains__, _ABBREV_CORES)):
         return text
     return _FUSED_ABBREV.sub(lambda m: _FUSED_REPL[m.lastgroup], text)
 

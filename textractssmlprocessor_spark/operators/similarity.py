@@ -103,26 +103,26 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF cell assignment: nearest centroid by cosine (broadcast the
-    centroid table — it is tiny by construction). Returns
-    (id, vec, cell)."""
-    c = centroids.select(
-        F.col("cell").alias("cell"), F.col("cvec").alias("cvec")
+    """IVF cell assignment: nearest centroid by cosine. The centroid table
+    is tiny by construction, so it is collected once and inlined as an
+    array literal — assignment is then a pure MAP-SIDE expression (transform
+    over the centroid array + first-max position), shuffling nothing. The
+    previous formulation (crossJoin + per-id argmin window) shuffled the
+    entire corpus on id. Ties break toward the lowest cell id (rounded sims,
+    first occurrence of the max), reproducible in any engine."""
+    cents = sorted(centroids.collect(), key=lambda r: r["cell"])
+    cell_ids = [int(r["cell"]) for r in cents]
+    cvec_lits = F.array(
+        *[F.array(*[F.lit(float(x)) for x in r["cvec"]]) for r in cents]
     )
-    scored = (
-        embeddings.select(F.col(id_col).alias("id"), _doubled(vec_col).alias("v"))
-        .crossJoin(F.broadcast(c))
-        # rounded before the argmin so cell assignment is reproducible across
-        # engines (ties broken by cell id)
-        .withColumn("sim", F.round(cosine(F.col("v"), F.col("cvec")), 6))
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("cell"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("id", "v", "cell")
+    cell_lits = F.array(*[F.lit(c) for c in cell_ids])
+    v = _doubled(vec_col)
+    sims = F.transform(cvec_lits, lambda c: F.round(cosine(v, c), 6))
+    best_pos = F.array_position(sims, F.array_max(sims))  # 1-based first max
+    return embeddings.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        F.element_at(cell_lits, best_pos.cast("int")).alias("cell"),
     )
 
 

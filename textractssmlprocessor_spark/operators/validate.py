@@ -299,6 +299,34 @@ def rule_nested_tags(chunks: DataFrame, col: str = "ssml") -> DataFrame:
     return _finding(df, "nested_tags", F.col("message"))
 
 
+def rules_udf_fused(chunks: DataFrame, col: str = "ssml") -> DataFrame:
+    """The three Python-automaton rules in ONE Arrow round trip (each value
+    crosses the JVM<->Python boundary once instead of three times)."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = ArrayType(
+        StructType(
+            [StructField("rule", StringType()), StructField("message", StringType())]
+        )
+    )
+
+    @F.pandas_udf(schema)
+    def fused(s: pd.Series) -> pd.Series:
+        def run(t):
+            if t is None:
+                return []
+            return (
+                [{"rule": "english_word", "message": m} for m in _english_word_findings(t)]
+                + [{"rule": "balanced_tags", "message": m} for m in _balanced_findings(t)]
+                + [{"rule": "nested_tags", "message": m} for m in _nested_findings(t)]
+            )
+
+        return s.map(run)
+
+    df = chunks.select("url", "chunk_number", F.explode(fused(F.col(col))).alias("f"))
+    return df.select("url", "chunk_number", F.col("f.rule").alias("rule"), F.col("f.message").alias("message"))
+
+
 ALL_RULES = [
     rule_punctuation,
     rule_speak_tags,
@@ -312,13 +340,18 @@ ALL_RULES = [
     rule_nested_tags,
 ]
 
+_NATIVE_RULES = ALL_RULES[:7]
+
 
 def validate(chunks: DataFrame, include_translation_length: bool = False) -> DataFrame:
-    """Union of all rule findings (ssml_validator.py:255-270)."""
+    """Union of all rule findings (ssml_validator.py:255-270). Native rules
+    union as codegen'd branches; the three UDF rules ride one fused Arrow
+    pass (rules_udf_fused) — identical findings to running them separately."""
     out = None
-    for rule in ALL_RULES:
+    for rule in _NATIVE_RULES:
         f = rule(chunks)
         out = f if out is None else out.unionByName(f)
+    out = out.unionByName(rules_udf_fused(chunks))
     if include_translation_length:
         out = out.unionByName(rule_translation_length(chunks))
     return out

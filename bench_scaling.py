@@ -74,7 +74,7 @@ def run_prebucketed():
     # table-layout salting (bucket(url) partition spec at scale): the scan
     # is already hash-balanced, no runtime shuffle
     d = pages.filter(F.col("html").isNotNull() | F.col("text").isNotNull())
-    payload = F.coalesce(F.decode(F.col("html"), "UTF-8"), F.col("text"))
+    payload = F.coalesce(F.make_valid_utf8(F.col("html").cast("string")), F.col("text"))
     d = d.select("url", payload.alias("payload"))
     d.select("url", F.posexplode(extract_full_udf(F.col("payload")))
              .alias("pos", "c")) \

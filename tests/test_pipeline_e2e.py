@@ -213,3 +213,23 @@ def test_lineage_crash_between_write_and_lineage_is_idempotent(spark, pages, tmp
     # and the rerun covered the whole corpus
     n_urls = final.select("url").distinct().count()
     assert n_urls == pages.count()
+
+
+def test_malformed_utf8_html_degrades_not_fails(spark):
+    """A mis-encoded crawl page must yield replacement chars, not kill the
+    job (decode(..., 'UTF-8') raises MALFORMED_CHARACTER_CODING since
+    Spark 3.5 — fatal at web scale)."""
+    from textractssmlprocessor_spark.operators.extract import extract_chunks
+
+    rows = [
+        ("u1", bytes([0xFF, 0xFE, 0x80]) + b"<p>after invalid bytes</p>", None, "en"),
+        ("u2", "<p>clean page</p>".encode(), None, "en"),
+        ("u3", None, "plain text row", "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, html binary, text string, lang string"
+    )
+    got = {r["url"]: r["ssml"] for r in extract_chunks(df, num_partitions=2).collect()}
+    assert "�" in got["u1"] and got["u1"].endswith("after invalid bytes</speak>")
+    assert got["u2"] == "<speak>clean page</speak>"
+    assert got["u3"] == "<speak>plain text row</speak>"

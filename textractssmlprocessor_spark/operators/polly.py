@@ -46,11 +46,33 @@ def assign_voices(
     engine = F.create_map(
         *[F.lit(x) for kv in VOICE_ENGINE_MAP.items() for x in kv]
     )[voice]
-    w = Window.orderBy(book_col, "chunk_number")
+    # Global monotone part counter (reference ssml_processing.py:91-110)
+    # WITHOUT a global window (Window.orderBy with no partitionBy funnels
+    # the whole corpus through one task): per-book row_number (scalable,
+    # partitioned window) + per-book offsets from a cumulative count over
+    # the tiny books table, broadcast back. Identical numbering to
+    # row_number over (book, chunk_number).
+    per_book = Window.partitionBy(book_col).orderBy("chunk_number")
+    books = Window.orderBy(book_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # single-task, but over #books rows, not #chunks
+    offsets = (
+        chunks.groupBy(book_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_offset", F.coalesce(F.sum("_n").over(books), F.lit(0)))
+        .select(book_col, "_offset")
+    )
+    # no broadcast hint: AQE broadcasts the offsets table while it is small
+    # and falls back to a shuffle join if the book count ever outgrows it
     out = (
-        chunks.withColumn("voice_id", voice)
+        chunks.join(offsets, book_col)
+        .withColumn("voice_id", voice)
         .withColumn("engine", engine)
-        .withColumn("global_part_number", F.row_number().over(w))
+        .withColumn(
+            "global_part_number",
+            (F.col("_offset") + F.row_number().over(per_book)).cast("int"),
+        )
+        .drop("_n", "_offset")
     )
     return out.withColumn(
         "output_file",

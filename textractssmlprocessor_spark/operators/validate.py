@@ -165,8 +165,22 @@ def rule_duplicates(chunks: DataFrame, col: str = "ssml") -> DataFrame:
     ).withColumn(
         "clean_line", F.trim(F.regexp_replace("line", _TAG_RE, ""))
     )
-    w = Window.partitionBy("clean_line").orderBy("url", "chunk_number", "pos")
-    df = df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") > 1)
+    # first-wins WITHOUT a per-line window: a boilerplate line repeated 10^9
+    # times would funnel one window partition through one task; min-struct
+    # aggregation gets map-side partial aggs, and the join back is AQE
+    # skew-splittable. Identical output to row_number > 1.
+    occ = F.struct("url", "chunk_number", "pos")
+    firsts = (
+        df.groupBy("clean_line")
+        .agg(F.min(occ).alias("_first"), F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") > 1)  # unique lines never produce findings
+        .select("clean_line", "_first")
+    )
+    df = (
+        df.join(firsts, "clean_line")
+        .filter(occ != F.col("_first"))
+        .drop("_first")
+    )
     return _finding(
         df, "duplicates",
         F.concat(F.lit("Possible duplicate: '"), F.col("clean_line"), F.lit("'")),

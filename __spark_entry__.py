@@ -1251,7 +1251,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM o
             )
             SELECT user_id, min(t)::BIGINT AS start_us, max(t)::BIGINT AS end_us,
-                   count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
+                   count(*)::BIGINT AS n_events,
+                   round(coalesce(sum(value), 0), 6) AS sum_value
             FROM s GROUP BY user_id, session_no
         """,
         "media_features": """

@@ -332,3 +332,30 @@ def test_read_pages_parquet_and_validation(spark, sf_dir, tmp_path):
         read_pages(spark, str(tmp_path / "bad"))
     with _pytest.raises(ValueError, match="unsupported"):
         read_pages(spark, p, format="csvish")
+
+
+def test_assign_voices_keeps_null_book_rows(spark):
+    from pyspark.sql import functions as F
+
+    from textractssmlprocessor_spark.operators.polly import assign_voices
+
+    df = spark.createDataFrame(
+        [("book_a", 1), (None, 2), ("book_a", 3), (None, 4)],
+        "url string, chunk_number int",
+    )
+    out = assign_voices(df)
+    assert out.count() == 4  # NULL book keys must survive the offsets join
+    nums = sorted(r["global_part_number"] for r in out.collect())
+    assert nums == [1, 2, 3, 4]  # NULLS FIRST ordering, contiguous numbering
+
+
+def test_rule_duplicates_flags_physically_duplicated_rows(spark):
+    from textractssmlprocessor_spark.operators.validate import rule_duplicates
+
+    # the same (url, chunk_number) row twice: the second physical copy is a
+    # duplicate even though its occurrence key is identical to the first
+    df = spark.createDataFrame(
+        [("u", 1, "Same sentence here."), ("u", 1, "Same sentence here.")],
+        "url string, chunk_number int, ssml string",
+    )
+    assert rule_duplicates(df).count() == 1

@@ -284,3 +284,19 @@ def test_stream_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
                         num_partitions=4)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == expected
+
+
+def test_sessionize_batch_all_null_values_sum_zero(spark):
+    import datetime as dt
+
+    from textractssmlprocessor_spark.streaming.sessionize import (
+        sessionize_events_batch,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, t0, 9, None), (2, t0 + dt.timedelta(minutes=1), 9, None)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    rows = sessionize_events_batch(df).collect()
+    assert len(rows) == 1 and rows[0]["sum_value"] == 0.0  # not NULL

@@ -193,7 +193,7 @@ def minhash_lsh_pairs(
     Scale structure: the band table entering candidate generation is NARROW
     (id, bucket) — shingle arrays never ride through it; they are joined
     back exactly once per surviving candidate pair. Candidates come from
-    group-and-pair-explode over the bucket key (_cooccurrence_pairs), so
+    group-and-pair-explode over the bucket key (_cooccurrence_member_pairs), so
     non-colliding buckets (the vast majority at 10^9 docs) are discarded at
     the first aggregation and never join.
 

@@ -63,9 +63,13 @@ def assign_voices(
         .select(book_col, "_offset")
     )
     # no broadcast hint: AQE broadcasts the offsets table while it is small
-    # and falls back to a shuffle join if the book count ever outgrows it
+    # and falls back to a shuffle join if the book count ever outgrows it.
+    # Null-safe equality: a NULL book key forms its own group and must keep
+    # its rows (a plain equi-join would silently drop them).
+    offsets = offsets.withColumnRenamed(book_col, "_bk")
     out = (
-        chunks.join(offsets, book_col)
+        chunks.join(offsets, F.col(book_col).eqNullSafe(F.col("_bk")), "left")
+        .drop("_bk")
         .withColumn("voice_id", voice)
         .withColumn("engine", engine)
         .withColumn(

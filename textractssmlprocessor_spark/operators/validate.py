@@ -168,18 +168,32 @@ def rule_duplicates(chunks: DataFrame, col: str = "ssml") -> DataFrame:
     # first-wins WITHOUT a per-line window: a boilerplate line repeated 10^9
     # times would funnel one window partition through one task; min-struct
     # aggregation gets map-side partial aggs, and the join back is AQE
-    # skew-splittable. Identical output to row_number > 1.
+    # skew-splittable. Multiplicity-exact vs row_number > 1: occurrences are
+    # pre-aggregated per (line, occurrence key) with a count, and the first
+    # occurrence key re-emits count-1 findings (physically-duplicated input
+    # rows still flag their extra copies).
     occ = F.struct("url", "chunk_number", "pos")
+    grouped = df.groupBy("clean_line", "url", "chunk_number", "pos").agg(
+        F.count(F.lit(1)).alias("_m")
+    )
     firsts = (
-        df.groupBy("clean_line")
-        .agg(F.min(occ).alias("_first"), F.count(F.lit(1)).alias("_cnt"))
+        grouped.groupBy("clean_line")
+        .agg(F.min(occ).alias("_first"), F.sum("_m").alias("_cnt"))
         .filter(F.col("_cnt") > 1)  # unique lines never produce findings
         .select("clean_line", "_first")
     )
+    n_emit = F.when(occ == F.col("_first"), F.col("_m") - 1).otherwise(F.col("_m"))
     df = (
-        df.join(firsts, "clean_line")
-        .filter(occ != F.col("_first"))
-        .drop("_first")
+        grouped.join(firsts, "clean_line")
+        .withColumn("_k", n_emit)
+        .filter(F.col("_k") > 0)
+        .select(
+            "url",
+            "chunk_number",
+            "clean_line",
+            F.explode(F.sequence(F.lit(1), F.col("_k"))).alias("_i"),
+        )
+        .drop("_i")
     )
     return _finding(
         df, "duplicates",
@@ -354,15 +368,20 @@ ALL_RULES = [
     rule_nested_tags,
 ]
 
-_NATIVE_RULES = ALL_RULES[:7]
+# the rules rules_udf_fused covers in one Arrow pass; anything else in
+# ALL_RULES (including future additions) runs as its own branch
+_FUSED_UDF_RULES = {rule_english_word, rule_balanced_tags, rule_nested_tags}
 
 
 def validate(chunks: DataFrame, include_translation_length: bool = False) -> DataFrame:
     """Union of all rule findings (ssml_validator.py:255-270). Native rules
     union as codegen'd branches; the three UDF rules ride one fused Arrow
-    pass (rules_udf_fused) — identical findings to running them separately."""
+    pass (rules_udf_fused) — identical findings to running them separately.
+    Membership-based, so appending a new rule to ALL_RULES always runs it."""
     out = None
-    for rule in _NATIVE_RULES:
+    for rule in ALL_RULES:
+        if rule in _FUSED_UDF_RULES:
+            continue
         f = rule(chunks)
         out = f if out is None else out.unionByName(f)
     out = out.unionByName(rules_udf_fused(chunks))

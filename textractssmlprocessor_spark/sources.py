@@ -28,7 +28,9 @@ def read_pages(
     as an Iceberg table identifier. Column pruning to the pages schema is
     applied so accidental extra columns never flow downstream.
     """
-    fmt = format or ("parquet" if "/" in source else "iceberg")
+    fmt = format or (
+        "parquet" if "/" in source or source.endswith(".parquet") else "iceberg"
+    )
     if fmt == "iceberg":
         df = spark.read.format("iceberg").load(source)
     elif fmt == "parquet":
@@ -51,7 +53,9 @@ def write_pages_output(
     ssml, spans). Iceberg targets get an overwritePartitions-style dynamic
     overwrite (idempotent reruns); parquet targets partition by url bucket
     via the lineage module instead (lineage.run_with_lineage)."""
-    fmt = format or ("parquet" if "/" in target else "iceberg")
+    fmt = format or (
+        "parquet" if "/" in target or target.endswith(".parquet") else "iceberg"
+    )
     if fmt == "iceberg":
         chunks.writeTo(target).overwritePartitions()
     elif fmt == "parquet":

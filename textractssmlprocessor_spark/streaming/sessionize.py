@@ -91,7 +91,9 @@ def sessionize_events_batch(events: DataFrame, gap_seconds: float = 1800.0) -> D
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            # coalesce: an all-NULL-value session sums to 0, matching the
+            # streaming form's fillna(0) (plain F.sum would return NULL)
+            F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 6).alias("sum_value"),
         )
         .select("user_id", "session_start", "session_end", "n_events", "sum_value")
     )

@@ -15,6 +15,13 @@ clusters; the same code runs unchanged on local[N].
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+# Direct `python .../jobs/extract_job.py` puts jobs/ (not the repo root) on
+# sys.path; spark-submit --py-files provides the package zip instead. Make
+# both work.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 
 
 def main() -> None:
@@ -25,21 +32,28 @@ def main() -> None:
     p.add_argument("--languages", default=None)
     p.add_argument("--buckets", type=int, default=4096)
     p.add_argument("--partitions", type=int, default=None)
+    p.add_argument(
+        "--input-format", default=None, choices=[None, "iceberg", "parquet"],
+        help="inferred from --input when omitted (path -> parquet, "
+        "identifier -> iceberg table)",
+    )
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
 
     from textractssmlprocessor_spark import lineage as L
+    from textractssmlprocessor_spark.sources import read_pages
 
     spark = (
         SparkSession.builder.appName("extract-webtext")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
 
-    pages = spark.read.parquet(args.input)
+    pages = read_pages(spark, args.input, format=args.input_format)
     langs = args.languages.split(",") if args.languages else None
     written = L.run_with_lineage(
         pages,

@@ -359,3 +359,32 @@ def test_rule_duplicates_flags_physically_duplicated_rows(spark):
         "url string, chunk_number int, ssml string",
     )
     assert rule_duplicates(df).count() == 1
+
+
+def test_fused_udf_rules_match_individual_rules(spark):
+    """rules_udf_fused must stay finding-identical to running the three
+    automaton rules separately (guards the fused Arrow pass against drift)."""
+    from textractssmlprocessor_spark.operators.validate import (
+        rule_balanced_tags,
+        rule_english_word,
+        rule_nested_tags,
+        rules_udf_fused,
+    )
+
+    dirty = [
+        ("u1", 1, "<speak><p>english outside lang</p></speak>"),
+        ("u2", 1, "<speak><p><p>nested paragraphs</p></p></speak>"),
+        ("u3", 1, "<speak><lang>no close and </s>stray close</speak>"),
+        ("u4", 1, "<speak>clean <lang xml:lang='en-US'>english</lang></speak>"),
+    ]
+    df = spark.createDataFrame(dirty, "url string, chunk_number int, ssml string")
+    key = lambda rows: sorted(  # noqa: E731
+        (r["url"], r["rule"], r["message"]) for r in rows
+    )
+    fused = key(rules_udf_fused(df).collect())
+    separate = key(
+        rule_english_word(df).collect()
+        + rule_balanced_tags(df).collect()
+        + rule_nested_tags(df).collect()
+    )
+    assert fused == separate and len(fused) >= 3

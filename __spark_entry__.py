@@ -727,6 +727,16 @@ def q_sessionize_events(spark, sf_dir):
     )
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    # rolling-hash winnowing fingerprints (MOSS scheme) — distinct
+    # fingerprints per doc as (doc_id, fingerprint) rows
+    from textractssmlprocessor_spark.operators.dedup import winnow_fingerprint_table
+
+    return winnow_fingerprint_table(
+        _docs(spark, sf_dir).select("doc_id", "text"), k=8, window=4
+    ).select(F.col("id").alias("doc_id"), "fingerprint")
+
+
 def q_media_features(spark, sf_dir):
     # REAL multimodal feature extraction: L2-normalized 64-bin byte
     # histogram over the binary payload (consumable by cosine_topk/ANN)
@@ -835,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chapter_titles": q_chapter_titles,
         "sample_frames": q_sample_frames,
         "sessionize_events": q_sessionize_events,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "media_features": q_media_features,
         "resize_media": q_resize_media,
         # OCR block-to-line reconstruction (north-star path)
@@ -1254,6 +1265,28 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    round(coalesce(sum(value), 0), 6) AS sum_value
             FROM s GROUP BY user_id, session_no
+        """,
+        "winnow_fingerprints": """
+            WITH d AS (
+                SELECT doc_id,
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nrm
+                FROM documents
+            ),
+            h AS (
+                SELECT doc_id,
+                       list_transform(
+                           generate_series(1, greatest(len(nrm) - 7, 1)),
+                           i -> substr(md5(substr(nrm, i, 8)), 1, 8)) AS hs
+                FROM d
+            ),
+            w AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(len(hs) - 3, 1)),
+                           j -> list_min(hs[j:j+3]))) AS fps
+                FROM h
+            )
+            SELECT doc_id, unnest(fps) AS fingerprint FROM w
         """,
         "media_features": """
             WITH d AS (

@@ -388,3 +388,25 @@ def test_fused_udf_rules_match_individual_rules(spark):
         + rule_nested_tags(df).collect()
     )
     assert fused == separate and len(fused) >= 3
+
+
+def test_winnowing_guarantee_shared_substring_shared_fingerprint(spark):
+    """The winnowing invariant: documents sharing a substring of length
+    >= k + window - 1 share at least one fingerprint; disjoint documents
+    (different alphabets) share none."""
+    from textractssmlprocessor_spark.operators.dedup import winnow_fingerprint_table
+
+    shared = "the identical passage lives inside both documents here"
+    docs = [
+        (1, "alpha prefix text. " + shared + " omega suffix."),
+        (2, "completely different opening. " + shared + " and closing."),
+        (3, "zzzz qqqq xxxx jjjj kkkk vvvv wwww yyyy zzzz qqqq xxxx"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = winnow_fingerprint_table(df, k=8, window=4)
+    by_id = {
+        i: {r["fingerprint"] for r in fps.filter(fps.id == i).collect()}
+        for i in (1, 2, 3)
+    }
+    assert by_id[1] & by_id[2], "shared substring must share a fingerprint"
+    assert not (by_id[1] & by_id[3]) and not (by_id[2] & by_id[3])

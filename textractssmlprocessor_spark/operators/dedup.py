@@ -253,6 +253,54 @@ def minhash_lsh_pairs(
     return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def winnow_fingerprint_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    rolling-hash scheme) as distinct (id, fingerprint) rows: hash every
+    character k-gram of the whitespace-normalized lowercased text, slide a
+    window over the hash sequence, keep each window's minimum — any shared
+    substring of length >= k + window - 1 yields a shared fingerprint.
+
+    Plan shape: k-gram hashes posexplode to (id, pos, h8) rows, the window
+    minimum is a sliding FRAME over a per-id window, then distinct. A pure
+    array-expression formulation would look cheaper but re-evaluates the
+    whole hash array inside the per-window lambda (Spark does not cache
+    outer expressions referenced by higher-order functions) — O(n^2) md5
+    calls per document; the exploded form is linear and its one shuffle
+    moves ~doc-sized 8-hex keys. Grouping the output by fingerprint (or
+    feeding _cooccurrence_member_pairs) finds substring-sharing documents.
+    """
+    from pyspark.sql import Window as W
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    n_grams = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.substring(F.md5(F.substr(norm, i, F.lit(k))), 1, 8),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.posexplode(hashes).alias("pos", "h")
+    )
+    frame = W.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    whole = W.partitionBy("id")
+    fp = exploded.select(
+        "id",
+        F.min("h").over(frame).alias("fingerprint"),
+        F.count("h").over(frame).alias("_in_frame"),
+        F.count("h").over(whole).alias("_total"),
+    ).filter(
+        # full windows only — except a doc shorter than the window, whose
+        # single partial window is kept (mirrors slice semantics)
+        F.col("_in_frame") == F.least(F.lit(window), F.col("_total"))
+    )
+    return fp.select("id", "fingerprint").distinct()
+
+
 def simhash16(text_col):
     """16-bit portable simhash: for hex position i in md5(word), bit = 1 iff
     the majority of words have digit >= 8 (top bit of the nibble)."""

@@ -267,7 +267,10 @@ def winnow_fingerprint_table(
     substring of length >= k + window - 1 yields a shared fingerprint.
 
     Plan shape: k-gram hashes posexplode to (id, pos, h8) rows, the window
-    minimum is a sliding FRAME over a per-id window, then distinct. A pure
+    minimum is a sliding FRAME over a per-id window, then distinct. Cost
+    is ~one md5 per character of corpus (heavier than the other dedup
+    signatures — budget accordingly, or raise k/window, or winnow over
+    word-grams for a ~6x cheaper variant with a per-word guarantee). A pure
     array-expression formulation would look cheaper but re-evaluates the
     whole hash array inside the per-window lambda (Spark does not cache
     outer expressions referenced by higher-order functions) — O(n^2) md5

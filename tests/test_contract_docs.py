@@ -2,14 +2,18 @@
 
 from __future__ import annotations
 
+import ast
 import re
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
 
 
 def test_coverage_md_query_names_exist():
     import __spark_entry__ as e
 
     qs = set(e.queries())
-    text = open("COVERAGE.md").read()
+    text = (REPO / "COVERAGE.md").read_text()
     referenced = set(re.findall(r"(\w+) \[(?:sql|rows)\]", text))
     missing = referenced - qs
     assert not missing, f"COVERAGE.md references unknown queries: {sorted(missing)}"
@@ -32,7 +36,20 @@ def test_every_query_has_oracle_or_documented_rows_only():
 def test_bench_queries_exist():
     import __spark_entry__ as e
 
-    src = open("bench.py").read()
-    listed = re.findall(r'^\s+"(\w+)",$', src.split("bench_queries = [")[1].split("]")[0], re.M)
+    tree = ast.parse((REPO / "bench.py").read_text())
+    listed: list[str] | None = None
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.Assign)
+            and any(
+                isinstance(t, ast.Name) and t.id == "bench_queries"
+                for t in node.targets
+            )
+            and isinstance(node.value, ast.List)
+        ):
+            listed = [
+                c.value for c in node.value.elts if isinstance(c, ast.Constant)
+            ]
+    assert listed, "bench_queries list not found in bench.py"
     missing = set(listed) - set(e.queries())
     assert not missing, f"bench.py lists unknown queries: {sorted(missing)}"

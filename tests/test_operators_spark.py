@@ -403,10 +403,20 @@ def test_winnowing_guarantee_shared_substring_shared_fingerprint(spark):
         (3, "zzzz qqqq xxxx jjjj kkkk vvvv wwww yyyy zzzz qqqq xxxx"),
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
-    fps = winnow_fingerprint_table(df, k=8, window=4)
-    by_id = {
-        i: {r["fingerprint"] for r in fps.filter(fps.id == i).collect()}
-        for i in (1, 2, 3)
-    }
+    rows = winnow_fingerprint_table(df, k=8, window=4).collect()
+    by_id: dict = {1: set(), 2: set(), 3: set()}
+    for r in rows:  # one job, grouped driver-side
+        by_id[r["id"]].add(r["fingerprint"])
     assert by_id[1] & by_id[2], "shared substring must share a fingerprint"
     assert not (by_id[1] & by_id[3]) and not (by_id[2] & by_id[3])
+
+
+def test_winnowing_skips_null_text(spark):
+    from textractssmlprocessor_spark.operators.dedup import winnow_fingerprint_table
+
+    df = spark.createDataFrame(
+        [(1, "some real content for fingerprinting here"), (2, None)],
+        "doc_id long, text string",
+    )
+    rows = winnow_fingerprint_table(df).collect()
+    assert rows and all(r["id"] == 1 and r["fingerprint"] is not None for r in rows)

@@ -20,8 +20,15 @@ import sys
 
 # Direct `python .../jobs/extract_job.py` puts jobs/ (not the repo root) on
 # sys.path; spark-submit --py-files provides the package zip instead. Make
-# both work.
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+# both work — and export PYTHONPATH so the JVM-spawned Python WORKERS (which
+# do not inherit driver sys.path mutations) can unpickle the pandas UDFs.
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+sys.path.insert(0, _REPO_ROOT)
+os.environ["PYTHONPATH"] = (
+    _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+).rstrip(os.pathsep)
 
 
 def main() -> None:
@@ -33,27 +40,34 @@ def main() -> None:
     p.add_argument("--buckets", type=int, default=4096)
     p.add_argument("--partitions", type=int, default=None)
     p.add_argument(
-        "--input-format", default=None, choices=[None, "iceberg", "parquet"],
-        help="inferred from --input when omitted (path -> parquet, "
-        "identifier -> iceberg table)",
+        "--input-format", default=None, choices=["iceberg", "parquet"],
+        help="inferred from --input when omitted (existing path or "
+        "*.parquet -> parquet, identifier -> iceberg table)",
     )
     args = p.parse_args()
+    # bare relative dirs (no '/' or suffix) are still parquet if they exist
+    # on the local filesystem — don't surprise users with an Iceberg error
+    input_format = args.input_format
+    if input_format is None and os.path.exists(args.input):
+        input_format = "parquet"
 
     from pyspark.sql import SparkSession
 
     from textractssmlprocessor_spark import lineage as L
     from textractssmlprocessor_spark.sources import read_pages
 
-    spark = (
+    builder = (
         SparkSession.builder.appName("extract-webtext")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
     )
+    if args.partitions:
+        builder = builder.config("spark.sql.shuffle.partitions", str(args.partitions))
+    spark = builder.getOrCreate()
 
-    pages = read_pages(spark, args.input, format=args.input_format)
+    pages = read_pages(spark, args.input, format=input_format)
     langs = args.languages.split(",") if args.languages else None
     written = L.run_with_lineage(
         pages,
@@ -62,6 +76,7 @@ def main() -> None:
         lineage_path=args.lineage,
         n_buckets=args.buckets,
         languages=langs,
+        num_partitions=args.partitions,
     )
     print(f"chunks written this run: {written.count()}")
     spark.stop()

@@ -74,14 +74,22 @@ def run_with_lineage(
     lineage_path: str,
     n_buckets: int = N_BUCKETS_DEFAULT,
     languages: list[str] | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Checkpoint-resumable extraction: skip completed buckets, extract the
     rest, append output partitioned by bucket, then append lineage rows.
     Returns the chunks written in this run."""
-    from .operators.extract import extract_chunks
+    from .operators.extract import DEFAULT_SALT_PARTITIONS, extract_chunks
 
     todo = resume_filter(pages, spark, lineage_path, n_buckets)
-    chunks = with_bucket(extract_chunks(todo, languages=languages), n_buckets)
+    chunks = with_bucket(
+        extract_chunks(
+            todo,
+            languages=languages,
+            num_partitions=num_partitions or DEFAULT_SALT_PARTITIONS,
+        ),
+        n_buckets,
+    )
     # Dynamic partition overwrite makes bucket writes idempotent: a rerun of
     # a bucket that crashed between its data write and its lineage append
     # REPLACES the partial partition instead of appending duplicates.

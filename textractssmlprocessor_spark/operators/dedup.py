@@ -280,6 +280,11 @@ def winnow_fingerprint_table(
     """
     from pyspark.sql import Window as W
 
+    # NULL text is not fingerprintable: Spark would otherwise emit an
+    # (id, NULL) row (greatest(NULL,1) -> one NULL hash surviving the
+    # frame filter) while SQL engines' list_distinct strips it — and a
+    # NULL fingerprint would group all NULL-text docs as "duplicates"
+    df = df.filter(F.col(text_col).isNotNull())
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     n_grams = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
     hashes = F.transform(

@@ -1025,9 +1025,17 @@ def oracle_sql() -> dict[str, str]:
                      + (CASE WHEN embedding[57] >= 0 THEN 128 ELSE 0 END) AS bucket
                 FROM embeddings
             ),
-            q AS (SELECT v AS qv, bucket AS qbucket FROM e WHERE vec_id = 0)
+            q AS (SELECT v AS qv, bucket AS qbucket FROM e WHERE vec_id = 0),
+            -- multi-probe: query bucket plus all Hamming-1 neighbors
+            probes AS (
+                SELECT qv, unnest([qbucket,
+                    xor(qbucket, 1), xor(qbucket, 2), xor(qbucket, 4),
+                    xor(qbucket, 8), xor(qbucket, 16), xor(qbucket, 32),
+                    xor(qbucket, 64), xor(qbucket, 128)]) AS probe
+                FROM q
+            )
             SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS cosine_sim
-            FROM e, q WHERE vec_id != 0 AND bucket = qbucket
+            FROM e, probes WHERE vec_id != 0 AND bucket = probe
             ORDER BY cosine_sim DESC, vec_id LIMIT 10
         """,
         "ann_ivf_topk": """

@@ -79,16 +79,27 @@ def ann_lsh_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_bits: int = 8,
 ) -> DataFrame:
-    """Approximate top-k: score only vectors sharing the query's sign-LSH
-    bucket. Bucketing prunes the scan to ~1/2^b of the corpus."""
+    """Approximate top-k with MULTI-PROBE sign-LSH: score vectors in the
+    query's bucket plus every Hamming-1 neighbor bucket (the vectors most
+    likely separated from the query by one marginal hyperplane). Probing
+    1 + n_bits of 2^n_bits buckets keeps the scan pruned to ~(n_bits+1)/2^b
+    of the corpus while fixing single-bucket recall collapse (a near-boundary
+    query whose own bucket is sparse finds its neighbors one bit away)."""
     with_bucket = embeddings.withColumn("bucket", sign_lsh_bucket(vec_col))
-    q = with_bucket.filter(F.col(id_col) == query_id).select(
-        _doubled(vec_col).alias("qvec"), F.col("bucket").alias("qbucket")
+    probes = F.array(
+        F.col("qbucket"),
+        *[F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)],
+    )
+    q = (
+        with_bucket.filter(F.col(id_col) == query_id)
+        .select(_doubled(vec_col).alias("qvec"), F.col("bucket").alias("qbucket"))
+        .select("qvec", F.explode(probes).alias("probe"))  # 1+n_bits rows
     )
     scored = (
         with_bucket.filter(F.col(id_col) != query_id)
-        .join(F.broadcast(q), on=[F.col("bucket") == F.col("qbucket")])
+        .join(F.broadcast(q), on=[F.col("bucket") == F.col("probe")])
         .select(
             F.col(id_col),
             F.round(cosine(_doubled(vec_col), F.col("qvec")), 6).alias("cosine_sim"),

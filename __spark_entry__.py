@@ -395,16 +395,25 @@ def q_translation_ratio(spark, sf_dir):
 
 def q_running_durations(spark, sf_dir):
     # A6 cumulative audio time (reference timestamp.py:252-281): integer
-    # milliseconds so the running sum is exact in both engines
+    # milliseconds so the running sum is exact in both engines. The global
+    # running sum is BLOCKED (per-block partitioned window + prefix-scanned
+    # block offsets) — no corpus-wide single-task window.
+    from textractssmlprocessor_spark.operators.ordering import (
+        block_of,
+        blocked_running_sum,
+    )
+
     d = _docs(spark, sf_dir).select(
         "doc_id", (F.col("n_chars") * 20).cast("bigint").alias("duration_ms")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    return d.select(
+    run = blocked_running_sum(
+        d, block_of("doc_id"), ["doc_id"], "duration_ms", out="end_ms"
+    )
+    return run.select(
         "doc_id",
         "duration_ms",
-        (F.sum("duration_ms").over(w) - F.col("duration_ms")).alias("start_ms"),
-        F.sum("duration_ms").over(w).alias("end_ms"),
+        (F.col("end_ms") - F.col("duration_ms")).alias("start_ms"),
+        "end_ms",
     )
 
 
@@ -429,14 +438,18 @@ def q_srt_times(spark, sf_dir):
 
 
 def q_prev_next(spark, sf_dir):
-    # J2 prev/next navigation (reference app.py:119-125)
-    d = _docs(spark, sf_dir)
-    w = Window.orderBy("doc_id")
-    return d.select(
-        "doc_id",
-        F.lag("source").over(w).alias("prev_source"),
-        F.lead("source").over(w).alias("next_source"),
+    # J2 prev/next navigation (reference app.py:119-125), blocked lag/lead:
+    # within-block window + boundary values via the tiny block table
+    from textractssmlprocessor_spark.operators.ordering import (
+        block_of,
+        blocked_lag_lead,
     )
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    return blocked_lag_lead(
+        d, block_of("doc_id"), ["doc_id"], "source",
+        prev_out="prev_source", next_out="next_source",
+    ).select("doc_id", "prev_source", "next_source")
 
 
 def q_part_renumber(spark, sf_dir):
@@ -458,18 +471,28 @@ def q_numeric_chunk_sort(spark, sf_dir):
             F.lit(".txt"),
         ).alias("fname"),
     )
+    # numeric key is the leading sort prefix -> it IS the block (<=991
+    # distinct values here); row_number within key by fname + key offsets
+    from textractssmlprocessor_spark.operators.ordering import blocked_row_number
+
     key = F.regexp_extract("fname", r"_chunk_(\d+)\.txt$", 1).cast("bigint")
-    w = Window.orderBy(key, "fname")
-    return d.select("doc_id", "fname", F.row_number().over(w).cast("bigint").alias("rank"))
+    return blocked_row_number(d, key, ["fname"], out="rank").select(
+        "doc_id", "fname", "rank"
+    )
 
 
 def q_resume_skip(spark, sf_dir):
     # J5 global part numbering + resume skip (reference
-    # ssml_processing.py:91-110): row_number over global order, skip < start
-    d = _docs(spark, sf_dir)
-    w = Window.orderBy("doc_id")
+    # ssml_processing.py:91-110): blocked global row_number, skip < start
+    from textractssmlprocessor_spark.operators.ordering import (
+        block_of,
+        blocked_row_number,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
     return (
-        d.select("doc_id", F.row_number().over(w).cast("bigint").alias("global_part"))
+        blocked_row_number(d, block_of("doc_id"), ["doc_id"], out="global_part")
+        .select("doc_id", "global_part")
         .filter(F.col("global_part") >= 100)
     )
 
@@ -610,15 +633,24 @@ def q_ocr_reconstruct(spark, sf_dir):
 
 
 def q_extract_chunks(spark, sf_dir):
+    # Contract projection only: spans (array<struct>) serializes to its JSON
+    # form because the driver's pandas canonicalizer cannot factorize list
+    # cells (round-1 `err`); the operator itself keeps the typed column.
     from textractssmlprocessor_spark.operators.extract import extract_chunks
 
-    return extract_chunks(_pages(spark, sf_dir), num_partitions=32)
+    return extract_chunks(_pages(spark, sf_dir), num_partitions=32).withColumn(
+        "spans", F.to_json("spans")
+    )
 
 
 def q_extract_documents(spark, sf_dir):
+    # warc_ts is projected out of the contract row: timestamp canonicalization
+    # differs across engines/timezones, and the column is pass-through anyway.
     from textractssmlprocessor_spark.operators.extract import clean_pages
 
-    return clean_pages(_pages(spark, sf_dir), num_partitions=32)
+    return clean_pages(_pages(spark, sf_dir), num_partitions=32).select(
+        "url", "lang", "extracted_text"
+    )
 
 
 def q_split_ssml(spark, sf_dir):

@@ -18,20 +18,26 @@ import argparse
 import os
 import sys
 
-# Direct `python .../jobs/extract_job.py` puts jobs/ (not the repo root) on
-# sys.path; spark-submit --py-files provides the package zip instead. Make
-# both work — and export PYTHONPATH so the JVM-spawned Python WORKERS (which
-# do not inherit driver sys.path mutations) can unpickle the pandas UDFs.
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
-sys.path.insert(0, _REPO_ROOT)
-os.environ["PYTHONPATH"] = (
-    _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
-).rstrip(os.pathsep)
+
+
+def _setup_paths() -> None:
+    """Direct `python .../jobs/extract_job.py` puts jobs/ (not the repo root)
+    on sys.path; spark-submit --py-files provides the package zip instead.
+    Make both work — and export PYTHONPATH so the JVM-spawned Python WORKERS
+    (which do not inherit driver sys.path mutations) can unpickle the pandas
+    UDFs. Called only from script entry, never at import time: importing this
+    module for tests/tools must not mutate process-global state."""
+    sys.path.insert(0, _REPO_ROOT)
+    os.environ["PYTHONPATH"] = (
+        _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+    ).rstrip(os.pathsep)
 
 
 def main() -> None:
+    _setup_paths()
     p = argparse.ArgumentParser()
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)

@@ -81,6 +81,16 @@ def run_with_lineage(
     Returns the chunks written in this run."""
     from .operators.extract import DEFAULT_SALT_PARTITIONS, extract_chunks
 
+    # The buckets this run owns are knowable BEFORE any scan: every bucket
+    # not yet recorded done in the (tiny) lineage table. Computing them
+    # driver-side keeps the post-write read-back partition-PRUNED to this
+    # run's buckets — re-reading the whole accumulated output and
+    # anti-joining would scan 100 TB of prior runs to find this run's rows.
+    done = {
+        r["bucket"]
+        for r in completed_buckets(spark, lineage_path).select("bucket").collect()
+    }
+    todo_buckets = [b for b in range(n_buckets) if b not in done]
     todo = resume_filter(pages, spark, lineage_path, n_buckets)
     chunks = with_bucket(
         extract_chunks(
@@ -96,12 +106,11 @@ def run_with_lineage(
     chunks.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("bucket").parquet(output_path)
-    written = spark.read.parquet(output_path).join(
-        F.broadcast(
-            completed_buckets(spark, lineage_path).select("bucket")
-        ),
-        on="bucket",
-        how="left_anti",
+    # Lineage rows come from the files just written (the durable truth, not
+    # a recompute of the UDF pipeline); the isin filter prunes the read to
+    # this run's bucket partitions only.
+    written = spark.read.parquet(output_path).filter(
+        F.col("bucket").isin(todo_buckets)
     )
     lineage_rows(written).write.mode("append").parquet(lineage_path)
     return written

@@ -900,6 +900,19 @@ _WORD_RE_SQL = r"\b[\w-]+\b"
 _BPE_RE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+def _golden(query: str) -> str:
+    """Fixture-golden oracle: a DuckDB read of the expected-output parquet
+    precomputed by tools/make_goldens.py (pure single-process Python over the
+    reference-parity functions — see tools/golden_oracle.py). The driver runs
+    at sf0.01 (the default); tools/check_correctness.py overrides
+    SPARK_GRAFT_GOLDEN_SF to match its sf_dir."""
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_GOLDEN_SF", "sf0.01")
+    here = os.path.dirname(os.path.abspath(__file__))
+    return f"SELECT * FROM read_parquet('{here}/goldens/{sf}/{query}.parquet')"
+
+
 def oracle_sql() -> dict[str, str]:
     from textractssmlprocessor_spark.operators.textstats import STOPWORDS
 
@@ -1485,4 +1498,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, string_agg(line_text, chr(10) ORDER BY page_no, line_no) AS reconstructed_text
             FROM kept GROUP BY url
         """,
+        # Fixture-golden oracles: the six Python-semantics queries (sentence
+        # chunking, DOM conversion, SSML normalization, stateful splitters,
+        # corpus-wide first-wins dedup, SRT assembly) are not RE2/SQL-
+        # expressible. Expected outputs are precomputed by
+        # tools/make_goldens.py in ONE Python process (tools/golden_oracle.py
+        # — the pure reference-parity functions, no Spark) and served to
+        # DuckDB as parquet, turning the former rows-only checks into full
+        # rows+schema+hash comparisons.
+        "extract_documents": _golden("extract_documents"),
+        "extract_chunks": _golden("extract_chunks"),
+        "split_ssml": _golden("split_ssml"),
+        "validate_corpus": _golden("validate_corpus"),
+        "srt_generate": _golden("srt_generate"),
+        "dup_sentences": _golden("dup_sentences"),
     }

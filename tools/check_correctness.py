@@ -47,6 +47,8 @@ def value_hash(df) -> tuple[int, list, str]:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # point the fixture-golden oracles at this scale factor's goldens
+    os.environ["SPARK_GRAFT_GOLDEN_SF"] = os.path.basename(sf_dir.rstrip("/"))
 
     import duckdb
 

@@ -312,6 +312,28 @@ def test_minhash_max_bucket_cap_semantics(spark):
     assert minhash_lsh_pairs(docs, max_bucket=3).count() == 0
 
 
+def test_pairwise_near_dupes_bits_and_cap(spark):
+    from textractssmlprocessor_spark.operators.similarity import (
+        lsh_dims,
+        pairwise_near_duplicates,
+    )
+
+    import pytest as _pytest
+
+    # three identical vectors + one orthogonal-ish one
+    v = [1.0, -1.0] * 32
+    rows = [(i, v) for i in range(3)] + [(9, [-1.0, 1.0] * 32)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assert pairwise_near_duplicates(emb).count() == 3  # C(3,2)
+    # wider bucket hash: identical vectors still collide
+    assert pairwise_near_duplicates(emb, n_bits=16).count() == 3
+    # cap below the bucket size skips the degenerate bucket (documented)
+    assert pairwise_near_duplicates(emb, max_bucket=2).count() == 0
+    assert lsh_dims(8) == [1, 9, 17, 25, 33, 41, 49, 57]
+    with _pytest.raises(ValueError):
+        lsh_dims(65)
+
+
 def test_read_pages_parquet_and_validation(spark, sf_dir, tmp_path):
     import pytest as _pytest
 

@@ -32,9 +32,18 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     """Spread a possibly few-partition input (single parquet file) across the
     cluster BEFORE the md5-heavy shingle/signature computation — otherwise
     the whole corpus hashes on a handful of tasks. At real scale the scan
-    already has thousands of splits; this keeps small inputs honest too."""
+    already has thousands of splits; this keeps small inputs honest too.
+
+    The few-partition check uses inputFiles() (source metadata, no job) —
+    NOT df.rdd.getNumPartitions(), whose RDD conversion costs a full plan
+    translation per call at cluster scale. Non-file sources report zero
+    input files and get the (cheap, correct) repartition."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= parallelism:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= parallelism:
         return df
     return df.repartition(parallelism, F.col(id_col))
 
@@ -184,7 +193,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
-    materialize: bool = True,
+    materialize: bool | str = True,
     max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate pairs from banded MinHash buckets, verified with exact
@@ -199,8 +208,12 @@ def minhash_lsh_pairs(
 
     The signature table feeds three subtrees (bands + both verify sides);
     without materialization Spark recomputes the 16-seed md5 minhash per
-    subtree. ``materialize=True`` localCheckpoints it once (executor-local
-    storage); a production run would write it to a table instead.
+    subtree. ``materialize=True`` localCheckpoints it once — fastest for
+    single-node/local runs, but executor-LOCAL blocks are unrecoverable on
+    executor loss, so one transient failure fails a cluster job.
+    ``materialize="persist"`` uses replicated DISK_ONLY storage instead
+    (recoverable; the right default on a multi-executor cluster — or write
+    the signature table out and re-read it for full durability).
 
     ``max_bucket`` is None by default — every colliding pair is a
     candidate, matching the uncapped banded-self-join semantics (and the
@@ -213,7 +226,11 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         hashed_shingles(F.col(text_col), n).alias("sh"),
     ).withColumn("mh", minhash_signature_from_hashed(F.col("sh"), num_hashes))
-    if materialize:
+    if materialize == "persist":
+        from pyspark.storagelevel import StorageLevel
+
+        sig = sig.persist(StorageLevel.DISK_ONLY)
+    elif materialize:
         sig = sig.localCheckpoint(eager=False)
 
     shingle_tbl = sig.select("id", "sh")

@@ -58,11 +58,23 @@ def cosine_topk(
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
 
 
+def lsh_dims(n_bits: int = 8, dim_count: int = 64) -> list[int]:
+    """The 1-based vector dimensions whose sign bits form the bucket id:
+    n_bits dims spread evenly across the vector. n_bits=8/dim_count=64
+    reproduces the original [1, 9, ..., 57] layout. Bucket width scales
+    with corpus size — bits ≈ log2(n) - log2(target bucket size) keeps
+    expected bucket occupancy constant as n grows."""
+    if not 1 <= n_bits <= dim_count:
+        raise ValueError(f"n_bits must be in [1, {dim_count}], got {n_bits}")
+    stride = dim_count // n_bits
+    return [1 + stride * i for i in range(n_bits)]
+
+
 def sign_lsh_bucket(vec_col: str, dims: list[int] | None = None) -> Column:
     """Bucket id from sign bits of selected dimensions — a deterministic,
     engine-portable random-hyperplane LSH surrogate (axis-aligned planes)."""
     if dims is None:
-        dims = [1, 9, 17, 25, 33, 41, 49, 57]
+        dims = lsh_dims()
     bit_terms = [
         F.when(F.element_at(F.col(vec_col), d) >= 0, F.lit(2 ** i)).otherwise(F.lit(0))
         for i, d in enumerate(dims)
@@ -86,8 +98,13 @@ def ann_lsh_topk(
     likely separated from the query by one marginal hyperplane). Probing
     1 + n_bits of 2^n_bits buckets keeps the scan pruned to ~(n_bits+1)/2^b
     of the corpus while fixing single-bucket recall collapse (a near-boundary
-    query whose own bucket is sparse finds its neighbors one bit away)."""
-    with_bucket = embeddings.withColumn("bucket", sign_lsh_bucket(vec_col))
+    query whose own bucket is sparse finds its neighbors one bit away).
+
+    ``n_bits`` drives BOTH the bucket hash and the probe set (dims derive
+    from lsh_dims(n_bits), so probes can never XOR a bit the bucket doesn't
+    have)."""
+    dims = lsh_dims(n_bits)
+    with_bucket = embeddings.withColumn("bucket", sign_lsh_bucket(vec_col, dims))
     probes = F.array(
         F.col("qbucket"),
         *[F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)],
@@ -188,22 +205,42 @@ def pairwise_near_duplicates(
     threshold: float = 0.99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_bits: int = 8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within LSH buckets (scale path for
-    embedding dedup): bucket self-join -> cosine filter."""
+    embedding dedup).
+
+    Candidates come from group-and-pair-explode over the bucket key
+    (dedup._cooccurrence_member_pairs) on a NARROW (id, bucket) table — the
+    same machinery as minhash_lsh_pairs, NOT a bucket self-join: singleton
+    buckets die at the first aggregation, per-output-row allocation is
+    O(group), and ``max_bucket`` caps degenerate buckets (an all-zeros
+    embedding cluster). Vectors join back once per surviving candidate.
+
+    Size ``n_bits`` with the corpus: bits ≈ log2(n) - log2(target bucket
+    size). The fixed-256-bucket default is for small/oracle runs; at 10^9
+    vectors use ~30 bits so expected bucket occupancy stays ~constant
+    (a fixed-width bucket table degenerates to all-pairs as n grows)."""
+    from .dedup import _cooccurrence_member_pairs
+
     b = embeddings.select(
         F.col(id_col).alias("id"),
         _doubled(vec_col).alias("v"),
-        sign_lsh_bucket(vec_col).alias("bucket"),
+        sign_lsh_bucket(vec_col, lsh_dims(n_bits)).alias("bucket"),
     )
+    # each vector lands in exactly one bucket -> pairs are already unique
+    cand = _cooccurrence_member_pairs(
+        b.select("id", "bucket"), "bucket", F.col("id"), max_group=max_bucket
+    ).select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+    vecs = b.select("id", "v")
     return (
-        b.alias("a")
-        .join(b.alias("x"), on="bucket", how="inner")
-        .filter(F.col("a.id") < F.col("x.id"))
+        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b")
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("x.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("x.v")), 6).alias("cosine_sim"),
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )

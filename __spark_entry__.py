@@ -222,9 +222,22 @@ def _emb_with_dupes(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
+    # IVF-flat search over deterministic k-means centroids (2 Lloyd
+    # iterations, first-k seeds; oracle replays the identical trajectory)
     from textractssmlprocessor_spark.operators.similarity import ann_ivf_topk
 
     return ann_ivf_topk(_emb(spark, sf_dir), query_id=0, k=10, n_cells=8)
+
+
+def q_kmeans_centroids(spark, sf_dir):
+    # deterministic k-means trainer output, exploded to (cell, dim, value)
+    from textractssmlprocessor_spark.operators.similarity import kmeans_centroids
+
+    cents = kmeans_centroids(_emb(spark, sf_dir), k=8, iters=2)
+    return cents.select(
+        F.col("cell").cast("bigint").alias("cell"),
+        F.posexplode("cvec").alias("dim", "value"),
+    ).select("cell", F.col("dim").cast("bigint").alias("dim"), F.round("value", 6).alias("value"))
 
 
 def q_embedding_near_dupes(spark, sf_dir):
@@ -495,6 +508,20 @@ def q_resume_skip(spark, sf_dir):
         .select("doc_id", "global_part")
         .filter(F.col("global_part") >= 100)
     )
+
+
+def q_synchronized_texts(spark, sf_dir):
+    # T14 read-back: get_synchronized_texts (reference utils.py:226-234) —
+    # pair original + annotated streams per book in chunk order
+    from textractssmlprocessor_spark.operators.extract import synchronized_texts
+
+    chunks = _docs(spark, sf_dir).select(
+        F.col("source").alias("url"),
+        F.col("doc_id").alias("chunk_number"),
+        F.col("text").alias("extracted_text"),
+        F.concat(F.lit("<speak>"), F.col("text"), F.lit("</speak>")).alias("ssml"),
+    )
+    return synchronized_texts(chunks)
 
 
 def q_media_metadata(spark, sf_dir):
@@ -870,8 +897,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "kmeans_centroids": q_kmeans_centroids,
         "embedding_near_dupes": q_embedding_near_dupes,
         "media_metadata": q_media_metadata,
+        "synchronized_texts": q_synchronized_texts,
         "polly_assignment": q_polly_assignment,
         "ssml_display_text": q_ssml_display_text,
         "chapter_titles": q_chapter_titles,
@@ -898,6 +927,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _WORD_RE_SQL = r"\b[\w-]+\b"
 _BPE_RE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """CTE chain replaying kmeans_centroids' exact trajectory in DuckDB:
+    first-k seeds, per-iteration argmax-cosine assignment (sims rounded to
+    6, ties to lowest cell) and element-wise mean update (components
+    rounded to 6) — the per-iteration quantization is what keeps both
+    engines' float sums in lockstep. Yields CTE c{iters} = (cell, cvec)."""
+    parts = [
+        "e AS (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id::INT AS cell, v AS cvec FROM e ORDER BY vec_id LIMIT {k})",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"s{t} AS (SELECT e.vec_id AS id, e.v, c.cell, "
+            "round(list_cosine_similarity(e.v, c.cvec), 6) AS sim "
+            f"FROM e CROSS JOIN c{t-1} c)"
+        )
+        parts.append(
+            f"a{t} AS (SELECT id, v, cell FROM (SELECT id, v, cell, "
+            "row_number() OVER (PARTITION BY id ORDER BY sim DESC, cell) AS rn "
+            f"FROM s{t}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"m{t} AS (SELECT cell, g.i, round(avg(v[g.i]), 6) AS m "
+            f"FROM a{t}, unnest(generate_series(1, {dim})) AS g(i) "
+            "GROUP BY cell, g.i)"
+        )
+        parts.append(
+            f"c{t} AS (SELECT cell, list(m ORDER BY i) AS cvec FROM m{t} GROUP BY cell)"
+        )
+    return ",\n            ".join(parts)
 
 
 def _golden(query: str) -> str:
@@ -1083,13 +1144,12 @@ def oracle_sql() -> dict[str, str]:
             FROM e, probes WHERE vec_id != 0 AND bucket = probe
             ORDER BY cosine_sim DESC, vec_id LIMIT 10
         """,
-        "ann_ivf_topk": """
-            WITH e AS (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS v FROM embeddings),
-            c AS (SELECT vec_id::INT AS cell, v AS cvec FROM e ORDER BY vec_id LIMIT 8),
+        "ann_ivf_topk": f"""
+            WITH {_kmeans_sql(8, 2)},
             scored AS (
                 SELECT e.vec_id AS id, e.v, c.cell,
                        round(list_cosine_similarity(e.v, c.cvec), 6) AS sim
-                FROM e CROSS JOIN c
+                FROM e CROSS JOIN c2 c
             ),
             assigned AS (
                 SELECT id, v, cell FROM (
@@ -1102,6 +1162,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS vec_id, round(list_cosine_similarity(v, qvec), 6) AS cosine_sim
             FROM assigned, q WHERE id != 0 AND cell = qcell
             ORDER BY cosine_sim DESC, vec_id LIMIT 10
+        """,
+        "kmeans_centroids": f"""
+            WITH {_kmeans_sql(8, 2)}
+            SELECT cell::BIGINT AS cell, (g.i - 1)::BIGINT AS dim,
+                   round(cvec[g.i], 6) AS value
+            FROM c2, unnest(generate_series(1, 64)) AS g(i)
         """,
         "embedding_near_dupes": """
             WITH base AS (
@@ -1506,6 +1572,13 @@ def oracle_sql() -> dict[str, str]:
         # — the pure reference-parity functions, no Spark) and served to
         # DuckDB as parquet, turning the former rows-only checks into full
         # rows+schema+hash comparisons.
+        "synchronized_texts": """
+            SELECT source AS url,
+                   string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS original_text,
+                   string_agg('<speak>' || text || '</speak>', chr(10) || chr(10) ORDER BY doc_id) AS translated_text
+            FROM documents
+            GROUP BY source
+        """,
         "extract_documents": _golden("extract_documents"),
         "extract_chunks": _golden("extract_chunks"),
         "split_ssml": _golden("split_ssml"),

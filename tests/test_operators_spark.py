@@ -334,6 +334,74 @@ def test_pairwise_near_dupes_bits_and_cap(spark):
         lsh_dims(65)
 
 
+def test_polly_sink_writes_files(spark, tmp_path):
+    from textractssmlprocessor_spark.operators.polly import (
+        assign_voices,
+        polly_sink,
+        synthesize_fake,
+    )
+
+    chunks = spark.createDataFrame(
+        [("bookA", 1, "<speak>one</speak>", "Ruth"),
+         ("bookA", 2, "<speak>two</speak>", "Gregory"),
+         ("bookB", 1, "<speak>tres</speak>", None)],
+        "url string, chunk_number int, ssml string, voice string",
+    )
+    assigned = assign_voices(chunks)
+    out = str(tmp_path / "audio")
+    polly_sink(assigned, out)
+    rows = assigned.collect()
+    import os
+
+    assert len(os.listdir(out)) == 3
+    for r in rows:
+        with open(os.path.join(out, r["output_file"]), "rb") as f:
+            assert f.read() == synthesize_fake(r["ssml"], r["voice_id"], r["engine"])
+
+
+def test_srt_file_sink_roundtrip(spark, tmp_path):
+    """K4 4-file layout: write via foreachPartition, re-read byte-identical
+    to the per-variant generate_srt output."""
+    import os
+    from urllib.parse import quote
+
+    from pyspark.sql import functions as F
+
+    from textractssmlprocessor_spark.operators.align import (
+        SRT_VARIANTS,
+        generate_srt,
+        save_srt_files,
+        srt_variants,
+    )
+
+    chunks = spark.createDataFrame(
+        [("u/1", 1, "Prima pars longa satis. Altera sententia!",
+          "<speak>First long enough part. Second sentence!</speak>"),
+         ("u/1", 2, "Tertia pars hic est.", "<speak>Third part is here.</speak>"),
+         ("u2", 1, "Sola pars.", "<speak>A lonely part.</speak>")],
+        "url string, chunk_number int, extracted_text string, ssml string",
+    )
+    manifest = chunks.select(
+        "url", F.col("chunk_number").alias("part_no"),
+        (F.length("extracted_text") * 0.06).alias("duration"),
+    )
+    variants = srt_variants(chunks, manifest)
+    out = str(tmp_path / "srt")
+    save_srt_files(variants, out)
+    for name in SRT_VARIANTS:
+        language, shorter = name.split("_")
+        expected = {
+            r["url"]: r["srt"]
+            for r in generate_srt(
+                chunks, manifest, language, shorter == "shorter"
+            ).collect()
+        }
+        for url, srt in expected.items():
+            path = os.path.join(out, quote(url, safe=""), f"{name}.srt")
+            with open(path, encoding="utf-8") as f:
+                assert f.read() == srt, (name, url)
+
+
 def test_read_pages_parquet_and_validation(spark, sf_dir, tmp_path):
     import pytest as _pytest
 

@@ -174,3 +174,52 @@ def generate_srt(
     subs = explode_subtitles(aligned, language, use_shorter_subtitles,
                              project_col=project_col)
     return srt_content(subs, project_col)
+
+
+SRT_VARIANTS = (
+    "english_original", "english_shorter", "latin_original", "latin_shorter",
+)
+
+
+def srt_variants(
+    chunks: DataFrame, manifest: DataFrame, project_col: str = "url"
+) -> DataFrame:
+    """All four reference SRT documents per project (timestamp.py:209-224's
+    file set) as one row: english/latin x original/shorter. The alignment
+    subtree is shared; outer join keeps projects where one language side
+    produced no subtitles."""
+    aligned = align_chunks_to_audio(chunks, manifest, project_col)
+    out = None
+    for name in SRT_VARIANTS:
+        language, shorter = name.split("_")
+        shorter = shorter == "shorter"
+        subs = explode_subtitles(aligned, language, shorter, project_col=project_col)
+        doc = srt_content(subs, project_col).withColumnRenamed("srt", name)
+        out = doc if out is None else out.join(doc, project_col, "full_outer")
+    return out
+
+
+def save_srt_files(
+    variants: DataFrame, output_dir: str, project_col: str = "url"
+) -> None:
+    """SRT text sink (K4, reference timestamp.py:209-224): writes
+    ``<output_dir>/<project>/{english,latin}_{original,shorter}.srt``
+    executor-side via foreachPartition (no driver collect); project names
+    are percent-encoded to be filesystem-safe."""
+    names = SRT_VARIANTS
+
+    def write_partition(it):
+        import os
+        from urllib.parse import quote
+
+        for r in it:
+            d = os.path.join(output_dir, quote(r[project_col], safe=""))
+            os.makedirs(d, exist_ok=True)
+            for name in names:
+                if r[name] is not None:
+                    with open(
+                        os.path.join(d, f"{name}.srt"), "w", encoding="utf-8"
+                    ) as f:
+                        f.write(r[name])
+
+    variants.foreachPartition(write_partition)

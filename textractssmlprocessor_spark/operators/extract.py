@@ -107,6 +107,37 @@ def extract_chunks(
     )
 
 
+def synchronized_texts(
+    chunks: DataFrame,
+    original_col: str = "extracted_text",
+    translated_col: str = "ssml",
+    project_col: str = "url",
+    order_col: str = "chunk_number",
+) -> DataFrame:
+    """Translation-log read-back (reference utils.py:226-234
+    get_synchronized_texts): pair the original and annotated text streams
+    back up per project as two '\\n\\n'-joined documents in chunk order.
+
+    The reference reads its JSONL translation log; in this engine the chunk
+    table IS the log (original=extracted_text, translated=ssml — the T14
+    write side), so the read-back is one groupBy with order-stable array
+    concat (collect_list alone has no post-shuffle order guarantee)."""
+    pair = F.struct(
+        F.col(order_col).alias("i"),
+        F.col(original_col).alias("o"),
+        F.col(translated_col).alias("t"),
+    )
+    ordered = F.array_sort(F.collect_list(pair))
+    return chunks.groupBy(project_col).agg(
+        F.array_join(F.transform(ordered, lambda s: s["o"]), "\n\n").alias(
+            "original_text"
+        ),
+        F.array_join(F.transform(ordered, lambda s: s["t"]), "\n\n").alias(
+            "translated_text"
+        ),
+    )
+
+
 def split_ssml_chunks(df: DataFrame, ssml_col: str = "ssml") -> DataFrame:
     """Tag-aware ≤2500-char re-split of normalized SSML (reference
     ssml_processing.py:9-56) -> adds (part_number, ssml_part)."""

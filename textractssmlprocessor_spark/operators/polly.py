@@ -100,3 +100,41 @@ def renumber_parts_per_book(assigned: DataFrame, book_col: str = "url") -> DataF
     (ssml_processing.py:182-197)."""
     w = Window.partitionBy(book_col).orderBy("global_part_number")
     return assigned.withColumn("book_part_number", F.row_number().over(w))
+
+
+def synthesize_fake(ssml: str, voice_id: str, engine: str) -> bytes:
+    """Deterministic stand-in for the Polly synthesize_speech network call
+    (reference ssml_processing.py:120-131): a tagged header + md5 of the
+    SSML, so tests can assert byte-identity of sink output without AWS."""
+    import hashlib
+
+    digest = hashlib.md5(ssml.encode("utf-8")).hexdigest()
+    return f"FAKEMP3|{voice_id}|{engine}|{digest}".encode("ascii")
+
+
+def _safe_filename(name: str) -> str:
+    return name.replace("/", "_").replace("\\", "_")
+
+
+def polly_sink(assigned: DataFrame, output_dir: str, synthesize=None) -> None:
+    """Pluggable audio sink: one file per chunk named ``output_file``
+    (reference ssml_processing.py:133 naming), written executor-side via
+    foreachPartition — rows never collect to the driver, each partition
+    streams its own synthesize calls (this is where the real
+    boto3 polly.synthesize_speech plugs in; per-partition client reuse,
+    the standard pattern for network sinks). Default ``synthesize`` is the
+    deterministic fake."""
+    fn = synthesize or synthesize_fake
+    rows = assigned.select("output_file", "ssml", "voice_id", "engine")
+
+    def write_partition(it):
+        import os
+
+        os.makedirs(output_dir, exist_ok=True)
+        for r in it:
+            data = fn(r["ssml"], r["voice_id"], r["engine"])
+            path = os.path.join(output_dir, _safe_filename(r["output_file"]))
+            with open(path, "wb") as f:
+                f.write(data)
+
+    rows.foreachPartition(write_partition)

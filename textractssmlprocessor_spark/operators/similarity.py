@@ -170,6 +170,44 @@ def default_centroids(
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd k-means for IVF training: seeds are the first k
+    vectors by id (reproducible, no RNG), each iteration assigns by cosine
+    against INLINED centroid literals (map-side, zero exchange of the big
+    side — same plan as ivf_assign) and recomputes centroids as the
+    element-wise mean via posexplode + (cell, dim) aggregation.
+
+    Engine-lockstep determinism: assignment sims AND updated centroid
+    components round to 6 decimals each iteration, so the DuckDB oracle
+    (whose float sums associate differently) follows the identical
+    trajectory instead of diverging ulp-by-ulp. Cells that lose all members
+    drop out (documented; with first-k seeds on real corpora this is rare).
+    Per iteration: one job over the corpus + a k-row collect. At 10^12 docs
+    train on a sample — the search structure is unchanged."""
+    cents = default_centroids(embeddings, k, id_col, vec_col)
+    for _ in range(iters):
+        assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+        cents = (
+            assigned.select("cell", F.posexplode("v").alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "m"))),
+                    lambda s: s["m"],
+                ).alias("cvec")
+            )
+        )
+    return cents
+
+
 def ann_ivf_topk(
     embeddings: DataFrame,
     query_id: int,
@@ -177,13 +215,22 @@ def ann_ivf_topk(
     n_cells: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    train_iters: int = 2,
 ) -> DataFrame:
     """IVF-flat approximate top-k: score only vectors in the query's cell.
     At 10^9 vectors the probed cell is ~1/n_cells of the corpus and the
     assignment is a broadcast map-side pass — no shuffle of the big side
     except the per-id argmin window (which a production build avoids by
-    computing argmin with aggregate expressions)."""
-    cents = default_centroids(embeddings, n_cells, id_col, vec_col)
+    computing argmin with aggregate expressions). Centroids default to the
+    deterministic k-means trainer (kmeans_centroids); pass ``centroids``
+    to search an externally-trained structure, or ``train_iters=0`` for
+    the raw first-k-seeds layout."""
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(embeddings, n_cells, train_iters, id_col, vec_col)
+    )
     assigned = ivf_assign(embeddings, cents, id_col, vec_col)
     q = assigned.filter(F.col("id") == query_id).select(
         F.col("v").alias("qvec"), F.col("cell").alias("qcell")

@@ -796,6 +796,17 @@ def q_winnow_fingerprints(spark, sf_dir):
     ).select(F.col("id").alias("doc_id"), "fingerprint")
 
 
+def q_winnow_words(spark, sf_dir):
+    # word-gram winnowing (the char variant's ~6x-cheaper scale path)
+    from textractssmlprocessor_spark.operators.dedup import (
+        winnow_word_fingerprint_table,
+    )
+
+    return winnow_word_fingerprint_table(
+        _docs(spark, sf_dir).select("doc_id", "text"), k=4, window=4
+    ).select(F.col("id").alias("doc_id"), "fingerprint")
+
+
 def q_media_features(spark, sf_dir):
     # REAL multimodal feature extraction: L2-normalized 64-bin byte
     # histogram over the binary payload (consumable by cosine_topk/ANN)
@@ -907,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_frames": q_sample_frames,
         "sessionize_events": q_sessionize_events,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_words": q_winnow_words,
         "media_features": q_media_features,
         "resize_media": q_resize_media,
         # OCR block-to-line reconstruction (north-star path)
@@ -1397,6 +1409,38 @@ def oracle_sql() -> dict[str, str]:
                            generate_series(1, greatest(len(nrm) - 7, 1)),
                            i -> substr(md5(substr(nrm, i, 8)), 1, 8)) AS hs
                 FROM d
+            ),
+            w AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(len(hs) - 3, 1)),
+                           j -> list_min(hs[j:j+3]))) AS fps
+                FROM h
+            )
+            SELECT doc_id, unnest(fps) AS fingerprint FROM w
+        """,
+        "winnow_words": """
+            WITH d AS (
+                SELECT doc_id,
+                       string_split(
+                           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                           ' ') AS ws
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       CASE WHEN len(ws) >= 4
+                            THEN list_transform(
+                                generate_series(1, len(ws) - 3),
+                                i -> array_to_string(ws[i:i+3], ' '))
+                            ELSE [array_to_string(ws, ' ')]
+                       END AS grams
+                FROM d
+            ),
+            h AS (
+                SELECT doc_id,
+                       list_transform(grams, g -> substr(md5(g), 1, 8)) AS hs
+                FROM g
             ),
             w AS (
                 SELECT doc_id,

@@ -91,7 +91,7 @@ def main() -> None:
     # `cores` partitions: the dense skew tail balances at 1x after url-hash
     # spread; finer fan-out only adds task+shuffle overhead (BENCH/BASELINE)
     flagship_sec = best_of(
-        lambda: run_noop(extract_chunks(big, num_partitions=cores))
+        lambda: run_noop(extract_chunks(big, num_partitions=cores)), runs=3
     )
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(n_big / flagship_sec, 2)

@@ -326,6 +326,57 @@ def winnow_fingerprint_table(
     return fp.select("id", "fingerprint").distinct()
 
 
+def winnow_word_fingerprint_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 4,
+) -> DataFrame:
+    """Word-gram winnowing: the character variant's scale path (~1 md5 per
+    WORD of corpus instead of per character, ~6x cheaper) with a per-word
+    match guarantee — any shared run of >= k + window - 1 words yields a
+    shared fingerprint.
+
+    Plan: posexplode words once, then BOTH the k-gram assembly (lead()
+    chain, concat_ws skips the nulls past the tail so a doc shorter than k
+    keeps its single partial gram — mirroring the char variant's slice
+    semantics) and the window minimum ride the same
+    partitionBy(id).orderBy(pos) window: ONE shuffle, one sort, linear
+    md5 count. No array lambdas referencing outer expressions (the
+    re-evaluation trap documented on the char variant)."""
+    from pyspark.sql import Window as W
+
+    df = df.filter(F.col(text_col).isNotNull())
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    words = df.select(
+        F.col(id_col).alias("id"), F.posexplode(F.split(norm, " ")).alias("pos", "w")
+    )
+    wspec = W.partitionBy("id").orderBy("pos")
+    whole = W.partitionBy("id")
+    gram = F.concat_ws(
+        " ", F.col("w"), *[F.lead("w", i).over(wspec) for i in range(1, k)]
+    )
+    grams = (
+        words.select(
+            "id", "pos", gram.alias("gram"), F.count("w").over(whole).alias("_n")
+        )
+        .filter(
+            (F.col("pos") <= F.col("_n") - k)
+            | ((F.col("_n") < k) & (F.col("pos") == 0))
+        )
+        .select("id", "pos", F.substring(F.md5("gram"), 1, 8).alias("h"))
+    )
+    frame = W.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    fp = grams.select(
+        "id",
+        F.min("h").over(frame).alias("fingerprint"),
+        F.count("h").over(frame).alias("_in_frame"),
+        F.count("h").over(whole).alias("_total"),
+    ).filter(F.col("_in_frame") == F.least(F.lit(window), F.col("_total")))
+    return fp.select("id", "fingerprint").distinct()
+
+
 def simhash16(text_col):
     """16-bit portable simhash: for hex position i in md5(word), bit = 1 iff
     the majority of words have digit >= 8 (top bit of the nibble)."""

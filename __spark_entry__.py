@@ -240,6 +240,14 @@ def q_kmeans_centroids(spark, sf_dir):
     ).select("cell", F.col("dim").cast("bigint").alias("dim"), F.round("value", 6).alias("value"))
 
 
+def q_knn_join(spark, sf_dir):
+    # batch top-k retrieval (knn-join) for 4 query vectors, k=5
+    from textractssmlprocessor_spark.operators.similarity import knn_join
+
+    emb = _emb(spark, sf_dir)
+    return knn_join(emb, emb.filter(F.col("vec_id") < 4), k=5)
+
+
 def q_embedding_near_dupes(spark, sf_dir):
     from textractssmlprocessor_spark.operators.similarity import (
         pairwise_near_duplicates,
@@ -909,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "kmeans_centroids": q_kmeans_centroids,
+        "knn_join": q_knn_join,
         "embedding_near_dupes": q_embedding_near_dupes,
         "media_metadata": q_media_metadata,
         "synchronized_texts": q_synchronized_texts,
@@ -1174,6 +1183,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS vec_id, round(list_cosine_similarity(v, qvec), 6) AS cosine_sim
             FROM assigned, q WHERE id != 0 AND cell = qcell
             ORDER BY cosine_sim DESC, vec_id LIMIT 10
+        """,
+        "knn_join": """
+            WITH e AS (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS v FROM embeddings),
+            q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 4),
+            s AS (
+                SELECT q.q_id, e.vec_id,
+                       round(list_cosine_similarity(e.v, q.qv), 6) AS cosine_sim
+                FROM e CROSS JOIN q WHERE e.vec_id != q.q_id
+            )
+            SELECT q_id, vec_id, cosine_sim FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY q_id ORDER BY cosine_sim DESC, vec_id) AS rn
+                FROM s
+            ) WHERE rn <= 5
         """,
         "kmeans_centroids": f"""
             WITH {_kmeans_sql(8, 2)}

@@ -170,6 +170,54 @@ def default_centroids(
     )
 
 
+def knn_join(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "vec_id",
+    q_vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Batch top-k retrieval: for EVERY query row, the k nearest corpus
+    vectors by cosine — the knn-join primitive behind reference-set dedup
+    and retrieval over a training corpus.
+
+    Scale shape: the (small) query table broadcasts, scoring is one
+    map-side pass producing narrow (q_id, id, sim) rows; top-k is TWO
+    phases — per-(q_id, input partition) row_number keeps k rows per
+    partition (the one shuffle moves Q x P x k survivors... the shuffle key
+    (q_id, partition id) has Q x P cardinality, so no single hot reducer
+    even when Q is 1), then a final per-q_id top-k over the tiny survivor
+    set. For very large corpora, pre-prune candidates with the LSH bucket
+    probe (ann_lsh_topk's pattern) before calling."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(q_id_col).alias("q_id"), _doubled(q_vec_col).alias("qv")
+    )
+    scored = embeddings.crossJoin(F.broadcast(q))
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col("q_id"))
+    scored = scored.select(
+        "q_id",
+        F.col(id_col),
+        F.round(cosine(_doubled(vec_col), F.col("qv")), 6).alias("cosine_sim"),
+        F.spark_partition_id().alias("_pid"),
+    )
+    order = [F.col("cosine_sim").desc(), F.col(id_col)]
+    w_local = Window.partitionBy("q_id", "_pid").orderBy(*order)
+    w_final = Window.partitionBy("q_id").orderBy(*order)
+    return (
+        scored.withColumn("_rn", F.row_number().over(w_local))
+        .filter(F.col("_rn") <= k)
+        .withColumn("_rn", F.row_number().over(w_final))
+        .filter(F.col("_rn") <= k)
+        .select("q_id", id_col, "cosine_sim")
+    )
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     k: int = 8,

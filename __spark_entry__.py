@@ -7,10 +7,12 @@ equivalent for each SQL-expressible query (identical column names; floats
 rounded to 6 in both engines; hashes are md5 so values match across engines).
 
 Queries that wrap Python-semantics UDFs (sentence chunking, DOM conversion,
-SSML normalization, stateful splitters) have no SQL oracle — the driver
-records the weaker rows-only check; their byte-level correctness is covered
-by tests/ (reference-parity + goldens + end-to-end oracle, `python -m pytest
--x -q`).
+SSML normalization, stateful splitters) are not SQL-expressible; they check
+against fixture-golden parquet oracles instead (goldens/<sf>/, precomputed
+single-process by tools/make_goldens.py from the reference-parity pure
+functions — see tools/golden_oracle.py), so EVERY query gets the full
+rows+schema+hash comparison. Byte-level reference parity is additionally
+covered by tests/ (`python -m pytest -x -q`).
 """
 
 from __future__ import annotations
@@ -662,8 +664,8 @@ def q_ocr_reconstruct(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# UDF-backed queries (no SQL oracle -> rows-only check; byte-level
-# correctness covered by the pytest suite)
+# UDF-backed queries (not SQL-expressible -> fixture-golden parquet
+# oracles; byte-level reference parity additionally covered by pytest)
 # ---------------------------------------------------------------------------
 
 
@@ -933,7 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # OCR block-to-line reconstruction (north-star path)
         "ocr_lines": q_ocr_lines,
         "ocr_reconstruct": q_ocr_reconstruct,
-        # UDF pipeline (rows-only; byte-parity via pytest)
+        # UDF pipeline (fixture-golden oracles; byte-parity via pytest)
         "extract_documents": q_extract_documents,
         "extract_chunks": q_extract_chunks,
         "split_ssml": q_split_ssml,

@@ -80,13 +80,14 @@ def main() -> None:
 
     # Flagship throughput on a corpus large enough to amortize fixed
     # overhead (the sf tables hold only ~5k docs at sf0.1, which measures
-    # job-launch latency more than extraction): 50k synthesized docs with
-    # the standard 1% x64 skew tail. Synthesized AFTER the per-query loop
-    # so its cached blocks never pressure the query timings; materialized
-    # before its own timing starts.
+    # job-launch latency more than extraction): 100k synthesized docs with
+    # the standard 1% x64 skew tail (50k in round 1; doubled to further
+    # damp launch noise — docs_per_sec stays comparable). Synthesized AFTER
+    # the per-query loop so its cached blocks never pressure the query
+    # timings; materialized before its own timing starts.
     from textractssmlprocessor_spark.corpus import synthesize_pages
 
-    big = synthesize_pages(spark, 50000).cache()
+    big = synthesize_pages(spark, 100000).cache()
     n_big = big.count()
     # `cores` partitions: the dense skew tail balances at 1x after url-hash
     # spread; finer fan-out only adds task+shuffle overhead (BENCH/BASELINE)

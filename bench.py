@@ -24,6 +24,18 @@ def run_noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def drop_leaked_persists(spark) -> None:
+    """Unpersist RDDs left registered by queries that localCheckpoint their
+    intermediates (validate_corpus, srt_generate, dedup_minhash_lsh): in one
+    shared session they accumulate, pressure executor storage memory, and
+    make LATER query timings order-dependent (observed 1.5s -> 11s on
+    dedup_minhash_lsh by bench position). DataFrame .cache() lives in the
+    CacheManager, not the persistent-RDD registry, so the cached corpus
+    tables are untouched."""
+    for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        rdd.unpersist()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -44,9 +56,12 @@ def main() -> None:
     run_noop(extract_chunks(pages, num_partitions=cores * 2).limit(200))
 
     def best_of(fn, runs: int = 2) -> float:
-        # shared-VM timing noise is 2-4x; report the best of `runs` passes
+        # shared-VM timing noise is 2-4x; report the best of `runs` passes.
+        # Leaked localCheckpoint blocks are dropped before each pass so a
+        # query's timing never depends on its position in the bench order.
         best = None
         for _ in range(runs):
+            drop_leaked_persists(spark)
             t0 = time.time()
             fn()
             dt = time.time() - t0

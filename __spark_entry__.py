@@ -135,6 +135,58 @@ def q_lang_id(spark, sf_dir):
     )
 
 
+def q_url_normalize(spark, sf_dir):
+    # url canonicalization: deterministic messy urls -> canonical key + host
+    from textractssmlprocessor_spark.operators.weburl import (
+        normalize_url,
+        url_host,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://Host-"), F.col("source"), F.lit(".Example.org"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/Path/"), F.col("doc_id").cast("string"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("?utm_source=feed&b=2&a=1&fbclid=xyz"),
+            ).otherwise(F.lit("?z=9&utm_campaign=x")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("#section-3")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return d.select(
+        "doc_id", normalize_url(F.col("url")).alias("canonical_url"),
+        url_host(F.col("url")).alias("host"),
+    )
+
+
+def q_gopher_quality(spark, sf_dir):
+    # Gopher-rule quality flags (Rae et al. 2021) — all native, map-side
+    from textractssmlprocessor_spark.operators.textstats import gopher_columns
+
+    cols = gopher_columns(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id", *[c.alias(name) for name, c in cols.items()]
+    )
+
+
+def q_repetition_stats(spark, sf_dir):
+    # dup-line/paragraph fractions + top-bigram share; repetition seeded
+    # deterministically so the duplicated branches actually execute
+    from textractssmlprocessor_spark.operators.textstats import repetition_stats
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0, F.concat("text", F.lit("\n"), "text")
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return repetition_stats(d).withColumnRenamed("id", "doc_id")
+
+
 def q_fingerprint(spark, sf_dir):
     # document fingerprint: md5 of whitespace/case-normalized text
     return _docs(spark, sf_dir).select(
@@ -911,6 +963,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "url_normalize": q_url_normalize,
+        "gopher_quality": q_gopher_quality,
+        "repetition_stats": q_repetition_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1080,6 +1135,123 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": """
             SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
             FROM documents
+        """,
+
+        "url_normalize": """
+            WITH d AS (
+                SELECT doc_id,
+                       'HTTPS://Host-' || source || '.Example.org'
+                       || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+                       || '/Path/' || doc_id::VARCHAR
+                       || (CASE WHEN doc_id % 2 = 0
+                                THEN '?utm_source=feed&b=2&a=1&fbclid=xyz'
+                                ELSE '?z=9&utm_campaign=x' END)
+                       || (CASE WHEN doc_id % 5 = 0 THEN '#section-3' ELSE '' END)
+                       AS url
+                FROM documents
+            ),
+            pieces AS (
+                SELECT doc_id,
+                       regexp_replace(url, '#.*', '') AS nf
+                FROM d
+            ),
+            split_q AS (
+                SELECT doc_id, nf,
+                       CASE WHEN strpos(nf, '?') > 0 THEN substr(nf, 1, strpos(nf, '?') - 1) ELSE nf END AS base,
+                       CASE WHEN strpos(nf, '?') > 0 THEN substr(nf, strpos(nf, '?') + 1) ELSE '' END AS q
+                FROM pieces
+            ),
+            sh AS (
+                SELECT doc_id, base, q,
+                       lower(regexp_extract(base, '^([a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*)', 1)) AS scheme_host,
+                       substr(base, length(regexp_extract(base, '^([a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*)', 1)) + 1) AS rest
+                FROM split_q
+            ),
+            norm AS (
+                SELECT doc_id, rest, q,
+                       CASE WHEN scheme_host LIKE 'http://%' THEN regexp_replace(scheme_host, ':80$', '')
+                            WHEN scheme_host LIKE 'https://%' THEN regexp_replace(scheme_host, ':443$', '')
+                            ELSE scheme_host END AS scheme_host
+                FROM sh
+            ),
+            params AS (
+                SELECT doc_id, scheme_host, rest,
+                       list_sort(list_filter(string_split(q, '&'),
+                           p -> p != '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|msclkid|mc_cid|mc_eid|igshid)='))) AS ps
+                FROM norm
+            )
+            SELECT doc_id,
+                   scheme_host || rest ||
+                   (CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END) AS canonical_url,
+                   substr(regexp_replace(scheme_host, '^[a-z][a-z0-9+.\\-]*://', ''), 1,
+                          CASE WHEN strpos(regexp_replace(scheme_host, '^[a-z][a-z0-9+.\\-]*://', ''), ':') > 0
+                               THEN strpos(regexp_replace(scheme_host, '^[a-z][a-z0-9+.\\-]*://', ''), ':') - 1
+                               ELSE length(regexp_replace(scheme_host, '^[a-z][a-z0-9+.\\-]*://', '')) END) AS host
+            FROM params
+        """,
+        "gopher_quality": """
+            WITH base AS (
+                SELECT doc_id, text,
+                       len(regexp_extract_all(text, '\\b[\\w-]+\\b'))::BIGINT AS n_words,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+                       len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS syms,
+                       string_split(text, chr(10)) AS lines,
+                       string_split_regex(trim(text), '\\s+') AS ws
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id, n_words,
+                       round(alpha / (CASE WHEN n_words > 0 THEN n_words END)::DOUBLE, 6) AS mean_word_len,
+                       round(syms / (CASE WHEN n_words > 0 THEN n_words END)::DOUBLE, 6) AS symbol_word_ratio,
+                       round(len(list_filter(lines, l -> substr(trim(l), 1, 1) IN ('•', '-', '*')))
+                             / (CASE WHEN len(lines) > 0 THEN len(lines) END)::DOUBLE, 6) AS bullet_line_frac,
+                       round(len(list_filter(lines, l -> trim(l) LIKE '%...' OR trim(l) LIKE '%…'))
+                             / (CASE WHEN len(lines) > 0 THEN len(lines) END)::DOUBLE, 6) AS ellipsis_line_frac,
+                       round(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+                             / (CASE WHEN len(ws) > 0 THEN len(ws) END)::DOUBLE, 6) AS alpha_word_frac,
+                       ((CASE WHEN regexp_matches(lower(text), '\\bthe\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\band\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bof\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bto\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bin\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bis\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bthat\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bwith\\b') THEN 1 ELSE 0 END))::BIGINT AS n_stopwords_present
+                FROM base
+            )
+            SELECT *,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND mean_word_len >= 3 AND mean_word_len <= 10
+                    AND symbol_word_ratio <= 0.1
+                    AND bullet_line_frac <= 0.9
+                    AND ellipsis_line_frac <= 0.3
+                    AND alpha_word_frac >= 0.8
+                    AND n_stopwords_present >= 2) AS gopher_pass
+            FROM m
+        """,
+        "repetition_stats": """
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 4 = 0 THEN text || chr(10) || text
+                            ELSE text END AS t
+                FROM documents
+            ),
+            base AS (
+                SELECT doc_id,
+                       list_filter(list_transform(string_split(t, chr(10)), p -> trim(p)), p -> p != '') AS kl,
+                       list_filter(list_transform(string_split_regex(t, '\\n{2,}'), p -> trim(p)), p -> p != '') AS kp,
+                       string_split_regex(trim(lower(t)), '\\s+') AS ws
+                FROM d
+            ),
+            b AS (
+                SELECT doc_id,
+                       CASE WHEN len(kl) > 0 THEN round((len(kl) - len(list_distinct(kl))) / len(kl)::DOUBLE, 6) END AS dup_line_frac,
+                       CASE WHEN len(kp) > 0 THEN round((len(kp) - len(list_distinct(kp))) / len(kp)::DOUBLE, 6) END AS dup_para_frac,
+                       CASE WHEN len(ws) >= 2
+                            THEN list_transform(generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1])
+                            ELSE [] END AS bigrams
+                FROM base
+            ),
+            ex AS (SELECT doc_id, unnest(bigrams) AS bg FROM b),
+            c AS (SELECT doc_id, bg, count(*) AS c FROM ex GROUP BY 1, 2),
+            agg AS (SELECT doc_id, max(c) AS top, sum(c) AS total FROM c GROUP BY 1)
+            SELECT b.doc_id, b.dup_line_frac, b.dup_para_frac,
+                   CASE WHEN coalesce(agg.total, 0) > 0 THEN round(agg.top / agg.total::DOUBLE, 6) END AS top_bigram_frac,
+                   coalesce(agg.total, 0)::BIGINT AS n_bigrams
+            FROM b LEFT JOIN agg ON b.doc_id = agg.doc_id
         """,
         "dedup_exact": f"""
             WITH d AS ({_DOCS_WITH_DUPES_SQL})

@@ -1,0 +1,68 @@
+"""WARC source roundtrip: a spec-conformant WARC file (warcinfo + response
+with HTTP envelope + resource + request-to-skip + truncated tail) parses to
+the pages table and flows through the flagship extraction unchanged."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _record(warc_type: str, body: bytes, url: str | None = None,
+            date: str = "2024-05-01T12:30:00Z") -> bytes:
+    headers = [
+        b"WARC/1.0",
+        f"WARC-Type: {warc_type}".encode(),
+        f"WARC-Date: {date}".encode(),
+    ]
+    if url:
+        headers.append(f"WARC-Target-URI: {url}".encode())
+    headers.append(f"Content-Length: {len(body)}".encode())
+    return b"\r\n".join(headers) + b"\r\n\r\n" + body + b"\r\n\r\n"
+
+
+@pytest.fixture(scope="module")
+def warc_path(tmp_path_factory):
+    http_payload = "<h4>Chapter One</h4><p>Body from a crawl.</p>".encode()
+    http_body = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + http_payload
+    )
+    resource_body = "<p>Resource record page.</p>".encode()
+    data = (
+        _record("warcinfo", b"software: test\r\n")
+        + _record("response", http_body, url="https://a.example.org/page/1")
+        + _record("request", b"GET / HTTP/1.1\r\n", url="https://a.example.org/page/1")
+        + _record("resource", resource_body, url="https://b.example.org/page/2")
+        + b"WARC/1.0\r\ntruncated-garbage"  # malformed tail must not raise
+    )
+    d = tmp_path_factory.mktemp("warc")
+    p = d / "segment-00000.warc"
+    p.write_bytes(data)
+    return str(d)
+
+
+def test_warc_parses_to_pages(spark, warc_path):
+    from textractssmlprocessor_spark.sources import read_warc
+
+    pages = {r["url"]: r for r in read_warc(spark, warc_path).collect()}
+    assert set(pages) == {
+        "https://a.example.org/page/1", "https://b.example.org/page/2",
+    }
+    a = pages["https://a.example.org/page/1"]
+    assert bytes(a["html"]) == "<h4>Chapter One</h4><p>Body from a crawl.</p>".encode()
+    assert a["warc_ts"].year == 2024 and a["warc_ts"].month == 5
+    assert a["text"] is None and a["lang"] is None
+    b = pages["https://b.example.org/page/2"]
+    assert bytes(b["html"]) == "<p>Resource record page.</p>".encode()
+
+
+def test_warc_pages_flow_through_extraction(spark, warc_path):
+    from textractssmlprocessor_spark.functions.dom import convert_html_to_ssml
+    from textractssmlprocessor_spark.operators.extract import extract_chunks
+    from textractssmlprocessor_spark.sources import read_warc
+
+    chunks = {
+        r["url"]: r
+        for r in extract_chunks(read_warc(spark, warc_path), num_partitions=2).collect()
+    }
+    expected = convert_html_to_ssml("<h4>Chapter One</h4><p>Body from a crawl.</p>")
+    assert chunks["https://a.example.org/page/1"]["extracted_text"] == expected

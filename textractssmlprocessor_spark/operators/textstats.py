@@ -104,6 +104,149 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df
 
 
+# --- Gopher-style document quality rules (Rae et al. 2021, public) -----------
+
+GOPHER_BULLETS = ("•", "-", "*")
+
+
+def gopher_columns(col: Column) -> dict[str, Column]:
+    """The published Gopher quality-filter signals as native expressions
+    (map-side only, no UDF, no shuffle): word-count bounds, mean word
+    length window, symbol-to-word ratio, bullet-start and ellipsis-end
+    line fractions, alphabetic-word fraction, distinct-stopword presence.
+    `gopher_pass` is the conjunction with the paper's thresholds."""
+    words = F.split(F.trim(col), r"\s+")
+    n_words = F.size(F.regexp_extract_all(col, F.lit(WORD_RE), F.lit(0)))
+    alpha_chars = F.length(F.regexp_replace(col, r"[^A-Za-z]", ""))
+    nzw = F.when(n_words > 0, n_words.cast("double")).otherwise(F.lit(None))
+    mean_word_len = alpha_chars / nzw
+    symbols = F.size(
+        F.regexp_extract_all(col, F.lit(r"#|\.\.\.|…"), F.lit(0))
+    )
+    lines = F.split(col, "\n")
+    n_lines = F.size(lines)
+    nzl = F.when(n_lines > 0, n_lines.cast("double")).otherwise(F.lit(None))
+    bullet_starts = F.size(
+        F.filter(
+            lines,
+            lambda l: F.trim(l).substr(1, 1).isin(*GOPHER_BULLETS),
+        )
+    )
+    ellipsis_ends = F.size(
+        F.filter(
+            lines,
+            lambda l: F.trim(l).endswith("...") | F.trim(l).endswith("…"),
+        )
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    nz_all_words = F.when(F.size(words) > 0, F.size(words).cast("double")).otherwise(
+        F.lit(None)
+    )
+    stop_present = None
+    for w in STOPWORDS["en"]:
+        hit = F.when(F.lower(col).rlike(rf"\b{w}\b"), F.lit(1)).otherwise(F.lit(0))
+        stop_present = hit if stop_present is None else stop_present + hit
+    out = {
+        "n_words": n_words.cast("bigint"),
+        "mean_word_len": F.round(mean_word_len, 6),
+        "symbol_word_ratio": F.round(symbols / nzw, 6),
+        "bullet_line_frac": F.round(bullet_starts / nzl, 6),
+        "ellipsis_line_frac": F.round(ellipsis_ends / nzl, 6),
+        "alpha_word_frac": F.round(alpha_words / nz_all_words, 6),
+        "n_stopwords_present": stop_present.cast("bigint"),
+    }
+    out["gopher_pass"] = (
+        (out["n_words"] >= 50)
+        & (out["n_words"] <= 100000)
+        & (out["mean_word_len"] >= 3)
+        & (out["mean_word_len"] <= 10)
+        & (out["symbol_word_ratio"] <= 0.1)
+        & (out["bullet_line_frac"] <= 0.9)
+        & (out["ellipsis_line_frac"] <= 0.3)
+        & (out["alpha_word_frac"] >= 0.8)
+        & (out["n_stopwords_present"] >= 2)
+    )
+    return out
+
+
+def with_gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    for name, c in gopher_columns(F.col(text_col)).items():
+        df = df.withColumn(name, c)
+    return df
+
+
+# --- repetition statistics (dup-line / dup-paragraph / top-bigram) -----------
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition signals used by Gopher/Dolma-class filters:
+    fraction of duplicated (non-empty, trimmed) lines and paragraphs —
+    pure array expressions, map-side — plus the fraction of all word
+    bigrams taken by the most frequent bigram. The bigram mode is computed
+    by explode -> (id, bigram) count -> per-id max/sum (two shuffles on
+    high-cardinality keys, map-side partials) — NOT a per-row array
+    nested-loop, which re-evaluates the outer array per element (the
+    documented higher-order-function O(n^2) trap)."""
+    col = F.col(text_col)
+
+    def dup_frac(parts: Column) -> Column:
+        kept = F.filter(
+            F.transform(parts, lambda p: F.trim(p)), lambda p: p != ""
+        )
+        n = F.size(kept)
+        return F.when(
+            n > 0,
+            F.round((n - F.size(F.array_distinct(kept))) / n.cast("double"), 6),
+        )
+
+    # words materializes as its own projection FIRST: the bigram lambda then
+    # references a bound attribute (evaluated once per row), not the split
+    # expression (which Spark would re-evaluate per element — the same trap)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        dup_frac(F.split(col, "\n")).alias("dup_line_frac"),
+        dup_frac(F.split(col, r"\n{2,}")).alias("dup_para_frac"),
+        F.split(F.trim(F.lower(col)), r"\s+").alias("_ws"),
+    ).select(
+        "id",
+        "dup_line_frac",
+        "dup_para_frac",
+        F.when(
+            F.size("_ws") >= 2,  # sequence(1,0) would run DESCENDING
+            F.transform(
+                F.sequence(F.lit(1), F.size("_ws") - 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_ws"), i, 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("bigrams"),
+    )
+    counts = (
+        base.select("id", F.explode_outer("bigrams").alias("bg"))
+        .groupBy("id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(
+            F.max(F.when(F.col("bg").isNotNull(), F.col("c"))).alias("top"),
+            F.sum(F.when(F.col("bg").isNotNull(), F.col("c")).otherwise(F.lit(0))).alias("total"),
+        )
+    )
+    return (
+        base.select("id", "dup_line_frac", "dup_para_frac")
+        .join(counts, "id")
+        .select(
+            "id",
+            "dup_line_frac",
+            "dup_para_frac",
+            F.when(
+                F.col("total") > 0,
+                F.round(F.col("top") / F.col("total").cast("double"), 6),
+            ).alias("top_bigram_frac"),
+            F.col("total").cast("bigint").alias("n_bigrams"),
+        )
+    )
+
+
 # --- fingerprinting -------------------------------------------------------------
 
 

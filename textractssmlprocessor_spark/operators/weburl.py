@@ -1,0 +1,70 @@
+"""URL canonicalization for web-corpus keys (url-level dedup, host grouping).
+
+Crawl pipelines key almost everything on the url (dedup, lineage buckets,
+skew salting), so two spellings of one page must collapse to one key:
+scheme/host case, default ports, tracking parameters, fragments, and query
+parameter order all vary across crawls of the same page. All expressions
+are native (JVM codegen, map-side, no UDF) and mirrored exactly by the
+DuckDB oracle.
+
+Canonical form:
+- fragment stripped;
+- scheme and host lowercased (path/query case preserved — it is
+  significant);
+- default ports dropped (http:80, https:443);
+- tracking parameters removed (utm_*, fbclid, gclid, msclkid, mc_cid,
+  mc_eid, igshid);
+- remaining query parameters sorted bytewise; '?' dropped if none remain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_cid|mc_eid|igshid)="
+
+_SCHEME_HOST_RE = r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)"
+
+
+def normalize_url(col: Column) -> Column:
+    no_frag = F.regexp_replace(col, "#.*", "")
+    base = F.substring_index(no_frag, "?", 1)
+    has_query = F.instr(no_frag, "?") > 0
+    query = F.when(has_query, F.substring_index(no_frag, "?", -1)).otherwise(
+        F.lit("")
+    )
+    scheme_host = F.lower(F.regexp_extract(base, _SCHEME_HOST_RE, 1))
+    rest = F.substring(base, F.length(F.regexp_extract(base, _SCHEME_HOST_RE, 1)) + 1, 1 << 30)
+    scheme_host = F.when(
+        scheme_host.startswith("http://"),
+        F.regexp_replace(scheme_host, ":80$", ""),
+    ).when(
+        scheme_host.startswith("https://"),
+        F.regexp_replace(scheme_host, ":443$", ""),
+    ).otherwise(scheme_host)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    canon_query = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(F.array_sort(params), "&")),
+    ).otherwise(F.lit(""))
+    # urls with no scheme://host prefix pass through this chain unchanged
+    # except fragment/query handling (scheme_host = '' -> rest = base)
+    return F.concat(scheme_host, rest, canon_query)
+
+
+def url_host(col: Column) -> Column:
+    """Lowercased host (no port) — the skew/grouping key for host-level
+    statistics and per-host politeness budgets."""
+    sh = F.lower(F.regexp_extract(col, _SCHEME_HOST_RE, 1))
+    host = F.regexp_replace(sh, r"^[a-z][a-z0-9+.\-]*://", "")
+    return F.substring_index(host, ":", 1)
+
+
+def with_canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
+    return df.withColumn("canonical_url", normalize_url(F.col(url_col))).withColumn(
+        "host", url_host(F.col(url_col))
+    )

@@ -359,6 +359,27 @@ def test_polly_sink_writes_files(spark, tmp_path):
             assert f.read() == synthesize_fake(r["ssml"], r["voice_id"], r["engine"])
 
 
+def test_combine_audio_sink_orders_parts(spark, tmp_path):
+    """Per-book byte concat in part order, independent of input row order."""
+    import os
+
+    from textractssmlprocessor_spark.operators.polly import combine_audio_sink
+
+    rows = [
+        ("bookA", 2, b"BBB"), ("bookA", 1, b"AAA"), ("bookA", 3, b"CC"),
+        ("bookB", 1, b"solo"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, book_part_number int, payload binary"
+    ).repartition(4)  # scatter rows so ordering must come from the sort
+    out = str(tmp_path / "audio")
+    combine_audio_sink(df, out)
+    with open(os.path.join(out, "bookA.mp3"), "rb") as f:
+        assert f.read() == b"AAABBBCC"
+    with open(os.path.join(out, "bookB.mp3"), "rb") as f:
+        assert f.read() == b"solo"
+
+
 def test_srt_file_sink_roundtrip(spark, tmp_path):
     """K4 4-file layout: write via foreachPartition, re-read byte-identical
     to the per-variant generate_srt output."""

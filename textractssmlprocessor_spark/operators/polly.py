@@ -116,6 +116,51 @@ def _safe_filename(name: str) -> str:
     return name.replace("/", "_").replace("\\", "_")
 
 
+def combine_audio_sink(
+    parts: DataFrame,
+    output_dir: str,
+    book_col: str = "url",
+    part_col: str = "book_part_number",
+    payload_col: str = "payload",
+) -> None:
+    """Per-book audio assembly (reference audio_processing.py:94-137
+    combine_mp3_files): concatenate each book's part payloads in part order
+    into one file per book. MP3 frames are self-delimiting, so byte concat
+    IS the reference's semantic (it shells to a concat pipeline); container
+    formats needing real remuxing (m4b/mp4) stay out of scope per SURVEY.
+
+    Plan: order-stable per-book assembly via array_sort(collect_list(
+    struct(part, payload))) — the same ordered-collect pattern as
+    srt_content — then binary fold; files write executor-side via
+    foreachPartition. One book = one row = one output file; books
+    parallelize across the cluster."""
+    combined = parts.groupBy(book_col).agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col(part_col).alias("i"), F.col(payload_col).alias("b"))
+                    )
+                ),
+                lambda s: s["b"],
+            ),
+            F.lit(b""),
+            lambda acc, x: F.concat(acc, x),
+        ).alias("audio")
+    )
+
+    def write_partition(it):
+        import os
+
+        os.makedirs(output_dir, exist_ok=True)
+        for r in it:
+            path = os.path.join(output_dir, _safe_filename(r[book_col]) + ".mp3")
+            with open(path, "wb") as f:
+                f.write(bytes(r["audio"]))
+
+    combined.foreachPartition(write_partition)
+
+
 def polly_sink(assigned: DataFrame, output_dir: str, synthesize=None) -> None:
     """Pluggable audio sink: one file per chunk named ``output_file``
     (reference ssml_processing.py:133 naming), written executor-side via

@@ -135,6 +135,34 @@ def q_lang_id(spark, sf_dir):
     )
 
 
+def q_curate_corpus(spark, sf_dir):
+    # end-to-end curation manifest over the dupes corpus: language
+    # allowlist -> Gopher quality -> exact-dedup survivorship
+    from textractssmlprocessor_spark.operators.curate import curate_corpus
+
+    # the driver corpus is a stopword-free token bag too short for the
+    # 50-word Gopher floor: lengthen 5x and append a stopword-bearing
+    # sentence BEFORE deriving copies, so every verdict branch (language /
+    # quality / duplicate / kept) is live
+    tail = " The cat and the dog of the house is that with us in there."
+    body = F.concat(
+        F.concat_ws(" ", *["text"] * 5), F.lit(tail),
+        # symbol-spam poison for a deterministic slice -> quality branch live
+        F.when(F.col("doc_id") % 13 == 0, F.concat(F.lit(" "), F.repeat(F.lit("# "), 40)))
+        .otherwise(F.lit("")),
+    )
+    d = _docs(spark, sf_dir).select("doc_id", body.alias("text"), "lang")
+    exact = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit("  ")).alias("text"),
+        F.col("lang"),
+    )
+    corpus = d.unionByName(exact)
+    return curate_corpus(corpus, languages=["en", "la"]).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
 def q_url_normalize(spark, sf_dir):
     # url canonicalization: deterministic messy urls -> canonical key + host
     from textractssmlprocessor_spark.operators.weburl import (
@@ -963,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "curate_corpus": q_curate_corpus,
         "url_normalize": q_url_normalize,
         "gopher_quality": q_gopher_quality,
         "repetition_stats": q_repetition_stats,
@@ -1137,6 +1166,60 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
 
+        "curate_corpus": """
+            WITH d0 AS (
+                SELECT doc_id,
+                       text || ' ' || text || ' ' || text || ' ' || text || ' ' || text
+                       || ' The cat and the dog of the house is that with us in there.'
+                       || (CASE WHEN doc_id % 13 = 0 THEN ' ' || repeat('# ', 40) ELSE '' END)
+                       AS text,
+                       lang
+                FROM documents
+            ),
+            d AS (
+                SELECT doc_id, text, lang FROM d0
+                UNION ALL
+                SELECT doc_id + 1000000, '  ' || upper(text) || '  ', lang
+                FROM d0 WHERE doc_id % 7 = 0
+            ),
+            base AS (
+                SELECT doc_id, lang,
+                       len(regexp_extract_all(text, '\\b[\\w-]+\\b'))::BIGINT AS n_words,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+                       len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS syms,
+                       string_split(text, chr(10)) AS lines,
+                       string_split_regex(trim(text), '\\s+') AS ws,
+                       ((CASE WHEN regexp_matches(lower(text), '\\bthe\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\band\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bof\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bto\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bin\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bis\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bthat\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bwith\\b') THEN 1 ELSE 0 END)) AS stops,
+                       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+                FROM d
+            ),
+            flags AS (
+                SELECT doc_id, fp,
+                       lang IN ('en', 'la') AS lang_ok,
+                       (n_words >= 50 AND n_words <= 100000
+                        AND round(alpha / (CASE WHEN n_words > 0 THEN n_words END)::DOUBLE, 6) BETWEEN 3 AND 10
+                        AND round(syms / (CASE WHEN n_words > 0 THEN n_words END)::DOUBLE, 6) <= 0.1
+                        AND round(len(list_filter(lines, l -> substr(trim(l), 1, 1) IN ('•', '-', '*')))
+                                  / (CASE WHEN len(lines) > 0 THEN len(lines) END)::DOUBLE, 6) <= 0.9
+                        AND round(len(list_filter(lines, l -> trim(l) LIKE '%...' OR trim(l) LIKE '%…'))
+                                  / (CASE WHEN len(lines) > 0 THEN len(lines) END)::DOUBLE, 6) <= 0.3
+                        AND round(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+                                  / (CASE WHEN len(ws) > 0 THEN len(ws) END)::DOUBLE, 6) >= 0.8
+                        AND stops >= 2) AS q_ok
+                FROM base
+            ),
+            sur AS (
+                SELECT *, min(CASE WHEN lang_ok AND q_ok THEN doc_id END)
+                              OVER (PARTITION BY fp) AS min_sur
+                FROM flags
+            )
+            SELECT doc_id,
+                   (lang_ok AND q_ok AND doc_id = min_sur) AS kept,
+                   CASE WHEN NOT lang_ok THEN 'language'
+                        WHEN NOT q_ok THEN 'quality'
+                        WHEN doc_id != min_sur THEN 'duplicate' END AS drop_reason
+            FROM sur
+        """,
         "url_normalize": """
             WITH d AS (
                 SELECT doc_id,

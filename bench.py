@@ -93,6 +93,22 @@ def main() -> None:
     for name in bench_queries:
         timings[name] = best_of(lambda: run_noop(qs[name](spark, sf_dir)))
 
+    # round-2 operators, reported SEPARATELY so the headline total stays
+    # comparable with earlier rounds' recordings
+    extra_queries = [
+        "winnow_words",
+        "knn_join",
+        "kmeans_centroids",
+        "gopher_quality",
+        "repetition_stats",
+        "url_normalize",
+        "curate_corpus",
+        "synchronized_texts",
+    ]
+    timings_extra: dict[str, float] = {}
+    for name in extra_queries:
+        timings_extra[name] = best_of(lambda: run_noop(qs[name](spark, sf_dir)))
+
     # Flagship throughput on a corpus large enough to amortize fixed
     # overhead (the sf tables hold only ~5k docs at sf0.1, which measures
     # job-launch latency more than extraction): 100k synthesized docs with
@@ -118,6 +134,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_extra": timings_extra,
                 "sf": sf,
                 "n_docs": n_docs,
                 "docs_per_sec": docs_per_sec,

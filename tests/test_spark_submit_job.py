@@ -1,0 +1,92 @@
+"""North-rule deployment shape, actually executed: `spark-submit --py-files
+<package zip> extract_job.py` in a FRESH JVM, with the job file copied
+OUTSIDE the repo so only the zip provides the package (the real cluster
+layout — driver and python workers must both resolve the package from the
+distributed zip, the exact path where worker-PYTHONPATH bugs hide)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import zipfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _package_zip(dest: str) -> str:
+    zpath = os.path.join(dest, "textractssmlprocessor_spark.zip")
+    pkg = os.path.join(REPO, "textractssmlprocessor_spark")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def test_spark_submit_py_files_end_to_end(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from textractssmlprocessor_spark.corpus import pages_from_documents
+    from textractssmlprocessor_spark.operators.extract import extract_chunks
+
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001").limit(60)
+    input_path = str(tmp_path / "pages.parquet")
+    pages.write.parquet(input_path)
+    expected = {
+        (r["url"], r["chunk_number"]): (r["extracted_text"], r["ssml"])
+        for r in extract_chunks(spark.read.parquet(input_path), num_partitions=4).collect()
+    }
+
+    stage = tmp_path / "deploy"
+    stage.mkdir()
+    zpath = _package_zip(str(stage))
+    job = str(stage / "extract_job.py")
+    shutil.copy(
+        os.path.join(REPO, "textractssmlprocessor_spark", "jobs", "extract_job.py"),
+        job,
+    )
+    out = str(tmp_path / "chunks")
+    lin = str(tmp_path / "lineage")
+    spark_submit = shutil.which("spark-submit") or os.path.join(
+        os.path.dirname(shutil.which("python")), "spark-submit"
+    )
+    env = {
+        k: v for k, v in os.environ.items() if k not in ("PYTHONPATH",)
+    }
+    proc = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--py-files", zpath,
+            job,
+            "--input", input_path,
+            "--output", out,
+            "--lineage", lin,
+            "--buckets", "4",
+            "--partitions", "8",
+        ],
+        cwd=str(stage),  # NOT the repo root: the zip must provide the package
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=360,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "chunks written this run:" in proc.stdout
+
+    got = {
+        (r["url"], r["chunk_number"]): (r["extracted_text"], r["ssml"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == expected
+    # lineage recorded every bucket as done
+    done = spark.read.parquet(lin).select("bucket").distinct().count()
+    assert done == 4

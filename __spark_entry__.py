@@ -135,6 +135,44 @@ def q_lang_id(spark, sf_dir):
     )
 
 
+def q_redact_pii(spark, sf_dir):
+    # PII scrubbing with audit counts; identifiers seeded deterministically
+    from textractssmlprocessor_spark.operators.privacy import redact_pii
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                "text",
+                F.lit(" Contact user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-123-4567 from 192.168.0."),
+                (F.col("doc_id") % 256).cast("string"), F.lit("."),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    cols = redact_pii(F.col("text"))
+    return d.select(
+        "doc_id", cols["n_email"].alias("n_email"),
+        cols["n_phone"].alias("n_phone"), cols["n_ip"].alias("n_ip"),
+        cols["redacted_text"].alias("redacted_text"),
+    )
+
+
+def q_contamination(spark, sf_dir):
+    # eval-set decontamination: flag corpus docs sharing 5-gram shingles
+    # with the probe subset (doc_id % 23 == 0 plays the benchmark)
+    from textractssmlprocessor_spark.operators.dedup import benchmark_contamination
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    probes = d.filter(F.col("doc_id") % 23 == 0).select("text")
+    return benchmark_contamination(d, probes, n=5, min_overlap=3).select(
+        F.col("id").alias("doc_id"), "n_overlap"
+    )
+
+
 def q_curate_corpus(spark, sf_dir):
     # end-to-end curation manifest over the dupes corpus: language
     # allowlist -> Gopher quality -> exact-dedup survivorship
@@ -991,6 +1029,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "redact_pii": q_redact_pii,
+        "contamination": q_contamination,
         "curate_corpus": q_curate_corpus,
         "url_normalize": q_url_normalize,
         "gopher_quality": q_gopher_quality,
@@ -1166,6 +1206,54 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
 
+        "redact_pii": """
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN text || ' Contact user' || doc_id::VARCHAR
+                                 || '@example.com or 555-123-4567 from 192.168.0.'
+                                 || (doc_id % 256)::VARCHAR || '.'
+                            ELSE text END AS text
+                FROM documents
+            ),
+            s1 AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+                       regexp_replace(text, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+                FROM d
+            ),
+            s2 AS (
+                SELECT doc_id, n_email,
+                       len(regexp_extract_all(t1, '\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}'))::BIGINT AS n_phone,
+                       regexp_replace(t1, '\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g') AS t2
+                FROM s1
+            )
+            SELECT doc_id, n_email, n_phone,
+                   len(regexp_extract_all(t2, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))::BIGINT AS n_ip,
+                   regexp_replace(t2, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g') AS redacted_text
+            FROM s2
+        """,
+        "contamination": """
+            WITH ws AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(len(w) - 4, 1)),
+                           i -> substr(md5(array_to_string(w[i:i+4], ' ')), 1, 8))) AS sh
+                FROM ws
+            ),
+            probe AS (
+                SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id % 23 = 0
+            ),
+            ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh)
+            SELECT ex.doc_id, count(*)::BIGINT AS n_overlap
+            FROM ex JOIN probe USING (shingle)
+            GROUP BY ex.doc_id
+            HAVING count(*) >= 3
+        """,
         "curate_corpus": """
             WITH d0 AS (
                 SELECT doc_id,

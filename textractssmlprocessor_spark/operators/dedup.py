@@ -306,6 +306,47 @@ def minhash_lsh_pairs(
     return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def benchmark_contamination(
+    df: DataFrame,
+    probes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_text_col: str = "text",
+    n: int = 5,
+    min_overlap: int = 1,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Decontamination scan: documents sharing >= min_overlap distinct word
+    n-grams with a benchmark/probe corpus -> (id, n_overlap). The standard
+    eval-set leakage check run before training.
+
+    Plan: the probe corpus reduces to a DISTINCT hashed-shingle table
+    (benchmark suites are tiny next to the corpus — AQE broadcasts it);
+    document shingles explode once and semi-join-style inner join against
+    it, then per-doc count. Shingles are already distinct per document, so
+    count(*) is the distinct overlap. Raise ``n`` to tighten the match
+    (13-grams is the common LLM decontamination setting); here the default
+    stays low enough for short test documents."""
+    probe_sh = (
+        probes.select(
+            F.explode(hashed_shingles(F.col(probe_text_col), n, hash_fn)).alias(
+                "shingle"
+            )
+        )
+        .distinct()
+    )
+    doc_sh = _spread(df, id_col).select(
+        F.col(id_col).alias("id"),
+        F.explode(hashed_shingles(F.col(text_col), n, hash_fn)).alias("shingle"),
+    )
+    return (
+        doc_sh.join(probe_sh, "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+
+
 def winnow_fingerprint_table(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -423,6 +423,50 @@ def test_srt_file_sink_roundtrip(spark, tmp_path):
                 assert f.read() == srt, (name, url)
 
 
+URL_EDGE_CASES = [
+    "HTTPS://Example.ORG:443/A/B?b=2&a=1&utm_source=x#frag",
+    "http://example.org:80/",
+    "http://example.org:8080/keep-port?z=1",  # non-default port preserved
+    "https://example.org/path?utm_source=a&utm_medium=b&fbclid=c",  # only tracking
+    "https://example.org/path?",  # empty query
+    "https://example.org/Path/Case?B=2&a=1",  # path/query case significant
+    "relative/path?a=1#x",  # no scheme://host
+    "ftp://Other.Scheme:21/file",
+    "https://example.org/a?x=1&x=0",  # repeated param sorts bytewise
+    "https://example.org/#only-fragment",
+]
+
+
+def test_normalize_url_idempotent_and_edges(spark):
+    from pyspark.sql import functions as F
+
+    from textractssmlprocessor_spark.operators.weburl import normalize_url
+
+    df = spark.createDataFrame([(u,) for u in URL_EDGE_CASES], "url string")
+    out = df.select(
+        "url",
+        normalize_url(F.col("url")).alias("c1"),
+    ).select("url", "c1", normalize_url(F.col("c1")).alias("c2")).collect()
+    got = {r["url"]: r["c1"] for r in out}
+    for r in out:
+        assert r["c1"] == r["c2"], f"not idempotent: {r['url']!r} -> {r['c1']!r} -> {r['c2']!r}"
+    assert got["HTTPS://Example.ORG:443/A/B?b=2&a=1&utm_source=x#frag"] == (
+        "https://example.org/A/B?a=1&b=2"
+    )
+    assert got["http://example.org:80/"] == "http://example.org/"
+    assert got["http://example.org:8080/keep-port?z=1"] == (
+        "http://example.org:8080/keep-port?z=1"
+    )
+    assert got["https://example.org/path?utm_source=a&utm_medium=b&fbclid=c"] == (
+        "https://example.org/path"
+    )
+    assert got["https://example.org/Path/Case?B=2&a=1"] == (
+        "https://example.org/Path/Case?B=2&a=1"
+    )
+    assert got["https://example.org/a?x=1&x=0"] == "https://example.org/a?x=0&x=1"
+    assert got["https://example.org/#only-fragment"] == "https://example.org/"
+
+
 def test_read_pages_parquet_and_validation(spark, sf_dir, tmp_path):
     import pytest as _pytest
 

@@ -135,6 +135,25 @@ def q_lang_id(spark, sf_dir):
     )
 
 
+def q_pack_shards(spark, sf_dir):
+    # token-budgeted training-shard assignment via the blocked running sum
+    from textractssmlprocessor_spark.operators.shards import pack_shards
+
+    return pack_shards(
+        _docs(spark, sf_dir).select("doc_id", "text"), tokens_per_shard=2000
+    ).select(F.col("id").alias("doc_id"), "n_tokens", "shard_id")
+
+
+def q_corpus_report(spark, sf_dir):
+    # one-row corpus audit (exact fields only — the operator's
+    # percentile_approx sketch is engine-specific by nature)
+    from textractssmlprocessor_spark.operators.shards import corpus_report
+
+    return corpus_report(_docs(spark, sf_dir)).select(
+        "n_docs", "n_tokens", "min_tokens", "max_tokens", "n_langs"
+    )
+
+
 def q_redact_pii(spark, sf_dir):
     # PII scrubbing with audit counts; identifiers seeded deterministically
     from textractssmlprocessor_spark.operators.privacy import redact_pii
@@ -1029,6 +1048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "pack_shards": q_pack_shards,
+        "corpus_report": q_corpus_report,
         "redact_pii": q_redact_pii,
         "contamination": q_contamination,
         "curate_corpus": q_curate_corpus,
@@ -1206,6 +1227,24 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
 
+        "pack_shards": """
+            WITH t AS (
+                SELECT doc_id, len(regexp_extract_all(text, '\\b[\\w-]+\\b'))::BIGINT AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   floor((sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          - n_tokens) / 2000)::BIGINT AS shard_id
+            FROM t
+        """,
+        "corpus_report": """
+            SELECT count(*)::BIGINT AS n_docs,
+                   sum(len(regexp_extract_all(text, '\\b[\\w-]+\\b')))::BIGINT AS n_tokens,
+                   min(len(regexp_extract_all(text, '\\b[\\w-]+\\b')))::BIGINT AS min_tokens,
+                   max(len(regexp_extract_all(text, '\\b[\\w-]+\\b')))::BIGINT AS max_tokens,
+                   count(DISTINCT lang)::BIGINT AS n_langs
+            FROM documents
+        """,
         "redact_pii": """
             WITH d AS (
                 SELECT doc_id,

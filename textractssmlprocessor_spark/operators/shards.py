@@ -1,0 +1,70 @@
+"""Training-shard packing and corpus reporting.
+
+``pack_shards`` assigns every document to a token-budgeted output shard —
+the final step before a curated corpus ships to a trainer (shards of
+~N tokens each, stable order). Packing is cumulative-token bucketing:
+shard_id = floor(exclusive_running_token_sum / tokens_per_shard) in
+document order, so shards are contiguous in the global order, every shard
+except the last holds >= tokens_per_shard - max_doc_tokens and documents
+never split. The running sum is the BLOCKED global running sum
+(operators/ordering.py) — no corpus-wide single-task window.
+
+``corpus_report`` is the one-row audit summary (docs, tokens, language
+mix entropy, quality rates) a curation run logs next to its manifest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .ordering import block_of, blocked_running_sum
+from .textstats import WORD_RE
+
+
+def token_count(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(WORD_RE), F.lit(0))).cast(
+        "bigint"
+    )
+
+
+def pack_shards(
+    df: DataFrame,
+    tokens_per_shard: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (id, n_tokens, shard_id). Documents keep global id order inside
+    and across shards; shard_id derives from the EXCLUSIVE running token
+    sum so a document lands in the shard that was open when it arrived."""
+    d = df.select(
+        F.col(id_col).alias("id"), token_count(F.col(text_col)).alias("n_tokens")
+    )
+    run = blocked_running_sum(
+        d, block_of("id"), ["id"], "n_tokens", out="_incl"
+    )
+    return run.select(
+        "id",
+        "n_tokens",
+        F.floor((F.col("_incl") - F.col("n_tokens")) / tokens_per_shard)
+        .cast("bigint")
+        .alias("shard_id"),
+    )
+
+
+def corpus_report(df: DataFrame, text_col: str = "text",
+                  lang_col: str = "lang") -> DataFrame:
+    """One-row corpus audit: doc/token totals, length quantiles, language
+    count. Single aggregation with map-side partials; the approximate
+    percentiles are the streaming sketch form (no sort)."""
+    col = F.col(text_col)
+    toks = token_count(col)
+    agg = [
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(toks).cast("bigint").alias("n_tokens"),
+        F.min(toks).cast("bigint").alias("min_tokens"),
+        F.max(toks).cast("bigint").alias("max_tokens"),
+        F.percentile_approx(toks, [0.5, 0.9, 0.99]).alias("token_quantiles"),
+        F.countDistinct(F.col(lang_col)).cast("bigint").alias("n_langs"),
+    ]
+    return df.agg(*agg)

@@ -104,6 +104,9 @@ def main() -> None:
         "url_normalize",
         "curate_corpus",
         "synchronized_texts",
+        "redact_pii",
+        "contamination",
+        "pack_shards",
     ]
     timings_extra: dict[str, float] = {}
     for name in extra_queries:

@@ -46,9 +46,10 @@ def main() -> None:
     p.add_argument("--buckets", type=int, default=4096)
     p.add_argument("--partitions", type=int, default=None)
     p.add_argument(
-        "--input-format", default=None, choices=["iceberg", "parquet"],
+        "--input-format", default=None, choices=["iceberg", "parquet", "warc"],
         help="inferred from --input when omitted (existing path or "
-        "*.parquet -> parquet, identifier -> iceberg table)",
+        "*.parquet -> parquet, identifier -> iceberg table); 'warc' reads "
+        "raw Common Crawl segments via sources.read_warc",
     )
     args = p.parse_args()
     # bare relative dirs (no '/' or suffix) are still parquet if they exist
@@ -60,7 +61,7 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     from textractssmlprocessor_spark import lineage as L
-    from textractssmlprocessor_spark.sources import read_pages
+    from textractssmlprocessor_spark.sources import read_pages, read_warc
 
     builder = (
         SparkSession.builder.appName("extract-webtext")
@@ -73,7 +74,10 @@ def main() -> None:
         builder = builder.config("spark.sql.shuffle.partitions", str(args.partitions))
     spark = builder.getOrCreate()
 
-    pages = read_pages(spark, args.input, format=input_format)
+    if input_format == "warc":
+        pages = read_warc(spark, args.input)
+    else:
+        pages = read_pages(spark, args.input, format=input_format)
     langs = args.languages.split(",") if args.languages else None
     written = L.run_with_lineage(
         pages,

@@ -862,6 +862,21 @@ def q_srt_generate(spark, sf_dir):
     return generate_srt(chunks, manifest, "english", use_shorter_subtitles=True)
 
 
+def q_srt_variants(spark, sf_dir):
+    # K4 4-file layout as one row per project (english/latin x
+    # original/shorter); golden-oracle checked
+    from textractssmlprocessor_spark.operators.align import srt_variants
+    from textractssmlprocessor_spark.operators.extract import extract_chunks
+
+    chunks = extract_chunks(_pages(spark, sf_dir), num_partitions=32).localCheckpoint()
+    manifest = chunks.select(
+        "url",
+        F.col("chunk_number").alias("part_no"),
+        (F.length("extracted_text") * 0.06).alias("duration"),
+    )
+    return srt_variants(chunks, manifest)
+
+
 def q_polly_assignment(spark, sf_dir):
     # K5/J5/K7 structural semantics: voice->engine map, global part
     # numbering + resume skip, per-book renumbering, output naming
@@ -1086,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_ssml": q_split_ssml,
         "validate_corpus": q_validate_corpus,
         "srt_generate": q_srt_generate,
+        "srt_variants": q_srt_variants,
     }
 
 
@@ -1127,6 +1143,49 @@ def _kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
             f"c{t} AS (SELECT cell, list(m ORDER BY i) AS cvec FROM m{t} GROUP BY cell)"
         )
     return ",\n            ".join(parts)
+
+
+def _redact_pii_sql() -> str:
+    """PII oracle interpolated from the privacy module's constants at call
+    time — the Spark operator and the DuckDB mirror can never drift."""
+    from textractssmlprocessor_spark.operators.privacy import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+    )
+
+    def esc(r: str) -> str:
+        # SQL single-quoted strings pass backslashes through verbatim;
+        # only quotes need doubling
+        return r.replace("'", "''")
+
+    return f"""
+        WITH d AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN text || ' Contact user' || doc_id::VARCHAR
+                             || '@example.com or 555-123-4567 from 192.168.0.'
+                             || (doc_id % 256)::VARCHAR || '.'
+                        ELSE text END AS text
+            FROM documents
+        ),
+        s1 AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{esc(EMAIL_RE)}'))::BIGINT AS n_email,
+                   regexp_replace(text, '{esc(EMAIL_RE)}', '<EMAIL>', 'g') AS t1
+            FROM d
+        ),
+        s2 AS (
+            SELECT doc_id, n_email,
+                   len(regexp_extract_all(t1, '{esc(PHONE_RE)}'))::BIGINT AS n_phone,
+                   regexp_replace(t1, '{esc(PHONE_RE)}', '<PHONE>', 'g') AS t2
+            FROM s1
+        )
+        SELECT doc_id, n_email, n_phone,
+               len(regexp_extract_all(t2, '{esc(IPV4_RE)}'))::BIGINT AS n_ip,
+               regexp_replace(t2, '{esc(IPV4_RE)}', '<IP>', 'g') AS redacted_text
+        FROM s2
+    """
 
 
 def _golden(query: str) -> str:
@@ -1245,33 +1304,7 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT lang)::BIGINT AS n_langs
             FROM documents
         """,
-        "redact_pii": """
-            WITH d AS (
-                SELECT doc_id,
-                       CASE WHEN doc_id % 3 = 0
-                            THEN text || ' Contact user' || doc_id::VARCHAR
-                                 || '@example.com or 555-123-4567 from 192.168.0.'
-                                 || (doc_id % 256)::VARCHAR || '.'
-                            ELSE text END AS text
-                FROM documents
-            ),
-            s1 AS (
-                SELECT doc_id,
-                       len(regexp_extract_all(text, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_email,
-                       regexp_replace(text, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
-                FROM d
-            ),
-            s2 AS (
-                SELECT doc_id, n_email,
-                       len(regexp_extract_all(t1, '\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}'))::BIGINT AS n_phone,
-                       regexp_replace(t1, '\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g') AS t2
-                FROM s1
-            )
-            SELECT doc_id, n_email, n_phone,
-                   len(regexp_extract_all(t2, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))::BIGINT AS n_ip,
-                   regexp_replace(t2, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g') AS redacted_text
-            FROM s2
-        """,
+        "redact_pii": _redact_pii_sql(),
         "contamination": """
             WITH ws AS (
                 SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
@@ -1322,7 +1355,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             flags AS (
                 SELECT doc_id, fp,
-                       lang IN ('en', 'la') AS lang_ok,
+                       coalesce(lang IN ('en', 'la'), false) AS lang_ok,
                        (n_words >= 50 AND n_words <= 100000
                         AND round(alpha / (CASE WHEN n_words > 0 THEN n_words END)::DOUBLE, 6) BETWEEN 3 AND 10
                         AND round(syms / (CASE WHEN n_words > 0 THEN n_words END)::DOUBLE, 6) <= 0.1
@@ -2035,5 +2068,6 @@ def oracle_sql() -> dict[str, str]:
         "split_ssml": _golden("split_ssml"),
         "validate_corpus": _golden("validate_corpus"),
         "srt_generate": _golden("srt_generate"),
+        "srt_variants": _golden("srt_variants"),
         "dup_sentences": _golden("dup_sentences"),
     }

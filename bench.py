@@ -25,13 +25,15 @@ def run_noop(df) -> None:
 
 
 def drop_leaked_persists(spark) -> None:
-    """Unpersist RDDs left registered by queries that localCheckpoint their
-    intermediates (validate_corpus, srt_generate, dedup_minhash_lsh): in one
-    shared session they accumulate, pressure executor storage memory, and
-    make LATER query timings order-dependent (observed 1.5s -> 11s on
-    dedup_minhash_lsh by bench position). DataFrame .cache() lives in the
-    CacheManager, not the persistent-RDD registry, so the cached corpus
-    tables are untouched."""
+    """Unpersist EVERY registered RDD — the blocks left by queries that
+    localCheckpoint their intermediates (validate_corpus, srt_generate,
+    dedup_minhash_lsh) accumulate in one shared session, pressure executor
+    storage memory, and make LATER query timings order-dependent (observed
+    1.5s -> 11s on dedup_minhash_lsh by bench position). NOTE: DataFrame
+    .cache() RDDs are ALSO in this registry and do NOT re-persist after
+    unpersist (verified empirically), so any corpus meant to stay cached
+    must be cached AFTER the last call (flagship timing uses
+    cleanup=False for exactly this reason)."""
     for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
         rdd.unpersist()
 
@@ -55,13 +57,14 @@ def main() -> None:
     # warmup: spin up python workers + JIT before timing
     run_noop(extract_chunks(pages, num_partitions=cores * 2).limit(200))
 
-    def best_of(fn, runs: int = 2) -> float:
+    def best_of(fn, runs: int = 2, cleanup: bool = True) -> float:
         # shared-VM timing noise is 2-4x; report the best of `runs` passes.
         # Leaked localCheckpoint blocks are dropped before each pass so a
         # query's timing never depends on its position in the bench order.
         best = None
         for _ in range(runs):
-            drop_leaked_persists(spark)
+            if cleanup:
+                drop_leaked_persists(spark)
             t0 = time.time()
             fn()
             dt = time.time() - t0
@@ -121,12 +124,17 @@ def main() -> None:
     # timings; materialized before its own timing starts.
     from textractssmlprocessor_spark.corpus import synthesize_pages
 
+    # final cleanup BEFORE caching the flagship corpus; the timed passes
+    # must not unpersist it (cleanup=False below)
+    drop_leaked_persists(spark)
     big = synthesize_pages(spark, 100000).cache()
     n_big = big.count()
     # `cores` partitions: the dense skew tail balances at 1x after url-hash
     # spread; finer fan-out only adds task+shuffle overhead (BENCH/BASELINE)
     flagship_sec = best_of(
-        lambda: run_noop(extract_chunks(big, num_partitions=cores)), runs=3
+        lambda: run_noop(extract_chunks(big, num_partitions=cores)),
+        runs=3,
+        cleanup=False,
     )
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(n_big / flagship_sec, 2)

@@ -434,6 +434,7 @@ URL_EDGE_CASES = [
     "ftp://Other.Scheme:21/file",
     "https://example.org/a?x=1&x=0",  # repeated param sorts bytewise
     "https://example.org/#only-fragment",
+    "https://example.org/p?a=1?b=2",  # literal '?' inside a query value
 ]
 
 
@@ -465,6 +466,8 @@ def test_normalize_url_idempotent_and_edges(spark):
     )
     assert got["https://example.org/a?x=1&x=0"] == "https://example.org/a?x=0&x=1"
     assert got["https://example.org/#only-fragment"] == "https://example.org/"
+    # split at the FIRST '?': 'a=1?b=2' is ONE param with a literal '?'
+    assert got["https://example.org/p?a=1?b=2"] == "https://example.org/p?a=1?b=2"
 
 
 def test_read_pages_parquet_and_validation(spark, sf_dir, tmp_path):
@@ -575,3 +578,18 @@ def test_winnowing_skips_null_text(spark):
     )
     rows = winnow_fingerprint_table(df).collect()
     assert rows and all(r["id"] == 1 and r["fingerprint"] is not None for r in rows)
+
+
+def test_curate_null_lang_and_missing_column(spark):
+    import pytest as _pytest
+    from textractssmlprocessor_spark.operators.curate import curate_corpus
+
+    rows = [(1, "The cat and the dog of the house is that with us. " * 10, "en"),
+            (2, "The cat and the dog of the house is that with us. " * 10, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["id"]: r for r in curate_corpus(df, languages=["en"]).collect()}
+    assert out[1]["kept"] is True and out[1]["drop_reason"] is None
+    # NULL lang fails the allowlist with a definite verdict, never NULL/NULL
+    assert out[2]["kept"] is False and out[2]["drop_reason"] == "language"
+    with _pytest.raises(ValueError):
+        curate_corpus(df.drop("lang"), languages=["en"])

@@ -40,6 +40,31 @@ def warc_path(tmp_path_factory):
     return str(d)
 
 
+def test_warc_gz_multi_member(spark, tmp_path):
+    """Real Common Crawl layout: .warc.gz with one gzip MEMBER per record."""
+    import gzip
+
+    members = [
+        _record("warcinfo", b"software: test\r\n"),
+        _record(
+            "response",
+            b"HTTP/1.1 200 OK\r\n\r\n<p>gz page one</p>",
+            url="https://gz.example.org/1",
+        ),
+        _record("resource", b"<p>gz page two</p>", url="https://gz.example.org/2"),
+    ]
+    p = tmp_path / "seg.warc.gz"
+    p.write_bytes(b"".join(gzip.compress(m) for m in members))
+
+    from textractssmlprocessor_spark.sources import read_warc
+
+    pages = {r["url"]: bytes(r["html"]) for r in read_warc(spark, str(p)).collect()}
+    assert pages == {
+        "https://gz.example.org/1": b"<p>gz page one</p>",
+        "https://gz.example.org/2": b"<p>gz page two</p>",
+    }
+
+
 def test_warc_parses_to_pages(spark, warc_path):
     from textractssmlprocessor_spark.sources import read_warc
 

@@ -41,11 +41,19 @@ def curate_corpus(
     multiplicity, and AQE splits a skewed boilerplate group's sort."""
     col = F.col(text_col)
     g = gopher_columns(col)
-    lang_ok = (
-        F.col(lang_col).isin(languages)
-        if languages and lang_col in df.columns
-        else F.lit(True)
-    )
+    if languages:
+        if lang_col not in df.columns:
+            # silently skipping the allowlist would ship unfiltered data
+            raise ValueError(
+                f"languages={languages} given but column {lang_col!r} is "
+                f"not in the input ({df.columns})"
+            )
+        # NULL lang (routine lang-id failure in web corpora) must FAIL the
+        # allowlist, not produce a NULL verdict: coalesce the three-valued
+        # isin to false
+        lang_ok = F.coalesce(F.col(lang_col).isin(languages), F.lit(False))
+    else:
+        lang_ok = F.lit(True)
     quality_ok = g["gopher_pass"]
     base = df.select(
         F.col(id_col).alias("id"),

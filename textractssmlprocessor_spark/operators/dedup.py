@@ -34,16 +34,21 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     the whole corpus hashes on a handful of tasks. At real scale the scan
     already has thousands of splits; this keeps small inputs honest too.
 
-    The few-partition check uses inputFiles() (source metadata, no job) —
-    NOT df.rdd.getNumPartitions(), whose RDD conversion costs a full plan
-    translation per call at cluster scale. Non-file sources report zero
-    input files and get the (cheap, correct) repartition."""
+    Two-stage check: inputFiles() (source metadata, no job, no RDD
+    conversion) short-circuits the many-files case — at real scale the
+    scan has thousands of files and this is the path taken. Only when
+    files are FEW does it fall back to df.rdd.getNumPartitions(), because
+    file count is a bad proxy there: one 10 GB parquet file scans as ~80
+    x 128 MB splits, and repartitioning it would add a pointless
+    full-corpus shuffle."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     try:
         n_files = len(df.inputFiles())
     except Exception:
         n_files = 0
     if n_files >= parallelism:
+        return df
+    if df.rdd.getNumPartitions() >= parallelism:
         return df
     return df.repartition(parallelism, F.col(id_col))
 

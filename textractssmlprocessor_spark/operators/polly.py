@@ -129,36 +129,38 @@ def combine_audio_sink(
     IS the reference's semantic (it shells to a concat pipeline); container
     formats needing real remuxing (m4b/mp4) stay out of scope per SURVEY.
 
-    Plan: order-stable per-book assembly via array_sort(collect_list(
-    struct(part, payload))) — the same ordered-collect pattern as
-    srt_content — then binary fold; files write executor-side via
-    foreachPartition. One book = one row = one output file; books
+    Plan: repartition by book (each book's parts land in ONE partition),
+    sortWithinPartitions(book, part), then STREAM the parts into the open
+    file inside foreachPartition — one sequential append per part. A
+    collect_list + binary-fold formulation would both materialize a whole
+    book in a single row AND copy the accumulated payload once per part
+    (O(parts^2) bytes: a 500x1MB book would copy ~125 GB); the streaming
+    write is linear and never holds more than one part in memory. Books
     parallelize across the cluster."""
-    combined = parts.groupBy(book_col).agg(
-        F.aggregate(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(F.col(part_col).alias("i"), F.col(payload_col).alias("b"))
-                    )
-                ),
-                lambda s: s["b"],
-            ),
-            F.lit(b""),
-            lambda acc, x: F.concat(acc, x),
-        ).alias("audio")
-    )
+    ordered = parts.select(book_col, part_col, payload_col).repartition(
+        F.col(book_col)
+    ).sortWithinPartitions(book_col, part_col)
 
     def write_partition(it):
         import os
 
         os.makedirs(output_dir, exist_ok=True)
+        open_book, fh = None, None
         for r in it:
-            path = os.path.join(output_dir, _safe_filename(r[book_col]) + ".mp3")
-            with open(path, "wb") as f:
-                f.write(bytes(r["audio"]))
+            if r[book_col] != open_book:
+                if fh is not None:
+                    fh.close()
+                open_book = r[book_col]
+                fh = open(
+                    os.path.join(output_dir, _safe_filename(open_book) + ".mp3"),
+                    "wb",
+                )
+            if r[payload_col] is not None:
+                fh.write(bytes(r[payload_col]))
+        if fh is not None:
+            fh.close()
 
-    combined.foreachPartition(write_partition)
+    ordered.foreachPartition(write_partition)
 
 
 def polly_sink(assigned: DataFrame, output_dir: str, synthesize=None) -> None:

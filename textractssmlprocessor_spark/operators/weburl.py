@@ -31,9 +31,13 @@ def normalize_url(col: Column) -> Column:
     no_frag = F.regexp_replace(col, "#.*", "")
     base = F.substring_index(no_frag, "?", 1)
     has_query = F.instr(no_frag, "?") > 0
-    query = F.when(has_query, F.substring_index(no_frag, "?", -1)).otherwise(
-        F.lit("")
-    )
+    # query = everything after the FIRST '?': a literal '?' inside a query
+    # value is legal and must stay (substring_index(…, -1) would cut at the
+    # LAST '?' and silently drop the params between — and disagree with the
+    # oracle's strpos-based split)
+    query = F.when(
+        has_query, F.substring(no_frag, F.length(base) + 2, 1 << 30)
+    ).otherwise(F.lit(""))
     scheme_host = F.lower(F.regexp_extract(base, _SCHEME_HOST_RE, 1))
     rest = F.substring(base, F.length(F.regexp_extract(base, _SCHEME_HOST_RE, 1)) + 1, 1 << 30)
     scheme_host = F.when(

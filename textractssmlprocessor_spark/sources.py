@@ -93,14 +93,21 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     files = spark.read.format("binaryFile").load(path)
 
     def parse(batches):
-        from datetime import datetime
+        import gzip
+        import io
+        from datetime import datetime, timezone
 
         for pdf in batches:
             rows: dict[str, list] = {
                 "url": [], "warc_ts": [], "html": [], "text": [], "lang": [],
             }
             for content in pdf["content"]:
-                for headers, body in _iter_warc_records(bytes(content)):
+                data = bytes(content)
+                if data[:2] == b"\x1f\x8b":
+                    # Common Crawl ships .warc.gz (multi-member gzip, one
+                    # member per record); GzipFile.read concatenates members
+                    data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
+                for headers, body in _iter_warc_records(data):
                     if headers.get("warc-type") not in ("response", "resource"):
                         continue
                     url = headers.get("warc-target-uri")
@@ -109,7 +116,12 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                     ts = None
                     raw_ts = headers.get("warc-date", "")
                     try:
-                        ts = datetime.strptime(raw_ts, "%Y-%m-%dT%H:%M:%SZ")
+                        # WARC-Date is UTC ('Z'); a naive datetime would be
+                        # re-interpreted in the session timezone and shift
+                        # the instant
+                        ts = datetime.strptime(
+                            raw_ts, "%Y-%m-%dT%H:%M:%SZ"
+                        ).replace(tzinfo=timezone.utc)
                     except ValueError:
                         pass
                     payload = body

@@ -249,6 +249,54 @@ def validate_rows(chunks: List[Tuple[str, int, str]]) -> List[dict]:
 # --- SRT generation ---------------------------------------------------------
 
 
+SRT_VARIANTS = (
+    "english_original", "english_shorter", "latin_original", "latin_shorter",
+)
+
+
+def srt_variant_rows(chunk_rows: List[dict]) -> List[dict]:
+    """(url, english_original, english_shorter, latin_original,
+    latin_shorter) mirroring align.srt_variants: one shared positional
+    alignment, four subtitle/assembly passes (english reads ssml, latin
+    reads extracted_text); a variant with zero subtitles is NULL."""
+    by_url: Dict[str, List[dict]] = defaultdict(list)
+    for r in chunk_rows:
+        by_url[r["url"]].append(r)
+    out = []
+    for url, rows in by_url.items():
+        rows.sort(key=lambda r: r["chunk_number"])
+        aligned = []
+        t = 0.0
+        for r in rows:
+            duration = len(r["extracted_text"]) * 0.06
+            end = t + duration
+            aligned.append((r, end - duration, end))
+            t = end
+        row: dict = {"url": url}
+        any_variant = False
+        for name in SRT_VARIANTS:
+            language, shorter = name.split("_")
+            shorter = shorter == "shorter"
+            text_key = "ssml" if language == "english" else "extracted_text"
+            subs = []
+            for r, start, end in aligned:
+                subs.extend(
+                    chunk_subtitles(r[text_key], start, end, language, shorter)
+                )
+            if subs:
+                row[name] = "".join(
+                    f"{i}\n{format_time(s['start'])} --> "
+                    f"{format_time(s['end'])}\n{s['text']}\n\n"
+                    for i, s in enumerate(subs, 1)
+                )
+                any_variant = True
+            else:
+                row[name] = None
+        if any_variant:
+            out.append(row)
+    return out
+
+
 def srt_rows(chunk_rows: List[dict]) -> List[dict]:
     """(url, srt) mirroring generate_srt: positional align against the
     manifest (part_no=chunk_number, duration=len(extracted_text)*0.06),

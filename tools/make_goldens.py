@@ -100,6 +100,10 @@ SCHEMAS = {
         [("url", S), ("chunk_number", I32), ("rule", S), ("message", S)]
     ),
     "srt_generate": pa.schema([("url", S), ("srt", S)]),
+    "srt_variants": pa.schema(
+        [("url", S), ("english_original", S), ("english_shorter", S),
+         ("latin_original", S), ("latin_shorter", S)]
+    ),
 }
 
 
@@ -163,6 +167,8 @@ def main() -> None:
         )
         _write(sf_name, "srt_generate", G.srt_rows(chunk_rows),
                SCHEMAS["srt_generate"])
+        _write(sf_name, "srt_variants", G.srt_variant_rows(chunk_rows),
+               SCHEMAS["srt_variants"])
 
         sentinel = "A repeated sentinel sentence. Unique tail."
         dup_input = [

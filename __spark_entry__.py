@@ -1356,7 +1356,7 @@ def oracle_sql() -> dict[str, str]:
             flags AS (
                 SELECT doc_id, fp,
                        coalesce(lang IN ('en', 'la'), false) AS lang_ok,
-                       (n_words >= 50 AND n_words <= 100000
+                       coalesce(n_words >= 50 AND n_words <= 100000
                         AND round(alpha / (CASE WHEN n_words > 0 THEN n_words END)::DOUBLE, 6) BETWEEN 3 AND 10
                         AND round(syms / (CASE WHEN n_words > 0 THEN n_words END)::DOUBLE, 6) <= 0.1
                         AND round(len(list_filter(lines, l -> substr(trim(l), 1, 1) IN ('•', '-', '*')))
@@ -1365,7 +1365,7 @@ def oracle_sql() -> dict[str, str]:
                                   / (CASE WHEN len(lines) > 0 THEN len(lines) END)::DOUBLE, 6) <= 0.3
                         AND round(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
                                   / (CASE WHEN len(ws) > 0 THEN len(ws) END)::DOUBLE, 6) >= 0.8
-                        AND stops >= 2) AS q_ok
+                        AND stops >= 2, false) AS q_ok
                 FROM base
             ),
             sur AS (

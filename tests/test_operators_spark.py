@@ -593,3 +593,55 @@ def test_curate_null_lang_and_missing_column(spark):
     assert out[2]["kept"] is False and out[2]["drop_reason"] == "language"
     with _pytest.raises(ValueError):
         curate_corpus(df.drop("lang"), languages=["en"])
+
+
+def test_redact_pii_national_and_international_formats(spark):
+    """Independent of the oracle (which shares the module constants): the
+    formats that must redact, asserted against hand-written expectations."""
+    from textractssmlprocessor_spark.operators.privacy import with_pii_redaction
+
+    rows = [
+        (1, "call 555-123-4567 now"),
+        (2, "call (555) 123-4567 now"),
+        (3, "call +1-555-123-4567 now"),
+        (4, "mail a.b+c@ex-ample.org please"),
+        (5, "host 10.0.255.7 down"),
+        (6, "clean text, no identifiers"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in with_pii_redaction(df).collect()}
+    assert out[1]["redacted_text"] == "call <PHONE> now" and out[1]["n_phone"] == 1
+    assert out[2]["redacted_text"] == "call <PHONE> now" and out[2]["n_phone"] == 1
+    assert out[3]["redacted_text"] == "call <PHONE> now" and out[3]["n_phone"] == 1
+    assert out[4]["redacted_text"] == "mail <EMAIL> please" and out[4]["n_email"] == 1
+    assert out[5]["redacted_text"] == "host <IP> down" and out[5]["n_ip"] == 1
+    assert out[6]["redacted_text"] == rows[5][1]
+    assert out[6]["n_email"] == out[6]["n_phone"] == out[6]["n_ip"] == 0
+
+
+def test_combine_audio_sink_null_book(spark, tmp_path):
+    import os
+
+    from textractssmlprocessor_spark.operators.polly import combine_audio_sink
+
+    rows = [(None, 1, b"NB1"), (None, 2, b"NB2"), ("bookC", 1, b"c")]
+    df = spark.createDataFrame(
+        rows, "url string, book_part_number int, payload binary"
+    )
+    out = str(tmp_path / "audio")
+    combine_audio_sink(df, out)
+    with open(os.path.join(out, "NULL.mp3"), "rb") as f:
+        assert f.read() == b"NB1NB2"
+    with open(os.path.join(out, "bookC.mp3"), "rb") as f:
+        assert f.read() == b"c"
+
+
+def test_curate_null_text_gets_definite_verdict(spark):
+    from textractssmlprocessor_spark.operators.curate import curate_corpus
+
+    rows = [(1, "The cat and the dog of the house is that with us. " * 10, "en"),
+            (2, None, "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["id"]: r for r in curate_corpus(df, languages=["en"]).collect()}
+    assert out[1]["kept"] is True
+    assert out[2]["kept"] is False and out[2]["drop_reason"] == "quality"

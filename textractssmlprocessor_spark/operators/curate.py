@@ -41,6 +41,10 @@ def curate_corpus(
     multiplicity, and AQE splits a skewed boilerplate group's sort."""
     col = F.col(text_col)
     g = gopher_columns(col)
+    # NULL text makes every gopher ratio NULL -> gopher_pass NULL; a
+    # verdict row must never be NULL/NULL (same three-valued-logic trap as
+    # the lang allowlist below), so the quality gate coalesces to False
+    quality_ok = F.coalesce(g["gopher_pass"], F.lit(False))
     if languages:
         if lang_col not in df.columns:
             # silently skipping the allowlist would ship unfiltered data
@@ -54,7 +58,6 @@ def curate_corpus(
         lang_ok = F.coalesce(F.col(lang_col).isin(languages), F.lit(False))
     else:
         lang_ok = F.lit(True)
-    quality_ok = g["gopher_pass"]
     base = df.select(
         F.col(id_col).alias("id"),
         lang_ok.alias("_lang_ok"),

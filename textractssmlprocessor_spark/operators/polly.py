@@ -145,16 +145,17 @@ def combine_audio_sink(
         import os
 
         os.makedirs(output_dir, exist_ok=True)
-        open_book, fh = None, None
+        # distinct sentinel: a NULL book key must still open a file (None
+        # as the sentinel would never trigger the first open)
+        _unopened = object()
+        open_book, fh = _unopened, None
         for r in it:
-            if r[book_col] != open_book:
+            if r[book_col] != open_book or open_book is _unopened:
                 if fh is not None:
                     fh.close()
                 open_book = r[book_col]
-                fh = open(
-                    os.path.join(output_dir, _safe_filename(open_book) + ".mp3"),
-                    "wb",
-                )
+                name = "NULL" if open_book is None else _safe_filename(open_book)
+                fh = open(os.path.join(output_dir, name + ".mp3"), "wb")
             if r[payload_col] is not None:
                 fh.write(bytes(r[payload_col]))
         if fh is not None:

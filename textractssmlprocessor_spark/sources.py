@@ -46,31 +46,41 @@ def read_pages(
     return df.select(*PAGES_COLUMNS)
 
 
-def _iter_warc_records(data: bytes):
-    """Minimal WARC/1.0-1.1 record walker (public ISO 28500 format):
-    'WARC/…' header block terminated by CRLFCRLF, Content-Length bytes of
-    body, CRLFCRLF record separator. Malformed tails stop the walk instead
-    of raising — one truncated record must not fail a 1 GB segment."""
-    i, n = 0, len(data)
-    while i < n:
-        j = data.find(b"WARC/", i)
-        if j < 0:
-            break
-        he = data.find(b"\r\n\r\n", j)
-        if he < 0:
-            break
+def _iter_warc_records(stream):
+    """Minimal WARC/1.0-1.1 record walker (public ISO 28500 format) over a
+    binary STREAM: 'WARC/…' header block terminated by a blank line,
+    Content-Length bytes of body, CRLFCRLF record separator. Streaming
+    keeps per-task memory at one record, not one decompressed segment — a
+    ~1 GB .warc.gz inflates ~4x, and holding it whole next to the Arrow
+    batch's compressed copy would blow the executor budget. Malformed
+    tails stop the walk instead of raising — one truncated record must not
+    fail a segment."""
+    while True:
+        line = stream.readline()
+        if not line:
+            return
+        if not line.startswith(b"WARC/"):
+            continue
         headers: dict[str, str] = {}
-        for line in data[j:he].decode("utf-8", "replace").split("\r\n")[1:]:
-            if ":" in line:
-                k, v = line.split(":", 1)
-                headers[k.strip().lower()] = v.strip()
+        while True:
+            h = stream.readline()
+            if not h:
+                return  # truncated header block
+            if h in (b"\r\n", b"\n"):
+                break
+            if b":" in h:
+                k, v = h.split(b":", 1)
+                headers[
+                    k.strip().lower().decode("utf-8", "replace")
+                ] = v.strip().decode("utf-8", "replace")
         try:
             length = int(headers.get("content-length", "0"))
         except ValueError:
-            break
-        body = data[he + 4 : he + 4 + length]
+            return
+        body = stream.read(length)
+        if len(body) < length:
+            return  # truncated body
         yield headers, body
-        i = he + 4 + length
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
@@ -82,8 +92,10 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     mapInPandas over binaryFile rows — one Python pass per segment file, no
     per-record round trips.
 
-    Scale note: binaryFile materializes a whole segment per row (CC segments
-    are ~1 GB), so executor memory must cover one segment per task — the
+    Scale note: binaryFile materializes a whole (compressed) segment per
+    row (CC segments are ~1 GB), so executor memory must cover one
+    compressed segment per task plus ONE in-flight record — decompression
+    and record walking are streaming, never the inflated segment — the
     standard approach for CC-scale Spark jobs without a custom datasource.
     Filter pushdown doesn't apply here; land WARC -> Iceberg once with this
     reader, then run everything downstream off the columnar table
@@ -105,9 +117,12 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                 data = bytes(content)
                 if data[:2] == b"\x1f\x8b":
                     # Common Crawl ships .warc.gz (multi-member gzip, one
-                    # member per record); GzipFile.read concatenates members
-                    data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
-                for headers, body in _iter_warc_records(data):
+                    # member per record); GzipFile streams across members,
+                    # so decompressed bytes are consumed record-by-record
+                    stream = gzip.GzipFile(fileobj=io.BytesIO(data))
+                else:
+                    stream = io.BytesIO(data)
+                for headers, body in _iter_warc_records(stream):
                     if headers.get("warc-type") not in ("response", "resource"):
                         continue
                     url = headers.get("warc-target-uri")

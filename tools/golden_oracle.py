@@ -1,8 +1,9 @@
 """Single-process golden oracle for the UDF-backed contract queries.
 
-The five queries whose semantics are not RE2/SQL-expressible
+The seven queries whose semantics are not RE2/SQL-expressible
 (`extract_documents`, `extract_chunks`, `split_ssml`, `validate_corpus`,
-`srt_generate`, plus `dup_sentences`) get fixture-golden parquet oracles:
+`srt_generate`, `srt_variants`, `dup_sentences`) get fixture-golden
+parquet oracles:
 this module computes the EXPECTED output rows in one Python process — no
 Spark — from the raw page payloads, and ``make_goldens.py`` writes them to
 ``goldens/<sf>/<query>.parquet`` for DuckDB to serve as ``oracle_sql()``.

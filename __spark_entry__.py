@@ -1033,6 +1033,26 @@ def q_dup_sentences(spark, sf_dir):
     return rule_duplicates(d)
 
 
+def q_dedup_sentences_corpus(spark, sf_dir):
+    # write side of dup_sentences: corpus-wide first-wins sentence removal
+    # over the same seeded-duplicate input
+    from textractssmlprocessor_spark.operators.dedup import (
+        drop_duplicate_sentences,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(1).alias("chunk_number"),
+        F.when(
+            F.col("doc_id") % 8 == 0,
+            F.lit("A repeated sentinel sentence. Unique tail."),
+        )
+        .otherwise(F.col("text"))
+        .alias("ssml"),
+    )
+    return drop_duplicate_sentences(d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans/aggregations (SURVEY §2.1/§2.5)
@@ -1052,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "single_letters_rule": q_single_letters_rule,
         "translation_ratio": q_translation_ratio,
         "dup_sentences": q_dup_sentences,
+        "dedup_sentences_corpus": q_dedup_sentences_corpus,
         # joins/windows/ordering (§2.6)
         "running_durations": q_running_durations,
         "srt_times": q_srt_times,
@@ -2070,4 +2091,5 @@ def oracle_sql() -> dict[str, str]:
         "srt_generate": _golden("srt_generate"),
         "srt_variants": _golden("srt_variants"),
         "dup_sentences": _golden("dup_sentences"),
+        "dedup_sentences_corpus": _golden("dedup_sentences_corpus"),
     }

@@ -311,6 +311,53 @@ def minhash_lsh_pairs(
     return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def drop_duplicate_sentences(
+    chunks: DataFrame,
+    id_cols: tuple[str, str] = ("url", "chunk_number"),
+    text_col: str = "ssml",
+) -> DataFrame:
+    """Corpus-wide boilerplate-sentence removal (the write side of
+    validate.rule_duplicates, CCNet/Dolma-style): every sentence whose
+    tag-stripped form already occurred earlier in the corpus (first-wins by
+    (url, chunk_number, position)) is DROPPED; the first occurrence and all
+    sentences with empty tag-stripped forms are kept. Returns the chunk
+    table with ``text_col`` rebuilt from the surviving sentences
+    (single-space joined — the original inter-sentence whitespace is
+    consumed by the split, documented normalization).
+
+    Plan: sentence posexplode -> min-struct first-occurrence aggregation
+    (map-side partials; the same no-hot-key shape as rule_duplicates) ->
+    join back -> keep occ == first -> order-stable reassembly per chunk."""
+    sent = chunks.select(
+        *id_cols,
+        F.posexplode(
+            F.split(F.col(text_col), r"(?<=\.|\?|!)\s+", -1)
+        ).alias("pos", "line"),
+    ).withColumn(
+        "clean_line", F.trim(F.regexp_replace("line", r"<[^>]+>", ""))
+    )
+    occ = F.struct(*id_cols, "pos")
+    firsts = (
+        sent.filter(F.col("clean_line") != "")
+        .groupBy("clean_line")
+        .agg(F.min(occ).alias("_first"))
+    )
+    kept = sent.join(firsts, "clean_line", "left").filter(
+        (F.col("clean_line") == "") | (occ == F.col("_first"))
+    )
+    return kept.groupBy(*id_cols).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos").alias("i"), F.col("line").alias("l")))
+                ),
+                lambda s: s["l"],
+            ),
+            " ",
+        ).alias(text_col)
+    )
+
+
 def benchmark_contamination(
     df: DataFrame,
     probes: DataFrame,

@@ -247,6 +247,37 @@ def validate_rows(chunks: List[Tuple[str, int, str]]) -> List[dict]:
     return out
 
 
+def drop_duplicate_sentences_rows(
+    chunks: List[Tuple[str, int, str]]
+) -> List[dict]:
+    """Mirror of dedup.drop_duplicate_sentences: corpus-wide first-wins by
+    (url, chunk_number, pos) on the tag-stripped sentence; empty-clean
+    sentences always survive; chunks rebuilt space-joined."""
+    firsts: Dict[str, Tuple[str, int, int]] = {}
+    split_rows = []
+    for url, chunk_number, ssml in chunks:
+        if ssml is None:
+            continue
+        for pos, line in enumerate(_SENTENCE_SPLIT.split(ssml)):
+            clean = _TAG.sub("", line).strip(" ")
+            key = (url, chunk_number, pos)
+            split_rows.append((key, line, clean))
+            if clean != "" and (clean not in firsts or key < firsts[clean]):
+                firsts[clean] = key
+    rebuilt: Dict[Tuple[str, int], List[Tuple[int, str]]] = defaultdict(list)
+    for (url, chunk_number, pos), line, clean in split_rows:
+        if clean == "" or firsts[clean] == (url, chunk_number, pos):
+            rebuilt[(url, chunk_number)].append((pos, line))
+    return [
+        {
+            "url": url,
+            "chunk_number": chunk_number,
+            "ssml": " ".join(l for _pos, l in sorted(lines)),
+        }
+        for (url, chunk_number), lines in rebuilt.items()
+    ]
+
+
 # --- SRT generation ---------------------------------------------------------
 
 

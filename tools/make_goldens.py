@@ -100,6 +100,9 @@ SCHEMAS = {
         [("url", S), ("chunk_number", I32), ("rule", S), ("message", S)]
     ),
     "srt_generate": pa.schema([("url", S), ("srt", S)]),
+    "dedup_sentences_corpus": pa.schema(
+        [("url", S), ("chunk_number", I32), ("ssml", S)]
+    ),
     "srt_variants": pa.schema(
         [("url", S), ("english_original", S), ("english_shorter", S),
          ("latin_original", S), ("latin_shorter", S)]
@@ -181,6 +184,9 @@ def main() -> None:
         ]
         _write(sf_name, "dup_sentences", G.duplicates_rows(dup_input),
                SCHEMAS["dup_sentences"])
+        _write(sf_name, "dedup_sentences_corpus",
+               G.drop_duplicate_sentences_rows(dup_input),
+               SCHEMAS["dedup_sentences_corpus"])
 
 
 if __name__ == "__main__":

@@ -645,3 +645,44 @@ def test_curate_null_text_gets_definite_verdict(spark):
     out = {r["id"]: r for r in curate_corpus(df, languages=["en"]).collect()}
     assert out[1]["kept"] is True
     assert out[2]["kept"] is False and out[2]["drop_reason"] == "quality"
+
+
+def test_drop_duplicate_sentences_semantics(spark):
+    """Write side of rule_duplicates: first occurrence survives corpus-wide,
+    all-duplicate chunks survive as empty text, physically duplicated rows
+    collapse instead of doubling sentences, empty-clean sentences are kept."""
+    from textractssmlprocessor_spark.operators.dedup import (
+        drop_duplicate_sentences,
+    )
+
+    rows = [
+        ("a", 1, "Shared line. Unique alpha."),
+        ("b", 1, "Shared line. Unique beta."),   # loses 'Shared line.'
+        ("c", 1, "Shared line."),                # loses everything -> ''
+        ("d", 1, None),                          # NULL text -> ''
+        # split runs BEFORE tag-strip (same as rule_duplicates): the first
+        # sentence's tag-stripped form matches 'Shared line.' and drops
+        ("e", 1, "Shared line. <b>Tail e.</b>"),
+        ("f", 1, "Doubled row. Extra f."),
+        ("f", 1, "Doubled row. Extra f."),       # physical dup collapses
+    ]
+    df = spark.createDataFrame(rows, "url string, chunk_number int, ssml string")
+    out = {r["url"]: r["ssml"] for r in drop_duplicate_sentences(df).collect()}
+    assert out["a"] == "Shared line. Unique alpha."
+    assert out["b"] == "Unique beta."
+    assert out["c"] == ""
+    assert out["d"] == ""
+    assert out["e"] == "<b>Tail e.</b>"
+    assert out["f"] == "Doubled row. Extra f."
+    assert len(out) == 6  # one row per distinct (url, chunk_number)
+
+    # lockstep with the golden mirror on the same input
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import golden_oracle as G
+
+    exp = {r["url"]: r["ssml"] for r in G.drop_duplicate_sentences_rows(rows)}
+    assert out == exp

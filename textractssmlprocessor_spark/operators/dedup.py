@@ -325,16 +325,26 @@ def drop_duplicate_sentences(
     (single-space joined — the original inter-sentence whitespace is
     consumed by the split, documented normalization).
 
+    Assumes id_cols key the chunk table; physically duplicated rows are
+    collapsed (one copy per (id, position)) rather than doubling every
+    kept sentence. Chunks that lose every sentence (and chunks with NULL
+    text) survive as empty strings — the output covers the input id set.
+
     Plan: sentence posexplode -> min-struct first-occurrence aggregation
     (map-side partials; the same no-hot-key shape as rule_duplicates) ->
-    join back -> keep occ == first -> order-stable reassembly per chunk."""
+    join back -> keep occ == first -> order-stable reassembly per chunk.
+    The split and tag-strip patterns are SHARED with rule_duplicates so
+    detection and removal can never disagree."""
+    from .validate import _TAG_RE, SENTENCE_SPLIT_RE
+
+    ids = chunks.select(*id_cols).dropDuplicates(list(id_cols))
     sent = chunks.select(
         *id_cols,
         F.posexplode(
-            F.split(F.col(text_col), r"(?<=\.|\?|!)\s+", -1)
+            F.split(F.col(text_col), SENTENCE_SPLIT_RE, -1)
         ).alias("pos", "line"),
-    ).withColumn(
-        "clean_line", F.trim(F.regexp_replace("line", r"<[^>]+>", ""))
+    ).dropDuplicates([*id_cols, "pos"]).withColumn(
+        "clean_line", F.trim(F.regexp_replace("line", _TAG_RE, ""))
     )
     occ = F.struct(*id_cols, "pos")
     firsts = (
@@ -345,7 +355,7 @@ def drop_duplicate_sentences(
     kept = sent.join(firsts, "clean_line", "left").filter(
         (F.col("clean_line") == "") | (occ == F.col("_first"))
     )
-    return kept.groupBy(*id_cols).agg(
+    rebuilt = kept.groupBy(*id_cols).agg(
         F.array_join(
             F.transform(
                 F.array_sort(
@@ -355,6 +365,9 @@ def drop_duplicate_sentences(
             ),
             " ",
         ).alias(text_col)
+    )
+    return ids.join(rebuilt, list(id_cols), "left").select(
+        *id_cols, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
     )
 
 

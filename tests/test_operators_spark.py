@@ -312,6 +312,44 @@ def test_minhash_max_bucket_cap_semantics(spark):
     assert minhash_lsh_pairs(docs, max_bucket=3).count() == 0
 
 
+def test_minhash_max_bucket_skips_only_degenerate_bucket(spark):
+    """Adversarial cap semantics: a degenerate over-cap bucket is dropped
+    WITHOUT suppressing pairs from other, under-cap buckets."""
+    from textractssmlprocessor_spark.operators.dedup import minhash_lsh_pairs
+
+    boiler = "identical content words repeated for shingles here"
+    pair = "a second distinct duplicate family with its own tokens"
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(5)]  # degenerate cluster, C(5,2)=10
+        + [(100, pair), (101, pair)]     # small legit duplicate pair
+        + [(999, "totally different text with other tokens entirely")],
+        "doc_id long, text string",
+    )
+    uncapped = minhash_lsh_pairs(docs)
+    assert uncapped.count() == 11  # 10 + 1
+    capped = minhash_lsh_pairs(docs, max_bucket=4).collect()
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(100, 101)}
+
+
+@pytest.mark.parametrize("materialize", [True, "persist", False])
+def test_minhash_materialize_modes_identical(spark, materialize):
+    """materialize=True (localCheckpoint), 'persist' (replicated DISK_ONLY,
+    the executor-loss-recoverable cluster path), and False (recompute) must
+    produce identical pairs."""
+    from textractssmlprocessor_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "identical content words repeated for shingles here") for i in range(3)]
+        + [(50, "some other document body entirely unrelated tokens")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(docs, materialize=materialize).collect()
+    )
+    assert got == [(0, 1, 1.0), (0, 2, 1.0), (1, 2, 1.0)]
+
+
 def test_pairwise_near_dupes_bits_and_cap(spark):
     from textractssmlprocessor_spark.operators.similarity import (
         lsh_dims,

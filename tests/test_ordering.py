@@ -61,6 +61,65 @@ def test_blocked_running_sum_matches_global(spark, data, block_size):
     assert got == expected
 
 
+@pytest.fixture(scope="module")
+def null_key_data(spark):
+    # NULL BLOCK KEYS (e.g. a NULL sort key, or a regexp_extract block key
+    # that didn't match): the single-task global window keeps these rows
+    # nulls-first; the blocked primitives must too (null-safe block join),
+    # not silently drop them.
+    rows = [
+        (i, None if i in (3, 12, 25) else i // 10, f"v{i}", (i * 13) % 97)
+        for i in [0, 1, 3, 9, 10, 12, 21, 25, 30, 31]
+    ]
+    return spark.createDataFrame(rows, "id long, key long, s string, x long").cache()
+
+
+def test_blocked_row_number_keeps_null_block_keys(spark, null_key_data):
+    d = null_key_data
+    w = Window.orderBy("key", "id")
+    expected = {
+        r["id"]: r["rn"]
+        for r in d.select(
+            "id", F.row_number().over(w).cast("bigint").alias("rn")
+        ).collect()
+    }
+    got = {
+        r["id"]: r["rn"]
+        for r in blocked_row_number(d, F.col("key"), ["id"]).collect()
+    }
+    assert got == expected  # all 10 rows present, NULL-key rows ranked first
+
+
+def test_blocked_running_sum_keeps_null_block_keys(spark, null_key_data):
+    d = null_key_data
+    w = Window.orderBy("key", "id").rowsBetween(Window.unboundedPreceding, 0)
+    expected = {
+        r["id"]: r["run"]
+        for r in d.select("id", F.sum("x").over(w).alias("run")).collect()
+    }
+    got = {
+        r["id"]: r["running"]
+        for r in blocked_running_sum(d, F.col("key"), ["id"], "x").collect()
+    }
+    assert got == expected
+
+
+def test_blocked_lag_lead_keeps_null_block_keys(spark, null_key_data):
+    d = null_key_data
+    w = Window.orderBy("key", "id")
+    expected = {
+        r["id"]: (r["p"], r["n"])
+        for r in d.select(
+            "id", F.lag("s").over(w).alias("p"), F.lead("s").over(w).alias("n")
+        ).collect()
+    }
+    got = {
+        r["id"]: (r["prev"], r["next"])
+        for r in blocked_lag_lead(d, F.col("key"), ["id"], "s").collect()
+    }
+    assert got == expected
+
+
 @pytest.mark.parametrize("block_size", [1, 4, 1000])
 def test_blocked_lag_lead_matches_global(spark, data, block_size):
     w = Window.orderBy("id")

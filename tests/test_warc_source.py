@@ -80,6 +80,41 @@ def test_warc_parses_to_pages(spark, warc_path):
     assert bytes(b["html"]) == "<p>Resource record page.</p>".encode()
 
 
+def test_warc_fractional_second_dates_and_corrupt_length(spark, tmp_path):
+    """WARC/1.1 fractional-second WARC-Date must parse (not null the
+    timestamp), and a malformed Content-Length mid-segment must skip just
+    that record, not abort the rest of the segment."""
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://bad.example.org/x\r\n"
+        b"Content-Length: notanumber\r\n\r\n"
+    )
+    records = (
+        _record(
+            "response",
+            b"HTTP/1.1 200 OK\r\n\r\n<p>frac</p>",
+            url="https://frac.example.org/1",
+            date="2024-05-01T12:30:00.123456Z",
+        )
+        + bad
+        + _record(
+            "resource", b"<p>after corrupt</p>", url="https://frac.example.org/2"
+        )
+    )
+    p = tmp_path / "frac.warc"
+    p.write_bytes(records)
+
+    from textractssmlprocessor_spark.sources import read_warc
+
+    pages = {r["url"]: r for r in read_warc(spark, str(p)).collect()}
+    # the record AFTER the corrupt header still parses
+    assert set(pages) == {
+        "https://frac.example.org/1", "https://frac.example.org/2",
+    }
+    ts = pages["https://frac.example.org/1"]["warc_ts"]
+    assert ts is not None and ts.microsecond == 123456
+
+
 def test_warc_pages_flow_through_extraction(spark, warc_path):
     from textractssmlprocessor_spark.functions.dom import convert_html_to_ssml
     from textractssmlprocessor_spark.operators.extract import extract_chunks

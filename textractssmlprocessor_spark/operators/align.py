@@ -94,13 +94,44 @@ def _format_time_col(seconds) -> F.Column:
     return F.format_string("%02d:%02d:%02d,%03d", hours, minutes, secs, millis)
 
 
-def srt_content(subtitles: DataFrame, project_col: str = "url") -> DataFrame:
+def _format_time_ms_col(ms) -> F.Column:
+    """HH:MM:SS,mmm from INTEGER milliseconds — exact (no float truncation),
+    for timestamps that originated as ,mmm text (parse_srt roundtrips)."""
+    return F.format_string(
+        "%02d:%02d:%02d,%03d",
+        F.floor(ms / 3600000),
+        F.floor((ms % 3600000) / 60000),
+        F.floor((ms % 60000) / 1000),
+        ms % 1000,
+    )
+
+
+def srt_content(
+    subtitles: DataFrame, project_col: str = "url", from_millis: bool = False
+) -> DataFrame:
     """(project, srt) — the full SRT document per project, assembled with an
-    ordered collect over the window (deterministic; single row per project)."""
+    ordered collect over the window (deterministic; single row per project).
+
+    ``from_millis=True`` serializes from integer ``start_ms``/``end_ms``
+    columns instead of float ``start``/``end`` — byte-exact for timestamps
+    parsed from ,mmm text, where the float path's millisecond truncation
+    can lose 1 ms to representation error (e.g. 210.695 % 1 -> 0.69499…).
+    The float path stays the generation-pipeline semantic (reference
+    timestamp.py:227-231 truncates from float sums)."""
+    if from_millis:
+        start_c, end_c = (
+            _format_time_ms_col(F.col("start_ms")),
+            _format_time_ms_col(F.col("end_ms")),
+        )
+    else:
+        start_c, end_c = (
+            _format_time_col(F.col("start")),
+            _format_time_col(F.col("end")),
+        )
     block = F.concat(
         F.col("subtitle_index").cast("string"), F.lit("\n"),
-        _format_time_col(F.col("start")), F.lit(" --> "),
-        _format_time_col(F.col("end")), F.lit("\n"),
+        start_c, F.lit(" --> "),
+        end_c, F.lit("\n"),
         F.col("text"), F.lit("\n\n"),
     )
     # collect_list gives no ordering guarantee after a shuffle: collect
@@ -154,11 +185,26 @@ def parse_srt(srt_docs: DataFrame, srt_col: str = "srt",
     )
     start_s = F.regexp_extract("time_range", time_re, 1)
     end_s = F.regexp_extract("time_range", time_re, 2)
+
+    def to_ms(ts):
+        # exact integer milliseconds straight from the HH:MM:SS,mmm pieces —
+        # no float representation error (srt_content(from_millis=True)
+        # re-serializes these byte-identically)
+        sp = F.split(F.regexp_replace(ts, ",", ":"), ":")
+        return (
+            sp[0].cast("bigint") * 3600000
+            + sp[1].cast("bigint") * 60000
+            + sp[2].cast("bigint") * 1000
+            + sp[3].cast("bigint")
+        )
+
     return out.select(
         project_col,
         F.col("idx_s").cast("int").alias("index"),
         to_sec(start_s).alias("start"),
         to_sec(end_s).alias("end"),
+        to_ms(start_s).alias("start_ms"),
+        to_ms(end_s).alias("end_ms"),
         "text",
     )
 
@@ -205,7 +251,14 @@ def save_srt_files(
     """SRT text sink (K4, reference timestamp.py:209-224): writes
     ``<output_dir>/<project>/{english,latin}_{original,shorter}.srt``
     executor-side via foreachPartition (no driver collect); project names
-    are percent-encoded to be filesystem-safe."""
+    are percent-encoded to be filesystem-safe.
+
+    Cluster note: writes use plain open() inside foreachPartition, so each
+    executor writes to ITS OWN local filesystem — on a multi-node cluster
+    output_dir must be a shared mount (NFS/FUSE-mounted object store) for
+    the files to be collectable in one place. For pure-Spark targets,
+    route payload bytes through a DataFrame write instead.
+    """
     names = SRT_VARIANTS
 
     def write_partition(it):

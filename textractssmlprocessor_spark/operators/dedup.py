@@ -36,20 +36,43 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
 
     Two-stage check: inputFiles() (source metadata, no job, no RDD
     conversion) short-circuits the many-files case — at real scale the
-    scan has thousands of files and this is the path taken. Only when
-    files are FEW does it fall back to df.rdd.getNumPartitions(), because
-    file count is a bad proxy there: one 10 GB parquet file scans as ~80
-    x 128 MB splits, and repartitioning it would add a pointless
-    full-corpus shuffle."""
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    scan has thousands of files and this is the path taken. When files
+    are FEW, file count is a bad proxy (one 10 GB parquet file scans as
+    ~80 x 128 MB splits), so estimate the scan's split count plan-side as
+    total file bytes / spark.sql.files.maxPartitionBytes — still no job
+    and no RDD conversion. Inputs whose bytes can't be inspected (non-file
+    scheme, non-file-based plan) just take the repartition: one bounded
+    shuffle beats hashing the corpus on a handful of tasks."""
+    spark = df.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
     try:
-        n_files = len(df.inputFiles())
+        files = df.inputFiles()
     except Exception:
-        n_files = 0
-    if n_files >= parallelism:
+        files = []
+    if len(files) >= parallelism:
         return df
-    if df.rdd.getNumPartitions() >= parallelism:
-        return df
+    if files:
+        import os
+        from urllib.parse import urlparse
+
+        total_bytes = 0
+        for f in files:
+            p = urlparse(f)
+            if p.scheme not in ("", "file"):
+                total_bytes = -1
+                break
+            try:
+                total_bytes += os.path.getsize(p.path)
+            except OSError:
+                total_bytes = -1
+                break
+        if total_bytes >= 0:
+            jvm = spark.sparkContext._jvm
+            max_split = jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+                spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+            )
+            if -(-total_bytes // max(int(max_split), 1)) >= parallelism:
+                return df
     return df.repartition(parallelism, F.col(id_col))
 
 

@@ -30,6 +30,20 @@ from pyspark.sql import functions as F
 DEFAULT_BLOCK_SIZE = 4096
 
 _G = "_ord_block"
+_G2 = "_ord_block_r"
+
+
+def _join_blocks(blocked: DataFrame, per_block: DataFrame) -> DataFrame:
+    """Join the per-block table back NULL-SAFELY: a NULL block key (a NULL
+    sort key, or a non-matching regexp_extract key) forms its own block and
+    keeps its rows — a plain inner join would silently drop them, while the
+    single-task global window these primitives are bit-identical with keeps
+    NULLs (nulls-first under Spark's default ASC ordering, which is also
+    where the prefix-scan windows here place the NULL block)."""
+    right = per_block.withColumnRenamed(_G, _G2)
+    return blocked.join(
+        right, F.col(_G).eqNullSafe(F.col(_G2)), "inner"
+    ).drop(_G2)
 
 
 def block_of(order_col: Column | str, block_size: int = DEFAULT_BLOCK_SIZE) -> Column:
@@ -67,8 +81,7 @@ def blocked_row_number(
     w = Window.partitionBy(_G).orderBy(*within)
     offsets = _block_offsets(blocked, F.count(F.lit(1)))
     return (
-        blocked.withColumn("_rn_in", F.row_number().over(w))
-        .join(offsets, _G)
+        _join_blocks(blocked.withColumn("_rn_in", F.row_number().over(w)), offsets)
         .withColumn(out, (F.col("_offset") + F.col("_rn_in")).cast("bigint"))
         .drop(_G, "_rn_in", "_offset")
     )
@@ -91,8 +104,7 @@ def blocked_running_sum(
     )
     offsets = _block_offsets(blocked, F.sum(value_col))
     return (
-        blocked.withColumn("_run_in", F.sum(value_col).over(w))
-        .join(offsets, _G)
+        _join_blocks(blocked.withColumn("_run_in", F.sum(value_col).over(w)), offsets)
         .withColumn(out, F.col("_offset") + F.col("_run_in"))
         .drop(_G, "_run_in", "_offset")
     )
@@ -126,11 +138,13 @@ def blocked_lag_lead(
         )
     )
     return (
-        blocked.withColumn("_lag_in", F.lag(value_col).over(w))
-        .withColumn("_lead_in", F.lead(value_col).over(w))
-        .withColumn("_rn", F.row_number().over(w))
-        .withColumn("_cnt", F.count(F.lit(1)).over(Window.partitionBy(_G)))
-        .join(boundaries, _G)
+        _join_blocks(
+            blocked.withColumn("_lag_in", F.lag(value_col).over(w))
+            .withColumn("_lead_in", F.lead(value_col).over(w))
+            .withColumn("_rn", F.row_number().over(w))
+            .withColumn("_cnt", F.count(F.lit(1)).over(Window.partitionBy(_G))),
+            boundaries,
+        )
         .withColumn(
             prev_out,
             F.when(F.col("_rn") == 1, F.col("_prev_last")).otherwise(F.col("_lag_in")),

@@ -136,7 +136,14 @@ def combine_audio_sink(
     book in a single row AND copy the accumulated payload once per part
     (O(parts^2) bytes: a 500x1MB book would copy ~125 GB); the streaming
     write is linear and never holds more than one part in memory. Books
-    parallelize across the cluster."""
+    parallelize across the cluster.
+
+    Cluster note: writes use plain open() inside foreachPartition, so each
+    executor writes to ITS OWN local filesystem — on a multi-node cluster
+    output_dir must be a shared mount (NFS/FUSE-mounted object store) for
+    the files to be collectable in one place. For pure-Spark targets,
+    route payload bytes through a DataFrame write instead.
+    """
     ordered = parts.select(book_col, part_col, payload_col).repartition(
         F.col(book_col)
     ).sortWithinPartitions(book_col, part_col)
@@ -171,7 +178,14 @@ def polly_sink(assigned: DataFrame, output_dir: str, synthesize=None) -> None:
     streams its own synthesize calls (this is where the real
     boto3 polly.synthesize_speech plugs in; per-partition client reuse,
     the standard pattern for network sinks). Default ``synthesize`` is the
-    deterministic fake."""
+    deterministic fake.
+
+    Cluster note: writes use plain open() inside foreachPartition, so each
+    executor writes to ITS OWN local filesystem — on a multi-node cluster
+    output_dir must be a shared mount (NFS/FUSE-mounted object store) for
+    the files to be collectable in one place. For pure-Spark targets,
+    route payload bytes through a DataFrame write instead.
+    """
     fn = synthesize or synthesize_fake
     rows = assigned.select("output_file", "ssml", "voice_id", "engine")
 

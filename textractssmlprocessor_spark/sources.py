@@ -76,7 +76,11 @@ def _iter_warc_records(stream):
         try:
             length = int(headers.get("content-length", "0"))
         except ValueError:
-            return
+            # unparseable Content-Length: skip just this record — resume
+            # scanning for the next 'WARC/' header instead of aborting the
+            # generator, which would drop every well-formed record after a
+            # single corrupt header mid-segment
+            continue
         body = stream.read(length)
         if len(body) < length:
             return  # truncated body
@@ -138,7 +142,17 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                             raw_ts, "%Y-%m-%dT%H:%M:%SZ"
                         ).replace(tzinfo=timezone.utc)
                     except ValueError:
-                        pass
+                        # WARC/1.1 permits fractional seconds
+                        # (2024-05-01T12:30:00.123456Z); fromisoformat
+                        # covers those (and offset forms) before giving up
+                        try:
+                            ts = datetime.fromisoformat(
+                                raw_ts.replace("Z", "+00:00")
+                            )
+                            if ts.tzinfo is None:
+                                ts = ts.replace(tzinfo=timezone.utc)
+                        except ValueError:
+                            ts = None
                     payload = body
                     if headers.get("warc-type") == "response" and body[:5] == b"HTTP/":
                         sep = body.find(b"\r\n\r\n")

@@ -963,6 +963,50 @@ def q_resize_media(spark, sf_dir):
     )
 
 
+def q_boilerplate_lines(spark, sf_dir):
+    # CCNet-style host-frequency boilerplate removal: nav/footer lines
+    # seeded onto every page of a host (3/4 of pages carry them, over the
+    # 0.5 threshold; body text is unique and survives). Hosts come from
+    # the source column so each has ~25 pages.
+    from textractssmlprocessor_spark.operators.boilerplate import (
+        remove_boilerplate_lines,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.org/page/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.when(
+            F.col("doc_id") % 4 != 0,
+            F.concat(
+                F.lit("HOME | ABOUT | CONTACT\n"), F.col("text"),
+                F.lit("\nCopyright "), F.col("source"), F.lit(" press"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return remove_boilerplate_lines(d, min_docs=2, min_frac=0.5)
+
+
+def q_extract_links(spark, sf_dir):
+    # outlink extraction over seeded html: one absolute link with nested
+    # markup in the anchor + one relative single-quoted link per page
+    from textractssmlprocessor_spark.operators.weburl import extract_links
+
+    d = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.concat(
+            F.lit("<p>"), F.col("text"), F.lit('</p><a href="https://out.example.com/'),
+            F.col("doc_id").cast("string"), F.lit('">Read <b>more</b> '),
+            F.col("doc_id").cast("string"), F.lit("</a><a class=x href='/local/"),
+            F.col("doc_id").cast("string"), F.lit("'>  local  </a>"),
+        ).alias("html"),
+    )
+    return extract_links(d)
+
+
 def q_dup_sentences(spark, sf_dir):
     # J3 corpus-wide duplicate sentences (order-dependent first-wins;
     # lookbehind split is Python/Java-regex-only -> no RE2/SQL oracle)
@@ -1063,6 +1107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "pack_shards": q_pack_shards,
         "url_normalize": q_url_normalize,
+        "boilerplate_lines": q_boilerplate_lines,
+        "extract_links": q_extract_links,
         # multimodal plumbing
         "media_metadata": q_media_metadata,
         "media_features": q_media_features,
@@ -1444,6 +1490,66 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN coalesce(agg.total, 0) > 0 THEN round(agg.top / agg.total::DOUBLE, 6) END AS top_bigram_frac,
                    coalesce(agg.total, 0)::BIGINT AS n_bigrams
             FROM b LEFT JOIN agg ON b.doc_id = agg.doc_id
+        """,
+        "boilerplate_lines": """
+            WITH d AS (
+                SELECT 'https://' || source || '.example.org/page/' || doc_id::VARCHAR AS url,
+                       source AS host,
+                       CASE WHEN doc_id % 4 != 0
+                            THEN 'HOME | ABOUT | CONTACT' || chr(10) || text
+                                 || chr(10) || 'Copyright ' || source || ' press'
+                            ELSE text END AS text
+                FROM documents
+            ),
+            l0 AS (SELECT url, host, string_split(text, chr(10)) AS ls FROM d),
+            lines AS (
+                SELECT url, host, (g.i - 1)::BIGINT AS pos, ls[g.i] AS line,
+                       trim(ls[g.i]) AS key
+                FROM l0, unnest(generate_series(1, len(ls))) AS g(i)
+            ),
+            host_docs AS (SELECT host, count(DISTINCT url) AS n_docs FROM d GROUP BY host),
+            flagged AS (
+                SELECT l.host, l.key
+                FROM lines l JOIN host_docs h ON l.host = h.host
+                WHERE l.key != ''
+                GROUP BY l.host, l.key, h.n_docs
+                HAVING count(DISTINCT l.url) >= 2
+                   AND count(DISTINCT l.url) >= h.n_docs * 0.5
+            ),
+            kept AS (
+                SELECT l.* FROM lines l
+                LEFT JOIN flagged f ON l.host = f.host AND l.key = f.key
+                WHERE f.key IS NULL
+            ),
+            rebuilt AS (
+                SELECT url, string_agg(line, chr(10) ORDER BY pos) AS cleaned_text,
+                       count(*) AS n_kept
+                FROM kept GROUP BY url
+            ),
+            totals AS (SELECT url, count(*) AS n_lines FROM lines GROUP BY url)
+            SELECT t.url,
+                   coalesce(r.cleaned_text, '') AS cleaned_text,
+                   (t.n_lines - coalesce(r.n_kept, 0))::BIGINT AS n_dropped
+            FROM totals t LEFT JOIN rebuilt r ON t.url = r.url
+        """,
+        "extract_links": """
+            WITH d AS (
+                SELECT 'doc://' || doc_id::VARCHAR AS url,
+                       '<p>' || text || '</p><a href="https://out.example.com/'
+                       || doc_id::VARCHAR || '">Read <b>more</b> ' || doc_id::VARCHAR
+                       || '</a><a class=x href=''/local/' || doc_id::VARCHAR
+                       || '''>  local  </a>' AS html
+                FROM documents
+            ),
+            m AS (
+                SELECT url,
+                       regexp_extract_all(html, '(?is)<a\\s[^>]*?href\\s*=\\s*["'']([^"'']*)["''][^>]*>(.*?)</a>', 1) AS hrefs,
+                       regexp_extract_all(html, '(?is)<a\\s[^>]*?href\\s*=\\s*["'']([^"'']*)["''][^>]*>(.*?)</a>', 2) AS anchors
+                FROM d
+            )
+            SELECT url, (g.i - 1)::BIGINT AS link_no, hrefs[g.i] AS href,
+                   trim(regexp_replace(anchors[g.i], '<[^>]+>', '', 'g')) AS anchor
+            FROM m, unnest(generate_series(1, len(hrefs))) AS g(i)
         """,
         "dedup_exact": f"""
             WITH d AS ({_DOCS_WITH_DUPES_SQL})

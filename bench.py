@@ -110,6 +110,8 @@ def main() -> None:
         "redact_pii",
         "contamination",
         "pack_shards",
+        "boilerplate_lines",
+        "extract_links",
     ]
     timings_extra: dict[str, float] = {}
     for name in extra_queries:

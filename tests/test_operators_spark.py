@@ -193,9 +193,79 @@ def test_multimodal_metadata_and_frames(spark):
     assert meta["u1"]["n_bytes"] == 3000
     assert meta["u2"]["n_bytes"] == 100
     assert meta["u1"]["content_hash"] != meta["u2"]["content_hash"]
-    assert 64 <= meta["u1"]["width"] <= 255
+    # non-image payloads get NULL dimensions — never fabricated
+    assert meta["u1"]["width"] is None and meta["u1"]["media_type"] == "binary"
 
     frames = sample_frames(df, every_n_bytes=1024).collect()
+    _check_frames(frames)
+
+
+def _png_bytes(w: int, h: int) -> bytes:
+    """A real, minimal, valid PNG built with stdlib only (zlib + struct)."""
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    raw = b"".join(b"\x00" + bytes(w) for _ in range(h))  # filter 0 rows
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_image_dimensions_real_headers(spark):
+    """REAL dimension parsing from real container bytes — PNG (full valid
+    file), JPEG (SOF0 walk past APP0/comment), GIF, BMP — plus graceful
+    None on garbage and truncation."""
+    import struct
+
+    from textractssmlprocessor_spark.operators.multimodal import (
+        image_dimensions,
+        media_metadata,
+    )
+
+    png = _png_bytes(320, 200)
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(8)  # APP0
+        + b"\xff\xfe" + struct.pack(">H", 5) + b"cmt"                   # COM
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 240, 424) + b"\x01" + bytes(3)             # SOF0
+        + b"\xff\xd9"
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 99, 44) + bytes(4)
+    bmp = (
+        b"BM" + bytes(12) + struct.pack("<I", 40)
+        + struct.pack("<ii", 77, -55) + bytes(20)  # negative h = top-down
+    )
+    assert image_dimensions(png) == ("png", 320, 200)
+    assert image_dimensions(jpeg) == ("jpeg", 424, 240)
+    assert image_dimensions(gif) == ("gif", 99, 44)
+    assert image_dimensions(bmp) == ("bmp", 77, 55)
+    assert image_dimensions(b"not an image at all") is None
+    assert image_dimensions(png[:20]) is None
+
+    df = spark.createDataFrame(
+        [("png://1", bytearray(png)), ("jpg://2", bytearray(jpeg)),
+         ("txt://3", bytearray(b"hello"))],
+        ["url", "payload"],
+    )
+    meta = {r["url"]: r for r in media_metadata(df).collect()}
+    assert (meta["png://1"]["media_type"], meta["png://1"]["width"],
+            meta["png://1"]["height"]) == ("png", 320, 200)
+    assert (meta["jpg://2"]["width"], meta["jpg://2"]["height"]) == (424, 240)
+    assert meta["txt://3"]["width"] is None
+
+
+def _check_frames(frames):
     by_url = {}
     for f in frames:
         by_url.setdefault(f["url"], []).append(f)
@@ -724,3 +794,51 @@ def test_drop_duplicate_sentences_semantics(spark):
 
     exp = {r["url"]: r["ssml"] for r in G.drop_duplicate_sentences_rows(rows)}
     assert out == exp
+
+
+def test_remove_boilerplate_lines(spark):
+    from textractssmlprocessor_spark.operators.boilerplate import (
+        remove_boilerplate_lines,
+    )
+
+    nav = "HOME | ABOUT"
+    rows = [
+        (f"https://a.org/p{i}", f"{nav}\nbody {i}\nfooter a") for i in range(4)
+    ] + [
+        ("https://a.org/bare", "body bare"),          # no boilerplate
+        ("https://b.org/p0", f"{nav}\nbody b0"),      # different host: nav
+        ("https://b.org/p1", "other body"),           # only 1/2 docs -> kept
+        ("https://a.org/all-boiler", f"{nav}\nfooter a"),
+    ]
+    d = spark.createDataFrame(rows, "url string, text string")
+    out = {r["url"]: r for r in remove_boilerplate_lines(d).collect()}
+    assert len(out) == len(rows)  # totality: every url survives
+    # host a (6 docs): nav on 5/6, footer on 5/6 -> both dropped
+    assert out["https://a.org/p0"]["cleaned_text"] == "body 0"
+    assert out["https://a.org/p0"]["n_dropped"] == 2
+    assert out["https://a.org/bare"]["cleaned_text"] == "body bare"
+    assert out["https://a.org/all-boiler"]["cleaned_text"] == ""
+    # host b: nav in 1/2 docs -> 0.5 frac, min_docs=2 not met -> kept
+    assert out["https://b.org/p0"]["cleaned_text"] == f"{nav}\nbody b0"
+
+
+def test_extract_links(spark):
+    from textractssmlprocessor_spark.operators.weburl import extract_links
+
+    html = (
+        '<p>pre</p><A HREF="https://x.org/1">One</A>'
+        "<a class='k' href='/rel/2'> <b>Two</b> words </a>"
+        '<a name="no-href">not a link</a>'
+        '<a href="https://x.org/3"><img src="i.png"></a>'
+    )
+    d = spark.createDataFrame(
+        [("u1", html), ("u2", "<p>no links at all</p>"), ("u3", None)],
+        "url string, html string",
+    )
+    rows = extract_links(d).orderBy("url", "link_no").collect()
+    got = [(r["url"], r["link_no"], r["href"], r["anchor"]) for r in rows]
+    assert got == [
+        ("u1", 0, "https://x.org/1", "One"),
+        ("u1", 1, "/rel/2", "Two words"),
+        ("u1", 2, "https://x.org/3", ""),
+    ]

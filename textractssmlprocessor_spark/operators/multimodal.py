@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata.
 
-The decode step is STUBBED (image/audio libraries are not in this
-container): ``decode_image_stub`` raises NotImplementedError unless
-``fake=True``, in which case it produces a deterministic fake decode
-(dimensions derived from the payload hash). Everything Spark-side — schema,
-Arrow batch shape, mapInPandas partitioning, metadata extraction — is real
-and tested, so swapping in a real decoder is a one-function change.
+Metadata (``media_metadata``) is REAL: width/height/format come from a
+pure-stdlib container-header parser (``image_dimensions``) covering
+PNG/JPEG/GIF/BMP — no image library needed for dimensions — and are NULL
+for unrecognized payloads, never fabricated. Only PIXEL decode
+(``decode_image_stub``) remains stubbed (no codec libraries in this
+container): it raises NotImplementedError unless ``fake=True``. Everything
+Spark-side — schema, Arrow batch shape, mapInPandas partitioning — is real
+and tested, so swapping in a real pixel decoder is a one-function change.
 """
 
 from __future__ import annotations
@@ -49,42 +51,95 @@ FRAME_SCHEMA = StructType(
 
 
 def decode_image_stub(payload: bytes, fake: bool = True) -> tuple[int, int]:
-    """Placeholder for a real image decoder. With ``fake=True`` returns
+    """Placeholder for a real PIXEL decoder (header-only metadata does NOT
+    need this — see ``image_dimensions``). With ``fake=True`` returns
     deterministic pseudo-dimensions from the content hash."""
     if not fake:
         raise NotImplementedError(
-            "image decoding requires an image library not present in this "
+            "pixel decoding requires an image library not present in this "
             "container; wire a real decoder here"
         )
     h = hashlib.md5(payload or b"").digest()
     return 64 + h[0] % 192, 64 + h[1] % 192
 
 
+def image_dimensions(payload: bytes) -> tuple[str, int, int] | None:
+    """REAL (format, width, height) from container headers, pure stdlib —
+    the public byte layouts of PNG (IHDR), JPEG (SOFn segment walk), GIF
+    (logical screen descriptor) and BMP (BITMAPINFOHEADER). Returns None
+    for unrecognized/truncated payloads; never fabricates dimensions."""
+    import struct
+
+    if payload is None or len(payload) < 10:
+        return None
+    b = bytes(payload)
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return ("png", w, h)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return ("gif", w, h)
+    if b[:2] == b"BM" and len(b) >= 26:
+        hdr_size = struct.unpack("<I", b[14:18])[0]
+        if hdr_size >= 40:  # BITMAPINFOHEADER and later
+            w, h = struct.unpack("<ii", b[18:26])
+            return ("bmp", w, abs(h))
+        if hdr_size == 12 and len(b) >= 22:  # BITMAPCOREHEADER
+            w, h = struct.unpack("<HH", b[18:22])
+            return ("bmp", w, h)
+        return None
+    if b[:2] == b"\xff\xd8":  # JPEG: walk segments to the first SOFn
+        i = 2
+        while i + 9 <= len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers, no length field
+                continue
+            seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 <= len(b):
+                    h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                    return ("jpeg", w, h)
+                return None
+            i += 2 + seg_len
+        return None
+    return None
+
+
 def media_metadata(
     df: DataFrame, url_col: str = "url", bin_col: str = "payload",
-    media_type: str = "image",
+    media_type: str = "binary",
 ) -> DataFrame:
     """Binary column -> typed metadata rows via mapInPandas (Arrow batches;
-    the binary never converts to Python objects row-by-row on the driver)."""
+    the binary never converts to Python objects row-by-row on the driver).
+    width/height/media_type are REAL, parsed from the container header
+    (``image_dimensions``; PNG/JPEG/GIF/BMP); unrecognized payloads keep
+    the ``media_type`` default with NULL dimensions."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf[bin_col]
             dims = [
-                decode_image_stub(bytes(p)) if p is not None else (None, None)
+                image_dimensions(bytes(p)) if p is not None else None
                 for p in payloads
             ]
             yield pd.DataFrame(
                 {
                     "url": pdf[url_col],
-                    "media_type": media_type,
+                    "media_type": [
+                        d[0] if d else (media_type if p is not None else None)
+                        for d, p in zip(dims, payloads)
+                    ],
                     "n_bytes": [len(p) if p is not None else 0 for p in payloads],
                     "content_hash": [
                         hashlib.md5(bytes(p)).hexdigest() if p is not None else None
                         for p in payloads
                     ],
-                    "width": [d[0] for d in dims],
-                    "height": [d[1] for d in dims],
+                    "width": [d[1] if d else None for d in dims],
+                    "height": [d[2] if d else None for d in dims],
                 }
             )
 

@@ -72,3 +72,32 @@ def with_canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
     return df.withColumn("canonical_url", normalize_url(F.col(url_col))).withColumn(
         "host", url_host(F.col(url_col))
     )
+
+
+LINK_RE = r"""(?is)<a\s[^>]*?href\s*=\s*["']([^"']*)["'][^>]*>(.*?)</a>"""
+
+
+def extract_links(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Outlink extraction for web-graph construction: (url, link_no, href,
+    anchor) per <a href=...> in the page html. Native regexp end-to-end —
+    both href and anchor-text groups are pulled with regexp_extract_all
+    (one pass each over the same JVM-resident string), zipped positionally
+    and exploded; anchor text is tag-stripped and trimmed. Binary html
+    columns are cast to string (UTF-8) first. The pattern is RE2-portable
+    and mirrored by the DuckDB oracle."""
+    h = F.col(html_col).cast("string")
+    hrefs = F.regexp_extract_all(h, F.lit(LINK_RE), F.lit(1))
+    anchors = F.regexp_extract_all(h, F.lit(LINK_RE), F.lit(2))
+    pairs = F.arrays_zip(hrefs.alias("href"), anchors.alias("anchor"))
+    out = df.select(
+        F.col(url_col).alias("url"), F.posexplode(pairs).alias("link_no", "lk")
+    )
+    anchor = F.trim(F.regexp_replace(F.col("lk.anchor"), r"<[^>]+>", ""))
+    return out.select(
+        "url",
+        F.col("link_no").cast("bigint").alias("link_no"),
+        F.col("lk.href").alias("href"),
+        anchor.alias("anchor"),
+    )

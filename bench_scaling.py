@@ -241,7 +241,17 @@ def main() -> None:
         for c in cores_levels
     )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve the manually-maintained sections (measurement history, A/B
+    # attributions — everything from the first '## ' heading on) across
+    # regenerations of the headline block
+    tail = ""
+    if os.path.exists(out_path):
+        prev = open(out_path).read()
+        idx = prev.find("\n## ")
+        if idx >= 0:
+            tail = prev[idx:]
+    with open(out_path, "w") as f:
         f.write(
             f"""# BENCH/BASELINE — two-cluster-size scaling evidence
 
@@ -297,6 +307,7 @@ Config: Arrow enabled, `spark.sql.execution.arrow.maxRecordsPerBatch=512`,
 Correctness gate for this run: `python -m pytest -x -q` (per-url byte
 identity of extracted_text/ssml vs the single-process oracle).
 """
+            + tail
         )
 
 

@@ -45,6 +45,10 @@ def remove_boilerplate_lines(
         F.col(url_col).alias("url"),
         url_host(F.col(url_col)).alias("host"),
         F.col(text_col).alias("text"),
+        # per-doc line total computed map-side here, NOT by re-exploding and
+        # re-aggregating the lines table a second time (saves one full
+        # explode pass + one url-keyed aggregation)
+        F.size(F.split(text_col, "\n", -1)).alias("n_lines"),
     )
     lines = base.select(
         "url",
@@ -81,9 +85,8 @@ def remove_boilerplate_lines(
         ).alias("cleaned_text"),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    totals = lines.groupBy("url").agg(F.count(F.lit(1)).alias("n_lines"))
     return (
-        rebuilt.join(totals, "url", "right")
+        rebuilt.join(base.select("url", "n_lines"), "url", "right")
         .select(
             "url",
             F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),

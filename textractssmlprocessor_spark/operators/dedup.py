@@ -92,17 +92,28 @@ def dedup_exact(
 
 
 def word_shingles(text_col, n: int = 3):
-    """Distinct word n-grams as a native array expression (no UDF)."""
+    """Distinct word n-grams as a native array expression (no UDF).
+
+    Built as a zip_with chain over shifted copies of the words array, NOT
+    as transform(sequence, i -> slice(words, i, n)): a lambda that
+    references the split expression re-evaluates the full split PER
+    ELEMENT (the higher-order re-evaluation trap, PLANS.md) — O(words x
+    chars) per document. zip_with lambdas reference only their arguments;
+    the shifted slices each evaluate the split once, so the chain is
+    O(n) passes over the array."""
     words = F.split(F.trim(F.lower(text_col)), r"\s+")
+    grams = words
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(words, j + 1, 1 << 30),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
     k = F.size(words) - (n - 1)
     return F.array_distinct(
-        F.when(
-            k > 0,
-            F.transform(
-                F.sequence(F.lit(1), k),
-                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", words)))
+        F.when(k > 0, F.slice(grams, 1, k)).otherwise(
+            F.array(F.concat_ws(" ", words))
+        )
     )
 
 
@@ -468,15 +479,24 @@ def winnow_fingerprint_table(
     # frame filter) while SQL engines' list_distinct strips it — and a
     # NULL fingerprint would group all NULL-text docs as "duplicates"
     df = df.filter(F.col(text_col).isNotNull())
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    n_grams = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+    # MATERIALIZE the normalized text as a bound column before the
+    # higher-order transform: a lambda that references the regexp_replace
+    # expression directly re-evaluates it PER ELEMENT (the same
+    # re-evaluation trap documented for the window step below) — one full-
+    # document regexp per character, O(n^2). As an attribute reference it
+    # is a row-field read; the regexp runs once per document.
+    nrm = df.select(
+        F.col(id_col).alias("id"),
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ").alias(
+            "_nrm"
+        ),
+    )
+    n_grams = F.greatest(F.length("_nrm") - F.lit(k - 1), F.lit(1))
     hashes = F.transform(
         F.sequence(F.lit(1), n_grams),
-        lambda i: shingle_hash(F.substr(norm, i, F.lit(k)), hash_fn),
+        lambda i: shingle_hash(F.substr(F.col("_nrm"), i, F.lit(k)), hash_fn),
     )
-    exploded = df.select(
-        F.col(id_col).alias("id"), F.posexplode(hashes).alias("pos", "h")
-    )
+    exploded = nrm.select("id", F.posexplode(hashes).alias("pos", "h"))
     frame = W.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
     whole = W.partitionBy("id")
     fp = exploded.select(
@@ -546,9 +566,19 @@ def winnow_word_fingerprint_table(
 
 def simhash16(text_col):
     """16-bit portable simhash: for hex position i in md5(word), bit = 1 iff
-    the majority of words have digit >= 8 (top bit of the nibble)."""
+    the majority of words have digit >= 8 (top bit of the nibble).
+
+    Prefer ``simhash16_from_hashes`` over a MATERIALIZED hash column when
+    composing into an operator: used directly, the 16 per-bit aggregates
+    each embed this expression as their child, re-running split+md5 16x
+    per row (simhash_groups does the materialized split)."""
     words = F.array_distinct(F.split(F.trim(F.lower(text_col)), r"\s+"))
-    hashes = F.transform(words, lambda w: F.md5(w))
+    return simhash16_from_hashes(F.transform(words, lambda w: F.md5(w)))
+
+
+def simhash16_from_hashes(hashes):
+    """simhash16 over an already-computed (ideally materialized-column)
+    array of word md5 hex digests."""
     bits = []
     for i in range(1, 17):
         votes = F.aggregate(
@@ -571,8 +601,19 @@ def simhash_groups(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Documents sharing an identical 16-bit simhash (near-dup candidates)."""
-    h = _spread(df, id_col).select(
-        F.col(id_col).alias("id"), simhash16(F.col(text_col)).alias("simhash")
+    hashed = _spread(df, id_col).select(
+        F.col(id_col).alias("id"),
+        # split+md5 materialize as a bound column FIRST so the 16 per-bit
+        # aggregates read a row field instead of each re-running the full
+        # tokenize+hash chain (16x the work, the same re-evaluation family
+        # as the higher-order-lambda trap)
+        F.transform(
+            F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")),
+            lambda w: F.md5(w),
+        ).alias("_wh"),
+    )
+    h = hashed.select(
+        "id", simhash16_from_hashes(F.col("_wh")).alias("simhash")
     )
     return (
         h.groupBy("simhash")

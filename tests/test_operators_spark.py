@@ -842,3 +842,26 @@ def test_extract_links(spark):
         ("u1", 1, "/rel/2", "Two words"),
         ("u1", 2, "https://x.org/3", ""),
     ]
+
+
+def test_spread_plan_side_estimate(spark, tmp_path, sf_dir):
+    """_spread decides via source metadata only (no .rdd, no job): a small
+    single-file input repartitions to defaultParallelism; an input whose
+    byte-size estimate already covers the parallelism is returned AS-IS
+    (object identity — no added shuffle)."""
+    from textractssmlprocessor_spark.operators.dedup import _spread
+
+    small = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spread = _spread(small, "doc_id")
+    assert spread is not small
+    assert "repartition" in spread._jdf.queryExecution().logical().toString().lower()
+
+    # shrink maxPartitionBytes so the same file estimates to >= parallelism
+    # splits -> _spread must return the input unchanged
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+        big_est = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        assert _spread(big_est, "doc_id") is big_est
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)

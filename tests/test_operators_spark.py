@@ -848,10 +848,21 @@ def test_spread_plan_side_estimate(spark, tmp_path, sf_dir):
     """_spread decides via source metadata only (no .rdd, no job): a small
     single-file input repartitions to defaultParallelism; an input whose
     byte-size estimate already covers the parallelism is returned AS-IS
-    (object identity — no added shuffle)."""
+    (object identity — no added shuffle).
+
+    Reads a tmp_path COPY of the parquet: other tests .cache() the
+    sf_dir path, and Spark's cache manager substitutes the cached
+    relation for any later read of the same path — inputFiles() then
+    returns [] and _spread takes its (documented, safe) repartition
+    fallback, which is correct but not what this test asserts."""
+    import shutil
+
     from textractssmlprocessor_spark.operators.dedup import _spread
 
-    small = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    local = str(tmp_path / "docs.parquet")
+    shutil.copy(f"{sf_dir}/documents.parquet", local)
+
+    small = spark.read.parquet(local)
     spread = _spread(small, "doc_id")
     assert spread is not small
     assert "repartition" in spread._jdf.queryExecution().logical().toString().lower()
@@ -861,7 +872,13 @@ def test_spread_plan_side_estimate(spark, tmp_path, sf_dir):
     prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try:
         spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
-        big_est = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        big_est = spark.read.parquet(local)
         assert _spread(big_est, "doc_id") is big_est
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+    # a CACHED same-path read loses its file provenance (inputFiles == [])
+    # and must take the safe repartition fallback, never crash
+    cached_read = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if not cached_read.inputFiles():
+        assert _spread(cached_read, "doc_id") is not cached_read

@@ -298,6 +298,19 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    # Near-dup CLUSTER assignment (the step after pair generation): MinHash
+    # LSH pairs (identical params to dedup_minhash_lsh) -> large-star/
+    # small-star connected components -> total (doc_id, cluster_rep,
+    # cluster_size, is_survivor) over the corpus. Oracle replays the same
+    # pair CTEs + a recursive min-label transitive closure.
+    from textractssmlprocessor_spark.operators.graph import dedup_clusters
+
+    return dedup_clusters(
+        _docs_with_dupes(spark, sf_dir), num_hashes=16, bands=4, threshold=0.5
+    )
+
+
 def q_simhash_groups(spark, sf_dir):
     from textractssmlprocessor_spark.operators.dedup import simhash_groups
 
@@ -1093,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_groups": q_simhash_groups,
         "winnow": q_winnow,
         "contamination": q_contamination,
@@ -1238,6 +1252,27 @@ def oracle_sql() -> dict[str, str]:
         % (b, b * 4 + 1, b * 4 + 2, b * 4 + 3, b * 4 + 4)
         for b in range(4)
     )
+
+    # shared by dedup_minhash_lsh and dedup_clusters (CC over the same pairs)
+    jac = "len(list_intersect(sa.sh, sb.sh)) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE"
+    minhash_pairs_ctes = f"""
+            d AS ({_DOCS_WITH_DUPES_SQL}),
+            sh AS (SELECT doc_id AS id,
+                          list_distinct(list_transform({shingles}, s -> substr(md5(s), 1, 8))) AS sh
+                   FROM d),
+            sig AS (SELECT id, sh, [{minhash}] AS mh FROM sh),
+            banded AS (SELECT id, unnest([{bands}]) AS bucket FROM sig),
+            cand AS (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.id < b.id
+            ),
+            mhpairs AS (
+                SELECT id_a, id_b, round({jac}, 6) AS jaccard
+                FROM cand
+                JOIN sh sa ON sa.id = id_a
+                JOIN sh sb ON sb.id = id_b
+                WHERE {jac} >= 0.5
+            )"""
 
     simhash_bits = " + ".join(
         "(CASE WHEN list_sum(list_transform(ws, w -> CASE WHEN upper(substr(md5(w), %d, 1)) IN ('8','9','A','B','C','D','E','F') THEN 1 ELSE -1 END)) > 0 THEN %d ELSE 0 END)"
@@ -1580,22 +1615,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE common / (sa.n_sh + sb.n_sh - common)::DOUBLE >= 0.8
         """,
         "dedup_minhash_lsh": f"""
-            WITH d AS ({_DOCS_WITH_DUPES_SQL}),
-            sh AS (SELECT doc_id AS id,
-                          list_distinct(list_transform({shingles}, s -> substr(md5(s), 1, 8))) AS sh
-                   FROM d),
-            sig AS (SELECT id, sh, [{minhash}] AS mh FROM sh),
-            banded AS (SELECT id, unnest([{bands}]) AS bucket FROM sig),
-            cand AS (
-                SELECT DISTINCT a.id AS id_a, b.id AS id_b
-                FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.id < b.id
+            WITH {minhash_pairs_ctes}
+            SELECT id_a, id_b, jaccard FROM mhpairs
+        """,
+        "dedup_clusters": f"""
+            -- connected components of the minhash pair graph (same CTEs as
+            -- dedup_minhash_lsh), totalized over the corpus: min-reachable
+            -- label via recursive transitive closure, singletons rep=self
+            WITH RECURSIVE {minhash_pairs_ctes},
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM mhpairs
+                UNION
+                SELECT id_b, id_a FROM mhpairs
+            ),
+            reach(id, lab) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT r.id, e.b FROM reach r JOIN edges e ON e.a = r.lab
+            ),
+            labels AS (SELECT id, min(lab) AS rep FROM reach GROUP BY id),
+            tot AS (
+                SELECT d.doc_id, coalesce(l.rep, d.doc_id) AS cluster_rep
+                FROM d LEFT JOIN labels l ON l.id = d.doc_id
             )
-            SELECT id_a, id_b,
-                   round(len(list_intersect(sa.sh, sb.sh)) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE, 6) AS jaccard
-            FROM cand
-            JOIN sh sa ON sa.id = id_a
-            JOIN sh sb ON sb.id = id_b
-            WHERE len(list_intersect(sa.sh, sb.sh)) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE >= 0.5
+            SELECT doc_id, cluster_rep,
+                   (count(*) OVER (PARTITION BY cluster_rep))::BIGINT AS cluster_size,
+                   doc_id = cluster_rep AS is_survivor
+            FROM tot
         """,
         "simhash_groups": f"""
             WITH d AS ({_DOCS_WITH_DUPES_SQL}),

@@ -882,3 +882,59 @@ def test_spread_plan_side_estimate(spark, tmp_path, sf_dir):
     cached_read = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if not cached_read.inputFiles():
         assert _spread(cached_read, "doc_id") is not cached_read
+
+
+def test_connected_components_chains_islands_selfloops(spark):
+    """Multi-hop chains collapse to the component min; reversed/duplicate
+    edges and self-loops are harmless; separate islands stay separate."""
+    from textractssmlprocessor_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (9, 8), (8, 9), (5, 5),
+         (10, 11), (11, 12), (12, 13), (13, 14)],
+        "src bigint, dst bigint",
+    )
+    got = sorted((r["id"], r["rep"]) for r in connected_components(edges).collect())
+    assert got == [
+        (1, 1), (2, 1), (3, 1), (4, 1), (8, 8), (9, 8),
+        (10, 10), (11, 10), (12, 10), (13, 10), (14, 10),
+    ]
+    empty = spark.createDataFrame([], "src bigint, dst bigint")
+    assert connected_components(empty).count() == 0
+
+
+def test_connected_components_hub_and_path_converge(spark):
+    """A 200-leaf hub (celebrity node) and a 64-node path both converge
+    well inside max_iter — the O(log^2 n) star-contraction bound — with no
+    neighborhood ever collected into one array."""
+    from textractssmlprocessor_spark.operators.graph import connected_components
+
+    hub = [(0, i) for i in range(1, 201)]
+    path = [(1000 + i, 1000 + i + 1) for i in range(64)]
+    edges = spark.createDataFrame(hub + path, "src bigint, dst bigint")
+    labels = {r["id"]: r["rep"] for r in connected_components(edges).collect()}
+    assert all(labels[i] == 0 for i in range(201))
+    assert all(labels[1000 + i] == 1000 for i in range(65))
+
+
+def test_dedup_clusters_transitive_and_total(spark):
+    """A~B and B~C near-dup pairs put {A,B,C} in ONE cluster even when A~C
+    is below threshold as a pair; output is total over the corpus with
+    singleton clusters for unpaired docs."""
+    from textractssmlprocessor_spark.operators.graph import dedup_clusters
+
+    base = " ".join(f"w{i}" for i in range(60))
+    drift1 = " ".join(f"w{i}" for i in range(6, 66))    # shares 54/60 words
+    drift2 = " ".join(f"w{i}" for i in range(12, 72))   # chains via drift1
+    docs = spark.createDataFrame(
+        [(1, base), (2, drift1), (3, drift2), (9, "completely unrelated text here")],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup_clusters(docs, threshold=0.5).collect()}
+    assert set(rows) == {1, 2, 3, 9}
+    assert rows[1]["cluster_rep"] == 1 and rows[1]["is_survivor"]
+    assert rows[2]["cluster_rep"] == 1 and not rows[2]["is_survivor"]
+    assert rows[3]["cluster_rep"] == 1 and not rows[3]["is_survivor"]
+    assert rows[1]["cluster_size"] == 3
+    assert rows[9]["cluster_rep"] == 9 and rows[9]["cluster_size"] == 1
+    assert rows[9]["is_survivor"]

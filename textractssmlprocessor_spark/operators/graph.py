@@ -1,0 +1,179 @@
+"""Distributed connected components + duplicate-cluster assignment.
+
+Duplicate clustering is the step AFTER pair generation in a web-scale
+dedup pipeline (the FineWeb / Dolma / CCNet lineage): MinHash+LSH emits
+near-duplicate PAIRS, but keeping one survivor per duplicate CLUSTER
+requires the connected components of that pair graph — A~B and B~C put
+{A, B, C} in one cluster even when the A~C pair was never emitted.
+The reference app has no corpus-level notion of this (it processes one
+book at a time); this module is part of the training-data operator suite
+the round brief mandates beyond the reference.
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC 2014) — the
+published shuffle-friendly formulation, converging in O(log^2 n) rounds
+on any graph (O(log n) in practice) versus O(diameter) for naive label
+propagation, which matters when near-dup chains are long (boilerplate
+template drift across a host's pages produces exactly such chains).
+
+Per node u with neighborhood N(u):
+- large-star: m = min(N(u) ∪ {u}); emit (v, m) for every v in N(u)
+  with v > u
+- small-star: m = min({v in N(u): v < u} ∪ {u}); emit (v, m) for every
+  v in N(u) with v < u, plus (u, m)
+
+Scale shape — each half-round is ONE (node)-keyed min aggregation with
+map-side partials plus ONE join of that per-node min back to the edge
+list. Neighborhoods are never collected into a single task (no
+collect_list / collect_set anywhere), so a celebrity node with 10^8
+neighbors streams through an aggregation instead of materializing an
+array; skewed join keys are AQE-skew-splittable. Each round
+localCheckpoints the edge set (truncating the O(rounds)-deep lineage)
+and runs exactly one count+checksum action for the convergence test.
+Nothing corpus-sized ever reaches the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge set as distinct (u < v) pairs; self-loops and NULL
+    endpoints dropped."""
+    return (
+        edges.select(
+            F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v")
+        )
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _fingerprint(e: DataFrame) -> tuple[int, int]:
+    """(edge count, order-independent 64-bit checksum) in ONE action.
+    bit_xor is overflow-free under ANSI mode and order-independent; the
+    edge set is distinct so no pair can self-cancel. xxhash64 is
+    internal-only here (never oracle-compared; CLAUDE.md's md5-only rule
+    applies to compared VALUES)."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("chk"),
+    ).first()
+    return int(row["n"]), int(row["chk"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Label every node of the undirected pair graph with the minimum node
+    id of its connected component. Returns (id, rep) — one row per node
+    that appears in at least one edge (isolated nodes have no edges to
+    appear in; callers wanting total coverage left-join this onto the
+    corpus and coalesce rep to id, as dedup_clusters does).
+
+    Convergence is detected by fixpoint of the (count, sum-of-xxhash64)
+    edge-set fingerprint across a full large+small round; a false stop
+    needs a 64-bit checksum collision at equal cardinality (~2^-64,
+    accepted and documented). Raises RuntimeError if ``max_iter`` rounds
+    don't converge — with the O(log^2 n) bound, 30 rounds cover any
+    physically storable graph, so hitting it means a bug, and wrong
+    cluster assignments must never be returned silently.
+    """
+    e = _canonical_edges(edges, src, dst).localCheckpoint(eager=False)
+    prev = _fingerprint(e)
+    if prev[0] == 0:
+        return e.select(F.col("u").alias("id"), F.col("v").alias("rep"))
+
+    for _ in range(max_iter):
+        # ---- large-star ----------------------------------------------
+        # adjacency both directions; per-node min neighbor; re-attach
+        # strictly larger neighbors to min(neighborhood ∪ self)
+        adj = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (
+            adj.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        lg = (
+            adj.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        e = _canonical_edges(lg, "a", "b")
+
+        # ---- small-star ----------------------------------------------
+        # per-node min over SMALLER neighbors (∪ self); re-attach the
+        # smaller neighbors and the node itself to it
+        adj = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        small = adj.where(F.col("v") < F.col("u"))
+        m = small.groupBy("u").agg(F.min("v").alias("m"))
+        sm = (
+            small.join(m, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(m.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        )
+        e = _canonical_edges(sm, "a", "b").localCheckpoint(eager=False)
+
+        cur = _fingerprint(e)
+        if cur == prev:
+            # fixpoint: union of stars, each centered at its component min
+            leaves = e.select(F.col("v").alias("id"), F.col("u").alias("rep"))
+            roots = e.select(
+                F.col("u").alias("id"), F.col("u").alias("rep")
+            ).distinct()
+            # belt-and-braces min: a leaf is in exactly one star at
+            # fixpoint, but groupBy-min makes the output well-defined
+            # under any interleaving
+            return leaves.union(roots).groupBy("id").agg(
+                F.min("rep").alias("rep")
+            )
+        prev = cur
+
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **minhash_kwargs,
+) -> DataFrame:
+    """Near-duplicate CLUSTER assignment for every document: MinHash+LSH
+    pair generation (dedup.minhash_lsh_pairs, unchanged) -> connected
+    components -> (doc_id, cluster_rep, cluster_size, is_survivor).
+
+    Total over the input corpus: documents in no near-dup pair form
+    singleton clusters (rep = self, size 1) via a map-side left join —
+    the survivor policy `keep doc_id == cluster_rep` then drops exactly
+    the non-representative members, the standard FineWeb/Dolma step.
+    """
+    from .dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(df, id_col=id_col, text_col=text_col, **minhash_kwargs)
+    labels = connected_components(pairs, "id_a", "id_b")
+    sizes = labels.groupBy("rep").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    clustered = labels.join(sizes, "rep")
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(clustered.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("rep", F.col("doc_id")).alias("cluster_rep"),
+            F.coalesce("cluster_size", F.lit(1).cast("bigint")).alias(
+                "cluster_size"
+            ),
+            (
+                F.coalesce("rep", F.col("doc_id")) == F.col("doc_id")
+            ).alias("is_survivor"),
+        )
+    )

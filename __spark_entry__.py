@@ -1020,6 +1020,50 @@ def q_extract_links(spark, sf_dir):
     return extract_links(d)
 
 
+# main_content page chrome, shared verbatim between the Spark query and the
+# DuckDB oracle (no single quotes — the strings embed into SQL literals)
+_MC_HEADER = (
+    '<header><h1>Example Site</h1><nav><ul>'
+    '<li><a href="/">Home</a></li><li><a href="/about">About us</a></li>'
+    '<li><a href="/contact">Contact page</a></li>'
+    '<li><a href="/login">Member log in</a></li></ul></nav></header>'
+    '<div class="promo">Subscribe to our newsletter today</div>'
+)
+_MC_ASIDE = (
+    '<aside><ul><li><a href="/rel/1">Related article about topic one</a></li>'
+    '<li><a href="/rel/2">Another related article to click</a></li>'
+    '<li><a href="/rel/3">Third suggested story for you</a></li></ul></aside>'
+)
+_MC_FOOTER = (
+    '<footer><p><a href="/privacy">Privacy policy</a> '
+    '<a href="/terms">Terms of use</a> <a href="/sitemap">Site map</a> '
+    '(c) 2024 Example Corp</p></footer>'
+)
+
+
+def q_main_content(spark, sf_dir):
+    # jusText/Boilerpipe-style density classification: every page wears
+    # header/nav/promo/footer chrome (linky or short -> dropped), docs
+    # divisible by 3 add a related-links aside (dropped); the article body
+    # is the document text (kept when >= 10 words). Pure map-side.
+    from textractssmlprocessor_spark.operators.content import main_content
+
+    pages = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("https://ex.org/doc/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.concat(
+            F.lit(_MC_HEADER),
+            F.lit("<article><p>"), F.col("text"), F.lit("</p></article>"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_MC_ASIDE)).otherwise(
+                F.lit("")
+            ),
+            F.lit(_MC_FOOTER),
+        ).alias("html"),
+    )
+    return main_content(pages, min_words=10, max_link_density=0.33)
+
+
 def q_dup_sentences(spark, sf_dir):
     # J3 corpus-wide duplicate sentences (order-dependent first-wins;
     # lookbehind split is Python/Java-regex-only -> no RE2/SQL oracle)
@@ -1123,6 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "boilerplate_lines": q_boilerplate_lines,
         "extract_links": q_extract_links,
+        "main_content": q_main_content,
         # multimodal plumbing
         "media_metadata": q_media_metadata,
         "media_features": q_media_features,
@@ -1230,6 +1275,11 @@ def _golden(query: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from textractssmlprocessor_spark.operators.content import (
+        ANCHOR_TEXT_RE as _MC_ANCHOR_RE,
+        BLOCK_SPLIT_RE as _MC_BLOCK_RE,
+        TAG_RE as _MC_TAG_RE,
+    )
     from textractssmlprocessor_spark.operators.textstats import STOPWORDS
 
     lang_keys = ", ".join(
@@ -1585,6 +1635,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, (g.i - 1)::BIGINT AS link_no, hrefs[g.i] AS href,
                    trim(regexp_replace(anchors[g.i], '<[^>]+>', '', 'g')) AS anchor
             FROM m, unnest(generate_series(1, len(hrefs))) AS g(i)
+        """,
+        "main_content": f"""
+            WITH pages AS (
+                SELECT 'https://ex.org/doc/' || doc_id::VARCHAR AS url,
+                       '{_MC_HEADER}' || '<article><p>' || text || '</p></article>'
+                       || CASE WHEN doc_id % 3 = 0 THEN '{_MC_ASIDE}' ELSE '' END
+                       || '{_MC_FOOTER}' AS html
+                FROM documents
+            ),
+            b AS (SELECT url, string_split_regex(coalesce(html, ''), '{_MC_BLOCK_RE}') AS bl
+                  FROM pages),
+            ex AS (SELECT url, unnest(bl) AS raw, generate_subscripts(bl, 1) AS pos FROM b),
+            f AS (SELECT url, pos,
+                         trim(regexp_replace(regexp_replace(raw, '{_MC_TAG_RE}', ' ', 'g'), '\\s+', ' ', 'g')) AS txt,
+                         coalesce(list_sum(list_transform(
+                             regexp_extract_all(raw, '{_MC_ANCHOR_RE}', 1),
+                             a -> length(trim(regexp_replace(regexp_replace(a, '{_MC_TAG_RE}', ' ', 'g'), '\\s+', ' ', 'g'))))), 0) AS lc
+                  FROM ex),
+            k AS (SELECT url, pos, txt FROM f
+                  WHERE txt != '' AND len(string_split(txt, ' ')) >= 10
+                    AND lc <= greatest(length(txt), 1) * 0.33),
+            agg AS (SELECT url, string_agg(txt, chr(10) || chr(10) ORDER BY pos) AS main_text,
+                           count(*)::BIGINT AS n_kept
+                    FROM k GROUP BY url),
+            tot AS (SELECT url,
+                           (count(*) FILTER (WHERE txt != ''))::BIGINT AS n_blocks,
+                           sum(lc) AS slc, sum(length(txt)) AS sch
+                    FROM f GROUP BY url)
+            SELECT t.url,
+                   coalesce(a.main_text, '') AS main_text,
+                   t.n_blocks,
+                   coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+                   round(slc / greatest(sch, 1)::DOUBLE, 6) AS link_density
+            FROM tot t LEFT JOIN agg a USING (url)
         """,
         "dedup_exact": f"""
             WITH d AS ({_DOCS_WITH_DUPES_SQL})

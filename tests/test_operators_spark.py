@@ -938,3 +938,55 @@ def test_dedup_clusters_transitive_and_total(spark):
     assert rows[1]["cluster_size"] == 3
     assert rows[9]["cluster_rep"] == 9 and rows[9]["cluster_size"] == 1
     assert rows[9]["is_survivor"]
+
+
+def test_main_content_density_classifier(spark):
+    """Nav/promo/aside/footer chrome is dropped (linky or short), article
+    paragraphs are kept in order; NULL html behaves as empty (totality)."""
+    from textractssmlprocessor_spark.operators.content import main_content
+
+    html = (
+        '<header><h1>Example Site</h1><nav><ul>'
+        '<li><a href="/">Home</a></li><li><a href="/about">About us</a></li>'
+        '</ul></nav></header>'
+        '<div class="promo">Subscribe to our newsletter today</div>'
+        "<article><p>This is the long main body of the page with many genuine "
+        "words of actual content that a reader came here to read.</p>"
+        "<p>A second solid paragraph continues the main content with enough "
+        "words to clear the classifier threshold easily.</p></article>"
+        '<footer><p><a href="/privacy">Privacy policy</a> '
+        '<a href="/terms">Terms of use</a> <a href="/sitemap">Site map</a> '
+        "(c) 2024 Example Corp</p></footer>"
+    )
+    df = spark.createDataFrame(
+        [("u1", html), ("u2", "<p>short</p>"), ("u3", None)],
+        "url string, html string",
+    )
+    rows = {r["url"]: r for r in main_content(df).collect()}
+    paras = rows["u1"]["main_text"].split("\n\n")
+    assert len(paras) == 2
+    assert paras[0].startswith("This is the long main body")
+    assert paras[1].startswith("A second solid paragraph")
+    assert "Privacy policy" not in rows["u1"]["main_text"]
+    assert "newsletter" not in rows["u1"]["main_text"]
+    assert rows["u1"]["n_kept"] == 2
+    assert rows["u2"]["main_text"] == "" and rows["u2"]["n_blocks"] == 1
+    assert rows["u3"]["main_text"] == "" and rows["u3"]["n_blocks"] == 0
+    assert rows["u3"]["link_density"] == 0.0
+
+
+def test_main_content_link_density_boundary(spark):
+    """A 10-word block passes at exactly max_link_density and fails just
+    above it; nested tags inside anchors count as anchor text chars only
+    once (tags stripped before measuring)."""
+    from textractssmlprocessor_spark.operators.content import main_content
+
+    # words w1..w10, one anchor whose visible text is w1 w2 (5 chars of 59)
+    body = '<p><a href="/x"><b>w1</b> w2</a> w3 w4 w5 w6 w7 w8 w9 w10</p>'
+    df = spark.createDataFrame([("ok", body)], "url string, html string")
+    loose = main_content(df, min_words=10, max_link_density=0.5).collect()[0]
+    assert loose["n_kept"] == 1
+    tight = main_content(df, min_words=10, max_link_density=0.05).collect()[0]
+    assert tight["n_kept"] == 0
+    eleven = main_content(df, min_words=11, max_link_density=0.5).collect()[0]
+    assert eleven["n_kept"] == 0  # word-count gate

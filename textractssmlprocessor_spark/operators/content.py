@@ -1,0 +1,119 @@
+"""Per-document main-content extraction via text/link-density block
+classification (the jusText / Boilerpipe / trafilatura family).
+
+The extraction pipeline's DOM path (reference utils.py:16-58 via
+functions/dom.py) assumes book-like pages where everything is content.
+Real Common-Crawl pages bury the main text in navigation, header, footer
+and related-links chrome; the standard first-pass fix — used by the
+corpora OSCAR and friends are built from — is block-level density
+classification: split the page at block-level tags, score each block by
+word count and link density (chars of anchor text / chars of text), and
+keep only contentful blocks. This is the PER-DOCUMENT complement of
+operators/boilerplate.py (which drops lines repeating ACROSS a host's
+pages); the two compose.
+
+Scale shape: pure map-side — ONE projection over (url, html), zero
+shuffles, zero Python. Blocks live as an array column; features ride a
+single `transform` whose lambda references only its own argument (the
+higher-order re-evaluation rule, PLANS.md), classification is an array
+`filter`, and the rebuild is `array_join`. At 10^12 docs this pipelines
+with the scan and prunes to two columns.
+
+Every regex is Java/RE2-portable (no lookbehind, ASCII classes in
+ASCII-only contexts) and shared verbatim with the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# split at block-level tag boundaries (open or close); \b keeps <p from
+# eating <pre (pre is listed anyway, belt and braces)
+BLOCK_SPLIT_RE = (
+    r"(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|"
+    r"nav|header|footer|aside|section|article|main|blockquote|pre|form|"
+    r"fieldset|figure|figcaption)\b[^>]*>|<br\s*/?>"
+)
+ANCHOR_TEXT_RE = r"(?is)<a\b[^>]*>(.*?)</a>"
+TAG_RE = r"(?is)<[^>]*>"
+
+
+def _block_text(raw: Column) -> Column:
+    """Visible text of one block: tags -> space, whitespace collapsed,
+    space-trimmed (Spark trim and DuckDB trim both strip spaces only)."""
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(raw, TAG_RE, " "), r"\s+", " ")
+    )
+
+
+def main_content(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    min_words: int = 10,
+    max_link_density: float = 0.33,
+) -> DataFrame:
+    """Classify block-level segments of ``html_col`` and keep contentful
+    ones: at least ``min_words`` words AND link density (anchor-text chars
+    over text chars) at most ``max_link_density``.
+
+    Returns one row per input row (total): (url, main_text — kept blocks
+    joined by blank lines in document order, n_blocks — non-empty blocks
+    seen, n_kept, link_density — doc-level anchor-chars/text-chars,
+    rounded 6). NULL html behaves as empty (main_text '', counts 0).
+    """
+    blocks = df.withColumn(
+        "_blocks", F.split(F.coalesce(F.col(html_col), F.lit("")),
+                           BLOCK_SPLIT_RE, -1)
+    )
+    # one struct per block: visible text + anchor-text char count; the
+    # lambda references ONLY its argument (re-evaluation rule)
+    feats = blocks.withColumn(
+        "_feats",
+        F.transform(
+            "_blocks",
+            lambda b: F.struct(
+                _block_text(b).alias("txt"),
+                F.aggregate(
+                    F.regexp_extract_all(b, F.lit(ANCHOR_TEXT_RE), F.lit(1)),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, a: acc + F.length(_block_text(a)),
+                ).alias("lc"),
+            ),
+        ),
+    )
+    # _kept is consumed twice (join + size) — materialize it as its own
+    # column so the filter predicate runs once per row, not per consumer
+    feats = feats.withColumn(
+        "_kept",
+        F.filter(
+            "_feats",
+            lambda s: (s["txt"] != "")
+            & (F.size(F.split(s["txt"], " ")) >= F.lit(min_words))
+            & (
+                s["lc"]
+                <= F.greatest(F.length(s["txt"]), F.lit(1))
+                * F.lit(max_link_density)
+            ),
+        ),
+    )
+    kept = F.col("_kept")
+    nonempty = F.filter("_feats", lambda s: s["txt"] != "")
+    total_chars = F.aggregate(
+        "_feats", F.lit(0).cast("bigint"), lambda acc, s: acc + F.length(s["txt"])
+    )
+    total_link = F.aggregate(
+        "_feats", F.lit(0).cast("bigint"), lambda acc, s: acc + s["lc"]
+    )
+    return feats.select(
+        F.col(url_col).alias("url"),
+        F.array_join(F.transform(kept, lambda s: s["txt"]), "\n\n").alias(
+            "main_text"
+        ),
+        F.size(nonempty).cast("bigint").alias("n_blocks"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.round(
+            total_link / F.greatest(total_chars, F.lit(1)).cast("double"), 6
+        ).alias("link_density"),
+    )

@@ -112,6 +112,8 @@ def main() -> None:
         "pack_shards",
         "boilerplate_lines",
         "extract_links",
+        "dedup_clusters",
+        "main_content",
     ]
     timings_extra: dict[str, float] = {}
     for name in extra_queries:

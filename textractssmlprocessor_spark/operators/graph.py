@@ -105,7 +105,11 @@ def connected_components(
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
         )
-        e = _canonical_edges(lg, "a", "b")
+        # mid-round checkpoint: the small-star half references this edge
+        # set twice (adjacency union) — as a checkpointed RDD scan both
+        # references share ONE computation instead of re-running the
+        # large-star agg+join per reference
+        e = _canonical_edges(lg, "a", "b").localCheckpoint(eager=False)
 
         # ---- small-star ----------------------------------------------
         # per-node min over SMALLER neighbors (∪ self); re-attach the

@@ -27,6 +27,10 @@ HEADLINE = [
     "curate_corpus",
     "winnow",
     "contamination",
+    "boilerplate_lines",
+    "extract_links",
+    "main_content",
+    "dedup_clusters",
 ]
 
 

@@ -81,9 +81,11 @@ def connected_components(
     edge-set fingerprint across a full large+small round; a false stop
     needs a 64-bit checksum collision at equal cardinality (~2^-64,
     accepted and documented). Raises RuntimeError if ``max_iter`` rounds
-    don't converge — with the O(log^2 n) bound, 30 rounds cover any
-    physically storable graph, so hitting it means a bug, and wrong
-    cluster assignments must never be returned silently.
+    don't converge — observed convergence is O(log n) rounds (a handful
+    even for long chains; the proved bound is O(log^2 n)), so the default
+    30 is generous headroom, and wrong cluster assignments must never be
+    returned silently; callers hitting the limit on adversarial graphs
+    raise ``max_iter`` explicitly.
     """
     e = _canonical_edges(edges, src, dst).localCheckpoint(eager=False)
     prev = _fingerprint(e)

@@ -990,3 +990,46 @@ def test_main_content_link_density_boundary(spark):
     assert tight["n_kept"] == 0
     eleven = main_content(df, min_words=11, max_link_density=0.5).collect()[0]
     assert eleven["n_kept"] == 0  # word-count gate
+
+
+def test_connected_components_matches_union_find_on_random_graphs(spark):
+    """Adversarial cross-check: seeded pseudo-random graphs (dense pockets,
+    long chains, isolated pairs) against an independent driver-side
+    union-find. Deterministic (fixed LCG), no hypothesis/network libs."""
+    from textractssmlprocessor_spark.operators.graph import connected_components
+
+    def lcg(seed):
+        x = seed
+        while True:
+            x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            yield x
+
+    for seed, n_nodes, n_edges in [(7, 60, 40), (11, 120, 150), (13, 30, 80)]:
+        g = lcg(seed)
+        edges = [
+            (next(g) % n_nodes, next(g) % n_nodes) for _ in range(n_edges)
+        ]
+        # independent union-find with path compression
+        parent = list(range(n_nodes))
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for a, b in edges:
+            if a != b:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        # min-root union makes every final root the component minimum;
+        # CC labels exactly the nodes that appear in a non-loop edge
+        in_graph = {v for a, b in edges if a != b for v in (a, b)}
+        expected = {v: find(v) for v in in_graph}
+
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        got = {
+            r["id"]: r["rep"] for r in connected_components(df).collect()
+        }
+        assert got == expected, f"seed {seed}"

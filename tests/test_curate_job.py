@@ -1,0 +1,125 @@
+"""Curation job: manifest composition semantics in-process, plus the
+spark-submit --py-files deployment shape in a fresh JVM (same layout as
+test_spark_submit_job — job file outside the repo, package only via zip)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+
+from pyspark.sql import functions as F
+
+from test_spark_submit_job import _package_zip
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _corpus(spark):
+    raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # the driver corpus is a stopword-free token bag too short for the
+    # 50-word Gopher floor (same workaround as q_curate_corpus): lengthen
+    # 5x and append a stopword-bearing sentence so docs pass quality
+    tail = " The cat and the dog of the house is that with us in there."
+    base = raw.select(
+        "doc_id",
+        F.concat(F.concat_ws(" ", *["text"] * 5), F.lit(tail)).alias("text"),
+        "lang",
+    )
+    # near-copy of every 11th doc: survives quality but not near-dup CC
+    near = base.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" trailing token")).alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    return base.unionByName(near)
+
+
+def test_build_manifest_near_dup_stage(spark):
+    from textractssmlprocessor_spark.jobs.curate_job import build_manifest
+
+    docs = _corpus(spark)
+    n_input = docs.count()
+    manifest = build_manifest(docs, near_dup=True, threshold=0.5)
+    rows = {r["id"]: r for r in manifest.collect()}
+    assert len(rows) == n_input  # total: one verdict per input doc
+    # every planted near-copy whose ORIGINAL was kept drops as
+    # near_duplicate (min-id survivorship keeps the original)
+    planted = [
+        r["doc_id"]
+        for r in docs.filter(F.col("doc_id") < 500000)
+        .filter(F.col("doc_id") % 11 == 0)
+        .select("doc_id")
+        .collect()
+    ]
+    checked = 0
+    for d in planted:
+        if rows[d]["kept"]:
+            assert not rows[d + 500000]["kept"], d
+            assert rows[d + 500000]["drop_reason"] == "near_duplicate", d
+            checked += 1
+    assert checked > 0
+    # stage-1 verdicts (language/quality/duplicate) are untouched
+    reasons = {r["drop_reason"] for r in rows.values()}
+    assert reasons <= {None, "language", "quality", "duplicate",
+                       "near_duplicate"}
+
+
+def test_curate_job_spark_submit(spark, tmp_path):
+    from textractssmlprocessor_spark.jobs.curate_job import build_manifest
+
+    docs = _corpus(spark).limit(120)
+    input_path = str(tmp_path / "docs.parquet")
+    docs.write.parquet(input_path)
+    expected = {
+        (r["id"], r["kept"], r["drop_reason"])
+        for r in build_manifest(
+            spark.read.parquet(input_path), near_dup=True, threshold=0.5
+        ).collect()
+    }
+
+    stage = tmp_path / "deploy"
+    stage.mkdir()
+    zpath = _package_zip(str(stage))
+    job = str(stage / "curate_job.py")
+    shutil.copy(
+        os.path.join(
+            REPO, "textractssmlprocessor_spark", "jobs", "curate_job.py"
+        ),
+        job,
+    )
+    manifest_out = str(tmp_path / "manifest")
+    kept_out = str(tmp_path / "kept")
+    spark_submit = shutil.which("spark-submit") or os.path.join(
+        os.path.dirname(shutil.which("python")), "spark-submit"
+    )
+    env = {k: v for k, v in os.environ.items() if k not in ("PYTHONPATH",)}
+    proc = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--py-files", zpath,
+            job,
+            "--input", input_path,
+            "--manifest", manifest_out,
+            "--kept-output", kept_out,
+            "--near-dup",
+            "--threshold", "0.5",
+        ],
+        cwd=str(stage),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=360,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "manifest rows kept this run:" in proc.stdout
+
+    got = {
+        (r["id"], r["kept"], r["drop_reason"])
+        for r in spark.read.parquet(manifest_out).collect()
+    }
+    assert got == expected
+    kept_ids = {r["doc_id"] for r in spark.read.parquet(kept_out).collect()}
+    assert kept_ids == {i for (i, k, _) in expected if k}

@@ -1,0 +1,155 @@
+"""spark-submit entrypoint for the corpus-curation pipeline.
+
+    spark-submit --py-files textractssmlprocessor_spark.zip \
+        textractssmlprocessor_spark/jobs/curate_job.py \
+        --input  <documents parquet path> \
+        --manifest <curation manifest output path> \
+        [--kept-output <filtered corpus output path>] \
+        [--languages en,la] [--near-dup] [--threshold 0.8] \
+        [--partitions 16384]
+
+Stages (each a documented operator, composed here):
+1. `curate.curate_corpus` — language allowlist -> Gopher quality rules ->
+   exact-dedup survivorship; per-doc verdict rows (kept, drop_reason).
+2. optional `--near-dup`: `graph.dedup_clusters` (MinHash+LSH pairs ->
+   large-star/small-star connected components) over the stage-1 keepers;
+   non-representative cluster members drop with reason 'near_duplicate'.
+3. manifest write (the audit artifact: one row per input doc, never
+   filtered away), plus optional filtered-corpus write of the keepers.
+
+The manifest-first design is what makes reruns and audits tractable at
+10^12 docs: the drop decision is data, joinable and diffable, instead of
+an absence of rows. Same code runs on local[N] and a multi-executor
+cluster (all writes go through DataFrame writers — no local-filesystem
+sink in this job).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def _setup_paths() -> None:
+    """Same dual-resolution dance as extract_job (jobs/ vs --py-files zip);
+    PYTHONPATH exported so JVM-spawned Python workers can unpickle UDFs.
+    Called only from script entry — importing this module must not mutate
+    process-global state."""
+    sys.path.insert(0, _REPO_ROOT)
+    os.environ["PYTHONPATH"] = (
+        _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+    ).rstrip(os.pathsep)
+
+
+def build_manifest(
+    docs,
+    languages=None,
+    near_dup: bool = False,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+):
+    """Compose the curation verdicts; importable and unit-testable without
+    spark-submit. Returns (id, kept, drop_reason) — total over the input."""
+    from pyspark.sql import functions as F
+
+    from textractssmlprocessor_spark.operators.curate import curate_corpus
+    from textractssmlprocessor_spark.operators.graph import dedup_clusters
+
+    manifest = curate_corpus(
+        docs, id_col=id_col, text_col=text_col, lang_col=lang_col,
+        languages=languages,
+    )
+    if not near_dup:
+        return manifest
+    keepers = docs.join(
+        manifest.filter(F.col("kept")).select(F.col("id").alias(id_col)),
+        id_col,
+    )
+    near_drops = (
+        dedup_clusters(keepers, id_col=id_col, text_col=text_col,
+                       threshold=threshold)
+        .filter(~F.col("is_survivor"))
+        .select(F.col("doc_id").alias("id"), F.lit(True).alias("_near_dup"))
+    )
+    return (
+        manifest.join(near_drops, "id", "left")
+        .select(
+            "id",
+            (F.col("kept") & F.col("_near_dup").isNull()).alias("kept"),
+            F.coalesce(
+                F.col("drop_reason"),
+                F.when(F.col("_near_dup"), F.lit("near_duplicate")),
+            ).alias("drop_reason"),
+        )
+    )
+
+
+def main() -> None:
+    _setup_paths()
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--manifest", required=True)
+    p.add_argument("--kept-output", default=None)
+    p.add_argument("--languages", default=None)
+    p.add_argument("--near-dup", action="store_true")
+    p.add_argument("--threshold", type=float, default=0.8)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--lang-col", default="lang")
+    p.add_argument("--partitions", type=int, default=None)
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    builder = (
+        SparkSession.builder.appName("curate-webtext")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    if args.partitions:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(args.partitions)
+        )
+    spark = builder.getOrCreate()
+
+    docs = spark.read.parquet(args.input)
+    langs = args.languages.split(",") if args.languages else None
+    manifest = build_manifest(
+        docs,
+        languages=langs,
+        near_dup=args.near_dup,
+        threshold=args.threshold,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        lang_col=args.lang_col,
+    )
+    # the near-dup path consumes the manifest twice (write + kept join);
+    # checkpoint once so the LSH/CC pipeline runs once
+    if args.near_dup:
+        manifest = manifest.localCheckpoint()
+    manifest.write.mode("overwrite").parquet(args.manifest)
+    n_kept = manifest.filter(F.col("kept")).count()
+    if args.kept_output:
+        kept = docs.join(
+            manifest.filter(F.col("kept")).select(
+                F.col("id").alias(args.id_col)
+            ),
+            args.id_col,
+        )
+        kept.write.mode("overwrite").parquet(args.kept_output)
+    print(f"manifest rows kept this run: {n_kept}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

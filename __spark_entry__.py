@@ -1103,7 +1103,9 @@ def q_dedup_sentences_corpus(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Contract registry — 46 entries, every implemented operator covered.
+    """Contract registry — 50 entries (AT the cap: adding another operator
+    means merging into an existing suite query, never appending a 51st),
+    every implemented operator covered.
 
     CAPACITY INVARIANT: keep this dict at <= 50 entries, most-important
     first. The driver's correctness sweep was observed (round 2) to record
@@ -1586,7 +1588,7 @@ def oracle_sql() -> dict[str, str]:
                             ELSE text END AS text
                 FROM documents
             ),
-            l0 AS (SELECT url, host, string_split(text, chr(10)) AS ls FROM d),
+            l0 AS (SELECT url, host, string_split(coalesce(text, ''), chr(10)) AS ls FROM d),
             lines AS (
                 SELECT url, host, (g.i - 1)::BIGINT AS pos, ls[g.i] AS line,
                        trim(ls[g.i]) AS key

@@ -10,7 +10,7 @@ import subprocess
 
 from pyspark.sql import functions as F
 
-from test_spark_submit_job import _package_zip
+from test_spark_submit_job import _clean_env, _package_zip, _spark_submit_path
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -90,10 +90,8 @@ def test_curate_job_spark_submit(spark, tmp_path):
     )
     manifest_out = str(tmp_path / "manifest")
     kept_out = str(tmp_path / "kept")
-    spark_submit = shutil.which("spark-submit") or os.path.join(
-        os.path.dirname(shutil.which("python")), "spark-submit"
-    )
-    env = {k: v for k, v in os.environ.items() if k not in ("PYTHONPATH",)}
+    spark_submit = _spark_submit_path()
+    env = _clean_env()
     proc = subprocess.run(
         [
             spark_submit,

@@ -253,6 +253,24 @@ def test_image_dimensions_real_headers(spark):
     assert image_dimensions(b"not an image at all") is None
     assert image_dimensions(png[:20]) is None
 
+    # spec-legal 0xFF fill bytes before markers (JPEG B.1.1.2) must not
+    # desync the walker, and a scan header before any SOFn stops it
+    filled = (
+        b"\xff\xd8" + b"\xff\xff\xff"                                  # fills
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(8)
+        + b"\xff\xff"                                                  # fill
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 12, 34) + b"\x01" + bytes(3)
+        + b"\xff\xd9"
+    )
+    assert image_dimensions(filled) == ("jpeg", 34, 12)
+    sos_first = (
+        b"\xff\xd8"
+        + b"\xff\xda" + struct.pack(">H", 4) + bytes(2)  # SOS, no SOFn
+        + bytes(32)
+    )
+    assert image_dimensions(sos_first) is None
+
     df = spark.createDataFrame(
         [("png://1", bytearray(png)), ("jpg://2", bytearray(jpeg)),
          ("txt://3", bytearray(b"hello"))],
@@ -820,6 +838,28 @@ def test_remove_boilerplate_lines(spark):
     assert out["https://a.org/all-boiler"]["cleaned_text"] == ""
     # host b: nav in 1/2 docs -> 0.5 frac, min_docs=2 not met -> kept
     assert out["https://b.org/p0"]["cleaned_text"] == f"{nav}\nbody b0"
+
+
+def test_remove_boilerplate_null_text_total(spark):
+    """NULL text behaves as empty: the url keeps its verdict row with
+    cleaned_text='' and n_dropped=0 (not NULL), and does not perturb the
+    host's frequency counts."""
+    from textractssmlprocessor_spark.operators.boilerplate import (
+        remove_boilerplate_lines,
+    )
+
+    rows = [
+        ("https://a.org/p0", "NAV\nbody 0"),
+        ("https://a.org/p1", "NAV\nbody 1"),
+        ("https://a.org/null", None),
+    ]
+    d = spark.createDataFrame(rows, "url string, text string")
+    out = {r["url"]: r for r in remove_boilerplate_lines(d).collect()}
+    assert len(out) == 3
+    assert out["https://a.org/null"]["cleaned_text"] == ""
+    assert out["https://a.org/null"]["n_dropped"] == 0
+    # NAV is on 2/3 of the host's docs (>= 0.5, >= 2 docs) -> dropped
+    assert out["https://a.org/p0"]["cleaned_text"] == "body 0"
 
 
 def test_extract_links(spark):

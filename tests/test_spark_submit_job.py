@@ -30,6 +30,21 @@ def _package_zip(dest: str) -> str:
     return zpath
 
 
+def _spark_submit_path() -> str:
+    found = shutil.which("spark-submit")
+    if found:
+        return found
+    python = shutil.which("python")
+    assert python, "neither spark-submit nor python found on PATH"
+    return os.path.join(os.path.dirname(python), "spark-submit")
+
+
+def _clean_env() -> dict:
+    """Environment without PYTHONPATH: the job must resolve the package
+    from the distributed zip alone (the real cluster layout)."""
+    return {k: v for k, v in os.environ.items() if k not in ("PYTHONPATH",)}
+
+
 def test_spark_submit_py_files_end_to_end(spark, tmp_path):
     from pyspark.sql import functions as F
 
@@ -54,12 +69,8 @@ def test_spark_submit_py_files_end_to_end(spark, tmp_path):
     )
     out = str(tmp_path / "chunks")
     lin = str(tmp_path / "lineage")
-    spark_submit = shutil.which("spark-submit") or os.path.join(
-        os.path.dirname(shutil.which("python")), "spark-submit"
-    )
-    env = {
-        k: v for k, v in os.environ.items() if k not in ("PYTHONPATH",)
-    }
+    spark_submit = _spark_submit_path()
+    env = _clean_env()
     proc = subprocess.run(
         [
             spark_submit,

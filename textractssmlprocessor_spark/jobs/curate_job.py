@@ -54,14 +54,22 @@ def build_manifest(
     id_col: str = "doc_id",
     text_col: str = "text",
     lang_col: str = "lang",
+    materialize="local",
 ):
     """Compose the curation verdicts; importable and unit-testable without
-    spark-submit. Returns (id, kept, drop_reason) — total over the input."""
+    spark-submit. Returns (id, kept, drop_reason) — total over the input.
+
+    ``materialize='persist'`` routes every intermediate the near-dup stage
+    re-reads (MinHash signatures, CC edge rounds) through replicated-disk
+    persist so a single executor loss doesn't kill the job — the mode a
+    multi-executor cluster should run (dedup.minhash_lsh_pairs documents
+    the trade); 'local' keeps the fast single-node defaults."""
     from pyspark.sql import functions as F
 
     from textractssmlprocessor_spark.operators.curate import curate_corpus
     from textractssmlprocessor_spark.operators.graph import dedup_clusters
 
+    mat = "persist" if materialize == "persist" else True
     manifest = curate_corpus(
         docs, id_col=id_col, text_col=text_col, lang_col=lang_col,
         languages=languages,
@@ -74,7 +82,7 @@ def build_manifest(
     )
     near_drops = (
         dedup_clusters(keepers, id_col=id_col, text_col=text_col,
-                       threshold=threshold)
+                       threshold=threshold, materialize=mat)
         .filter(~F.col("is_survivor"))
         .select(F.col("doc_id").alias("id"), F.lit(True).alias("_near_dup"))
     )
@@ -104,6 +112,12 @@ def main() -> None:
     p.add_argument("--text-col", default="text")
     p.add_argument("--lang-col", default="lang")
     p.add_argument("--partitions", type=int, default=None)
+    p.add_argument(
+        "--materialize", default="local", choices=["local", "persist"],
+        help="'persist' = replicated-disk intermediates (survives a single "
+        "executor loss; the multi-executor-cluster mode); 'local' = fast "
+        "single-node defaults",
+    )
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -132,16 +146,18 @@ def main() -> None:
         id_col=args.id_col,
         text_col=args.text_col,
         lang_col=args.lang_col,
+        materialize=args.materialize,
     )
-    # the near-dup path consumes the manifest twice (write + kept join);
-    # checkpoint once so the LSH/CC pipeline runs once
-    if args.near_dup:
-        manifest = manifest.localCheckpoint()
+    # the manifest is consumed up to three times (write, kept count, kept
+    # join) — write it FIRST, then serve the other consumers from a
+    # re-read of the written parquet: one pipeline execution total, and
+    # nothing depends on executor-local storage
     manifest.write.mode("overwrite").parquet(args.manifest)
-    n_kept = manifest.filter(F.col("kept")).count()
+    written = spark.read.parquet(args.manifest)
+    n_kept = written.filter(F.col("kept")).count()
     if args.kept_output:
         kept = docs.join(
-            manifest.filter(F.col("kept")).select(
+            written.filter(F.col("kept")).select(
                 F.col("id").alias(args.id_col)
             ),
             args.id_col,

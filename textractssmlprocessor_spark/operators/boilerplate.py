@@ -44,11 +44,16 @@ def remove_boilerplate_lines(
     base = df.select(
         F.col(url_col).alias("url"),
         url_host(F.col(url_col)).alias("host"),
-        F.col(text_col).alias("text"),
+        # NULL text behaves as empty (totality: the output keeps one row
+        # per input url with cleaned_text='' and n_dropped=0, instead of a
+        # NULL n_dropped from size(split(NULL)))
+        F.coalesce(F.col(text_col), F.lit("")).alias("text"),
         # per-doc line total computed map-side here, NOT by re-exploding and
         # re-aggregating the lines table a second time (saves one full
         # explode pass + one url-keyed aggregation)
-        F.size(F.split(text_col, "\n", -1)).alias("n_lines"),
+        F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)).alias(
+            "n_lines"
+        ),
     )
     lines = base.select(
         "url",

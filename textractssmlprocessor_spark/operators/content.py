@@ -28,14 +28,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# split at block-level tag boundaries (open or close); \b keeps <p from
-# eating <pre (pre is listed anyway, belt and braces)
-BLOCK_SPLIT_RE = (
-    r"(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|"
+# split at block-level tag boundaries (open or close). No \b after the
+# tag name: Java \b is Unicode-aware while RE2's is ASCII, so the two
+# engines disagree when arbitrary document text puts a non-ASCII letter
+# right after a tag-like prefix (e.g. '<año>') — and RE2 has no lookahead
+# to express the boundary either. Instead the tag name must be followed
+# by an explicit '>', '/>', or ASCII-whitespace attribute tail, which
+# both engines read identically (ASCII \s) and which also keeps <p from
+# eating <pre (pre is listed anyway, belt and braces).
+_TAG_NAMES = (
+    r"p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|"
     r"nav|header|footer|aside|section|article|main|blockquote|pre|form|"
-    r"fieldset|figure|figcaption)\b[^>]*>|<br\s*/?>"
+    r"fieldset|figure|figcaption"
 )
-ANCHOR_TEXT_RE = r"(?is)<a\b[^>]*>(.*?)</a>"
+BLOCK_SPLIT_RE = rf"(?i)</?(?:{_TAG_NAMES})(?:\s[^>]*)?/?>|<br\s*/?>"
+ANCHOR_TEXT_RE = r"(?is)<a(?:\s[^>]*)?>(.*?)</a>"
 TAG_RE = r"(?is)<[^>]*>"
 
 

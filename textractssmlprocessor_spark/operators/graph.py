@@ -27,10 +27,11 @@ map-side partials plus ONE join of that per-node min back to the edge
 list. Neighborhoods are never collected into a single task (no
 collect_list / collect_set anywhere), so a celebrity node with 10^8
 neighbors streams through an aggregation instead of materializing an
-array; skewed join keys are AQE-skew-splittable. Each round
-localCheckpoints the edge set (truncating the O(rounds)-deep lineage)
-and runs exactly one count+checksum action for the convergence test.
-Nothing corpus-sized ever reaches the driver.
+array; skewed join keys are AQE-skew-splittable. Each round persists the
+edge set (a cached relation is a planning leaf, so the O(rounds) lineage
+never reaches the optimizer), runs exactly one count+checksum action for
+the convergence test, and deterministically unpersists the superseded
+round. Nothing corpus-sized ever reaches the driver.
 """
 
 from __future__ import annotations
@@ -65,11 +66,54 @@ def _fingerprint(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["chk"])
 
 
+def _truncate(df: DataFrame, materialize) -> DataFrame:
+    """Plan-truncating per-round materialization.
+
+    The iterative loop MUST cut the logical plan each round, not merely
+    cache blocks: every round references the previous edge set ~4 times
+    (adjacency unions + min join), so an uncut analyzed plan grows ~4^rounds
+    and OOMs the driver just stringifying the tree (observed). Checkpoints
+    replace the plan with a leaf; persist() does not.
+
+    True -> localCheckpoint (fast, executor-local, unrecoverable on
+    executor loss); 'persist' -> reliable checkpoint to the session's
+    checkpoint dir (shared store on a cluster; survives executor loss;
+    costs a recompute-to-write per round — Spark's documented trade for
+    reliable checkpoints — and requires setCheckpointDir, enforced here
+    with a clear error)."""
+    if materialize == "persist":
+        sc = df.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            raise ValueError(
+                "materialize='persist' needs a reliable checkpoint dir: call "
+                "spark.sparkContext.setCheckpointDir(<shared path>) first"
+            )
+        return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)
+
+
+def _round_rdd_ids(spark) -> set:
+    """Ids of currently registered persistent RDDs (localCheckpoint blocks
+    live in this registry). Used to deterministically free SUPERSEDED
+    rounds instead of waiting for driver GC + ContextCleaner — the leak
+    class bench.py's drop_leaked_persists documents. Same public JavaSparkContext
+    surface bench.py uses; no DataFrame->RDD plan conversion involved."""
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+
+
+def _unpersist_rdds(spark, ids: set) -> None:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in list(jmap.keys()):
+        if rid in ids:
+            jmap[rid].unpersist()
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
+    materialize: bool | str = True,
 ) -> DataFrame:
     """Label every node of the undirected pair graph with the minimum node
     id of its connected component. Returns (id, rep) — one row per node
@@ -77,7 +121,17 @@ def connected_components(
     appear in; callers wanting total coverage left-join this onto the
     corpus and coalesce rep to id, as dedup_clusters does).
 
-    Convergence is detected by fixpoint of the (count, sum-of-xxhash64)
+    Per-round materialization is a plan-truncating checkpoint (see
+    ``_truncate``: localCheckpoint by default, reliable checkpoint under
+    ``materialize='persist'`` for executor-loss recoverability) with
+    DETERMINISTIC cleanup: once a round's fingerprint action has
+    materialized the new edge set, the superseded round's checkpoint
+    blocks are unpersisted by registry id — at most one round of dead
+    copies is ever live, instead of O(log n) leaked checkpoint RDDs
+    waiting for driver GC. The final round's blocks back the returned
+    labels and are freed when the caller's references are collected.
+
+    Convergence is detected by fixpoint of the (count, bit_xor-of-xxhash64)
     edge-set fingerprint across a full large+small round; a false stop
     needs a 64-bit checksum collision at equal cardinality (~2^-64,
     accepted and documented). Raises RuntimeError if ``max_iter`` rounds
@@ -87,9 +141,13 @@ def connected_components(
     returned silently; callers hitting the limit on adversarial graphs
     raise ``max_iter`` explicitly.
     """
-    e = _canonical_edges(edges, src, dst).localCheckpoint(eager=False)
+    spark = edges.sparkSession
+    pre_ids = _round_rdd_ids(spark)
+    e = _truncate(_canonical_edges(edges, src, dst), materialize)
     prev = _fingerprint(e)
+    prev_round_ids = _round_rdd_ids(spark) - pre_ids
     if prev[0] == 0:
+        _unpersist_rdds(spark, prev_round_ids)
         return e.select(F.col("u").alias("id"), F.col("v").alias("rep"))
 
     for _ in range(max_iter):
@@ -107,16 +165,19 @@ def connected_components(
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
         )
-        # mid-round checkpoint: the small-star half references this edge
-        # set twice (adjacency union) — as a checkpointed RDD scan both
-        # references share ONE computation instead of re-running the
-        # large-star agg+join per reference
-        e = _canonical_edges(lg, "a", "b").localCheckpoint(eager=False)
+        # mid-round truncation: the small-star half references this edge
+        # set twice (adjacency union) — as a checkpointed leaf both
+        # references share one computation instead of re-running the
+        # large-star agg+join per reference, and the plan stays O(1) deep
+        pre_ids = _round_rdd_ids(spark)
+        e_mid = _truncate(_canonical_edges(lg, "a", "b"), materialize)
 
         # ---- small-star ----------------------------------------------
         # per-node min over SMALLER neighbors (∪ self); re-attach the
         # smaller neighbors and the node itself to it
-        adj = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        adj = e_mid.union(
+            e_mid.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
         small = adj.where(F.col("v") < F.col("u"))
         m = small.groupBy("u").agg(F.min("v").alias("m"))
         sm = (
@@ -124,9 +185,15 @@ def connected_components(
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
             .union(m.select(F.col("u").alias("a"), F.col("m").alias("b")))
         )
-        e = _canonical_edges(sm, "a", "b").localCheckpoint(eager=False)
+        e_new = _truncate(_canonical_edges(sm, "a", "b"), materialize)
 
-        cur = _fingerprint(e)
+        cur = _fingerprint(e_new)  # materializes e_mid + e_new
+        # the previous round is now superseded — free its checkpoint
+        # blocks deterministically (this round's ids are the new delta)
+        this_round_ids = _round_rdd_ids(spark) - pre_ids
+        _unpersist_rdds(spark, prev_round_ids)
+        prev_round_ids = this_round_ids
+        e = e_new
         if cur == prev:
             # fixpoint: union of stars, each centered at its component min
             leaves = e.select(F.col("v").alias("id"), F.col("u").alias("rep"))
@@ -150,11 +217,16 @@ def dedup_clusters(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize: bool | str = True,
     **minhash_kwargs,
 ) -> DataFrame:
     """Near-duplicate CLUSTER assignment for every document: MinHash+LSH
     pair generation (dedup.minhash_lsh_pairs, unchanged) -> connected
     components -> (doc_id, cluster_rep, cluster_size, is_survivor).
+
+    ``materialize`` selects the recoverability mode for BOTH stages
+    (True = fast local; 'persist' = replicated-disk, the right choice on
+    a multi-executor cluster — see dedup.minhash_lsh_pairs).
 
     Total over the input corpus: documents in no near-dup pair form
     singleton clusters (rep = self, size 1) via a map-side left join —
@@ -163,8 +235,12 @@ def dedup_clusters(
     """
     from .dedup import minhash_lsh_pairs
 
-    pairs = minhash_lsh_pairs(df, id_col=id_col, text_col=text_col, **minhash_kwargs)
-    labels = connected_components(pairs, "id_a", "id_b")
+    pairs = minhash_lsh_pairs(
+        df, id_col=id_col, text_col=text_col, materialize=materialize,
+        **minhash_kwargs,
+    )
+    labels = connected_components(pairs, "id_a", "id_b",
+                                  materialize=materialize)
     sizes = labels.groupBy("rep").agg(
         F.count(F.lit(1)).cast("bigint").alias("cluster_size")
     )

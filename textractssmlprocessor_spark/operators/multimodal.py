@@ -95,9 +95,14 @@ def image_dimensions(payload: bytes) -> tuple[str, int, int] | None:
                 i += 1
                 continue
             marker = b[i + 1]
+            if marker == 0xFF:
+                i += 1  # spec-legal fill byte (B.1.1.2) before a marker
+                continue
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2  # standalone markers, no length field
                 continue
+            if marker in (0xD9, 0xDA):
+                return None  # EOI / start-of-scan: no SOFn seen, give up
             seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 if i + 9 <= len(b):

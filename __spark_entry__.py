@@ -225,13 +225,19 @@ def q_url_normalize(spark, sf_dir):
 
 
 def q_gopher_quality(spark, sf_dir):
-    # Gopher-rule quality flags (Rae et al. 2021) — all native, map-side
+    # Quality-scoring suite: Gopher-rule flags (Rae et al. 2021 — native,
+    # map-side) + CCNet-style n-gram LM perplexity columns (Wenzek et al.
+    # 2020 — broadcast-model joins, operators/lm.py)
+    from textractssmlprocessor_spark.operators.lm import lm_perplexity
     from textractssmlprocessor_spark.operators.textstats import gopher_columns
 
+    d = _docs(spark, sf_dir)
     cols = gopher_columns(F.col("text"))
-    return _docs(spark, sf_dir).select(
-        "doc_id", *[c.alias(name) for name, c in cols.items()]
+    g = d.select("doc_id", *[c.alias(name) for name, c in cols.items()])
+    lm = lm_perplexity(d, id_col="doc_id", text_col="text").withColumnRenamed(
+        "id", "doc_id"
     )
+    return g.join(lm, "doc_id")
 
 
 def q_repetition_stats(spark, sf_dir):
@@ -1536,16 +1542,70 @@ def oracle_sql() -> dict[str, str]:
                              / (CASE WHEN len(ws) > 0 THEN len(ws) END)::DOUBLE, 6) AS alpha_word_frac,
                        ((CASE WHEN regexp_matches(lower(text), '\\bthe\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\band\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bof\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bto\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bin\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bis\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bthat\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bwith\\b') THEN 1 ELSE 0 END))::BIGINT AS n_stopwords_present
                 FROM base
+            ),
+            g AS (
+                SELECT *,
+                       (n_words >= 50 AND n_words <= 100000
+                        AND mean_word_len >= 3 AND mean_word_len <= 10
+                        AND symbol_word_ratio <= 0.1
+                        AND bullet_line_frac <= 0.9
+                        AND ellipsis_line_frac <= 0.3
+                        AND alpha_word_frac >= 0.8
+                        AND n_stopwords_present >= 2) AS gopher_pass
+                FROM m
+            ),
+            -- CCNet-style LM perplexity replay (operators/lm.py): same
+            -- tokenizer ([^a-z0-9]+ means the same bytes in RE2 and Java),
+            -- same min_count=2 model tables, same interpolation formula
+            tk AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), t -> t != '') AS toks
+                FROM documents
+            ),
+            uni AS (
+                SELECT u.tok AS tok, count(*)::BIGINT AS c
+                FROM (SELECT unnest(toks) AS tok FROM tk) u
+                GROUP BY 1
+            ),
+            voc AS (SELECT tok, c FROM uni WHERE c >= 2),
+            tot AS (SELECT sum(c)::DOUBLE AS n_tok, count(*)::DOUBLE AS v FROM voc),
+            bg AS (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i])) AS w1,
+                       unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i+1])) AS w2
+                FROM tk WHERE len(toks) >= 2
+            ),
+            bigc AS (
+                SELECT b.w1, b.w2, count(*)::BIGINT AS c12
+                FROM bg b
+                JOIN voc x1 ON b.w1 = x1.tok
+                JOIN voc x2 ON b.w2 = x2.tok
+                GROUP BY 1, 2
+                HAVING count(*) >= 2
+            ),
+            sc AS (
+                SELECT b.doc_id,
+                       (CASE WHEN b2.c12 IS NULL THEN 1 ELSE 0 END) AS oov,
+                       ln(0.7 * coalesce(b2.c12::DOUBLE / v1.c::DOUBLE, 0.0)
+                          + 0.25 * coalesce(v2.c::DOUBLE / t.n_tok, 0.0)
+                          + 0.05 / (t.v + 1.0)) AS logp
+                FROM bg b
+                LEFT JOIN voc v1 ON b.w1 = v1.tok
+                LEFT JOIN voc v2 ON b.w2 = v2.tok
+                LEFT JOIN bigc b2 ON b.w1 = b2.w1 AND b.w2 = b2.w2
+                CROSS JOIN tot t
+            ),
+            per AS (
+                SELECT doc_id,
+                       count(*)::BIGINT AS lm_n_bigrams,
+                       round(sum(logp) / count(*), 6) AS lm_avg_logprob,
+                       round(sum(oov)::DOUBLE / count(*), 6) AS lm_oov_frac
+                FROM sc GROUP BY 1
             )
-            SELECT *,
-                   (n_words >= 50 AND n_words <= 100000
-                    AND mean_word_len >= 3 AND mean_word_len <= 10
-                    AND symbol_word_ratio <= 0.1
-                    AND bullet_line_frac <= 0.9
-                    AND ellipsis_line_frac <= 0.3
-                    AND alpha_word_frac >= 0.8
-                    AND n_stopwords_present >= 2) AS gopher_pass
-            FROM m
+            SELECT g.*,
+                   coalesce(per.lm_n_bigrams, 0)::BIGINT AS lm_n_bigrams,
+                   per.lm_avg_logprob, per.lm_oov_frac
+            FROM g LEFT JOIN per ON g.doc_id = per.doc_id
         """,
         "repetition_stats": """
             WITH d AS (

@@ -1,0 +1,197 @@
+"""CCNet-style n-gram language-model quality scoring.
+
+CCNet (Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+Datasets from Web Crawl Data") ranks Common-Crawl documents by the
+perplexity of a small n-gram LM; low-perplexity text reads like the
+training corpus, high-perplexity text is gibberish/boilerplate. This
+module is that filter re-expressed as pure DataFrame algebra — counts,
+joins, and one log — with NO model library and NO Python in the hot
+path:
+
+1. TRAIN (two aggregations, each with map-side partials): tokenize
+   every document (lowercase, ``[^a-z0-9]+`` delimiters — identical
+   semantics in Java regex and RE2, so a DuckDB oracle can replay it),
+   count unigrams and within-document bigrams, and keep only entries
+   with ``count >= min_count``. Under a Zipf word distribution the
+   surviving table is O(corpus_tokens / min_count) rows — a bounded,
+   broadcastable model, NOT corpus-sized. At the 10^12-doc scale the
+   right deployment is to train on a deterministic sample or a fixed
+   reference corpus (CCNet uses Wikipedia) via the ``train_df``
+   parameter; the tables stay small either way.
+
+2. SCORE (map-side except one per-doc aggregation): each document's
+   bigrams probe the two model tables — both sides of the join are the
+   *model* (small, broadcast), so scoring never shuffles the corpus —
+   and every bigram gets an interpolated probability
+
+       p(w2 | w1) = w_bi * c(w1,w2)/c(w1) + w_uni * c(w2)/N
+                    + floor/(V + 1)
+
+   (Jelinek-Mercer interpolation with a vocabulary floor so p > 0 and
+   ln never sees 0; unseen counts contribute 0 via coalesce). The
+   per-document output is ``lm_avg_logprob`` (mean ln p — the
+   negated log-perplexity), ``lm_oov_frac`` (fraction of bigrams
+   absent from the bigram table), and ``lm_n_bigrams``.
+
+Engine parity: every probability is built from exact integer counts
+with the same double-arithmetic shape the DuckDB oracle uses, and the
+per-document mean is rounded to 6 decimals — the repo-wide convention
+that absorbs summation-order ulp drift (CLAUDE.md).
+
+Scale shape: tokenization and bigram generation are map-side array
+expressions over a MATERIALIZED token column (attribute-bound lambdas —
+not the higher-order re-evaluation trap, see repetition_stats); the two
+training aggregations shuffle (token)- and (w1,w2)-keyed counts with
+map-side partials; scoring is broadcast-hash joins plus one groupBy on
+the document id. No windows, no driver collect, no corpus-sized
+broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_DELIM_RE = "[^a-z0-9]+"  # same byte semantics in Java regex and RE2
+
+
+def tokens_column(col: Column) -> Column:
+    """Lowercased alphanumeric tokens; NULL text behaves as empty (totality)."""
+    return F.filter(
+        F.split(F.lower(F.coalesce(col, F.lit(""))), TOKEN_DELIM_RE),
+        lambda t: t != "",
+    )
+
+
+def _bigram_structs(toks: str) -> Column:
+    """array<struct<w1,w2>> of adjacent token pairs. ``toks`` must name a
+    MATERIALIZED column (bound attribute): the transform lambda then reads
+    the row value per element instead of re-evaluating the tokenizer per
+    element (the documented higher-order O(n^2) trap)."""
+    c = F.col(toks)
+    return F.when(
+        F.size(c) >= 2,  # sequence(1, 0) would run DESCENDING
+        F.transform(
+            F.sequence(F.lit(1), F.size(c) - 1),
+            lambda i: F.struct(
+                F.element_at(c, i).alias("w1"),
+                F.element_at(c, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+
+def train_ngram_lm(
+    df: DataFrame, text_col: str = "text", min_count: int = 2
+) -> tuple[DataFrame, DataFrame]:
+    """(vocab, bigrams) count tables: vocab = (tok, c), bigrams =
+    (w1, w2, c12), both thresholded at ``min_count`` (the bound that keeps
+    the model broadcastable; bigrams additionally require both words in
+    vocab so the table size is capped by the vocab's pair support)."""
+    toks = df.select(tokens_column(F.col(text_col)).alias("toks"))
+    vocab = (
+        toks.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .where(F.col("c") >= min_count)
+    )
+    pairs = toks.select(F.explode(_bigram_structs("toks")).alias("bg")).select(
+        F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    bigrams = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+        .where(F.col("c12") >= min_count)
+        .join(F.broadcast(vocab.select(F.col("tok").alias("w1"))), "w1")
+        .join(F.broadcast(vocab.select(F.col("tok").alias("w2"))), "w2")
+        .select("w1", "w2", "c12")
+    )
+    return vocab, bigrams
+
+
+def lm_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_df: DataFrame | None = None,
+    min_count: int = 2,
+    w_bi: float = 0.7,
+    w_uni: float = 0.25,
+    floor: float = 0.05,
+) -> DataFrame:
+    """Per-document LM quality columns, total over the input:
+    (id, lm_n_bigrams, lm_avg_logprob, lm_oov_frac). Documents with fewer
+    than 2 tokens keep their row with lm_n_bigrams = 0 and NULL scores.
+
+    ``train_df`` defaults to ``df`` itself (self-scored corpus — documents
+    that read like the corpus average score high); pass a reference corpus
+    for CCNet's fixed-LM behavior. At 10^12 docs train on a deterministic
+    sample: the scoring side is unchanged.
+    """
+    train = df if train_df is None else train_df
+    vocab, bigrams = train_ngram_lm(train, text_col=text_col, min_count=min_count)
+
+    # model scalars as 1-row broadcast (never .collect(): keeps the whole
+    # plan lazy and lets AQE see real sizes)
+    totals = vocab.agg(
+        F.sum("c").cast("double").alias("n_tok"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        tokens_column(F.col(text_col)).alias("toks"),
+    )
+    probes = base.select(
+        "id", F.explode(_bigram_structs("toks")).alias("bg")
+    ).select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    scored = (
+        probes.join(
+            F.broadcast(vocab.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))),
+            "w1",
+            "left",
+        )
+        .join(
+            F.broadcast(vocab.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))),
+            "w2",
+            "left",
+        )
+        .join(F.broadcast(bigrams), ["w1", "w2"], "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "id",
+            F.col("c12").isNull().cast("int").alias("oov"),
+            F.log(
+                F.lit(w_bi)
+                * F.coalesce(
+                    F.col("c12").cast("double") / F.col("c1").cast("double"),
+                    F.lit(0.0),
+                )
+                + F.lit(w_uni)
+                * F.coalesce(
+                    F.col("c2").cast("double") / F.col("n_tok"), F.lit(0.0)
+                )
+                + F.lit(floor) / (F.col("v") + F.lit(1.0))
+            ).alias("logp"),
+        )
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("lm_n_bigrams"),
+        F.round(F.sum("logp") / F.count(F.lit(1)), 6).alias("lm_avg_logprob"),
+        F.round(
+            F.sum("oov").cast("double") / F.count(F.lit(1)), 6
+        ).alias("lm_oov_frac"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("lm_n_bigrams"), F.lit(0).cast("bigint")).alias(
+                "lm_n_bigrams"
+            ),
+            "lm_avg_logprob",
+            "lm_oov_frac",
+        )
+    )

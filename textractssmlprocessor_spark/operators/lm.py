@@ -52,6 +52,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from textractssmlprocessor_spark.operators.dedup import _spread
+
 TOKEN_DELIM_RE = "[^a-z0-9]+"  # same byte semantics in Java regex and RE2
 
 
@@ -88,7 +90,9 @@ def train_ngram_lm(
     (w1, w2, c12), both thresholded at ``min_count`` (the bound that keeps
     the model broadcastable; bigrams additionally require both words in
     vocab so the table size is capped by the vocab's pair support)."""
-    toks = df.select(tokens_column(F.col(text_col)).alias("toks"))
+    # spread a single-file input before the explode-heavy counting (at real
+    # scale the scan already has thousands of splits — _spread is identity)
+    toks = _spread(df, text_col).select(tokens_column(F.col(text_col)).alias("toks"))
     vocab = (
         toks.select(F.explode("toks").alias("tok"))
         .groupBy("tok")
@@ -138,7 +142,7 @@ def lm_perplexity(
         F.count(F.lit(1)).cast("double").alias("v"),
     )
 
-    base = df.select(
+    base = _spread(df, id_col).select(
         F.col(id_col).alias("id"),
         tokens_column(F.col(text_col)).alias("toks"),
     )

@@ -283,6 +283,73 @@ def test_image_dimensions_real_headers(spark):
     assert meta["txt://3"]["width"] is None
 
 
+def _wav_bytes(sample_rate=16000, channels=1, bits=16, n_data=64000) -> bytes:
+    import struct
+
+    byte_rate = sample_rate * channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, channels * bits // 8, bits
+    )
+    data = bytes(n_data)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _mp3_frame(bitrate_idx=9, sr_idx=0, padding=0, mono=True) -> bytes:
+    """One valid MPEG-1 Layer III frame (zeroed payload): 0xFFFB sync,
+    header fields packed by hand, length from the public frame formula."""
+    rates = (44100, 48000, 32000)
+    kbps = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    b2 = (bitrate_idx << 4) | (sr_idx << 2) | (padding << 1)
+    b3 = 0xC0 if mono else 0x00
+    frame_len = 144 * kbps[bitrate_idx] * 1000 // rates[sr_idx] + padding
+    return bytes([0xFF, 0xFB, b2, b3]) + bytes(frame_len - 4)
+
+
+def test_audio_metadata_real_headers(spark):
+    """REAL audio parsing from real container bytes — WAV RIFF chunk walk
+    and an MPEG frame walk with exact per-frame duration math (VBR mix,
+    ID3v2 skip, truncated-final-frame drop)."""
+    from textractssmlprocessor_spark.operators.multimodal import (
+        audio_metadata,
+        media_metadata,
+    )
+
+    # 64000 bytes at 32000 B/s -> exactly 2000 ms
+    wav = _wav_bytes(sample_rate=16000, channels=1, bits=16, n_data=64000)
+    assert audio_metadata(wav) == ("wav", 2000, 16000, 1)
+    stereo = _wav_bytes(sample_rate=44100, channels=2, bits=16, n_data=176400)
+    assert audio_metadata(stereo) == ("wav", 1000, 44100, 2)
+
+    # 38 CBR frames at 44100 Hz -> 38 * 1152 / 44100 = 0.99265 s
+    cbr = b"".join(_mp3_frame() for _ in range(38))
+    assert audio_metadata(cbr) == ("mp3", int(38 * 1152 / 44100 * 1000), 44100, 1)
+    # ID3v2 tag (syncsafe size 100) before the frames must be skipped
+    id3 = b"ID3\x03\x00\x00" + bytes([0, 0, 0, 100]) + bytes(100)
+    assert audio_metadata(id3 + cbr) == audio_metadata(cbr)
+    # VBR: frames at different bitrates still sum exactly (same spf/rate)
+    vbr = _mp3_frame(9) + _mp3_frame(11) + _mp3_frame(14, padding=1)
+    assert audio_metadata(vbr) == ("mp3", int(3 * 1152 / 44100 * 1000), 44100, 1)
+    # truncated final frame: only complete frames count
+    assert audio_metadata(cbr + _mp3_frame()[:-40])[1] == audio_metadata(cbr)[1]
+    assert audio_metadata(b"not audio at all, but long enough bytes") is None
+    assert audio_metadata(wav[:16]) is None
+
+    df = spark.createDataFrame(
+        [("wav://1", bytearray(wav)), ("mp3://2", bytearray(cbr)),
+         ("txt://3", bytearray(b"hello"))],
+        ["url", "payload"],
+    )
+    meta = {r["url"]: r for r in media_metadata(df).collect()}
+    assert (meta["wav://1"]["media_type"], meta["wav://1"]["duration_ms"],
+            meta["wav://1"]["sample_rate"], meta["wav://1"]["channels"]) == (
+        "wav", 2000, 16000, 1)
+    assert meta["mp3://2"]["media_type"] == "mp3"
+    assert meta["wav://1"]["width"] is None  # audio: no fabricated dims
+    assert meta["txt://3"]["duration_ms"] is None
+
+
 def _check_frames(frames):
     by_url = {}
     for f in frames:

@@ -3,8 +3,10 @@ with typed metadata.
 
 Metadata (``media_metadata``) is REAL: width/height/format come from a
 pure-stdlib container-header parser (``image_dimensions``) covering
-PNG/JPEG/GIF/BMP — no image library needed for dimensions — and are NULL
-for unrecognized payloads, never fabricated. Only PIXEL decode
+PNG/JPEG/GIF/BMP, and duration/sample-rate/channels from a pure-stdlib
+audio parser (``audio_metadata``) covering WAV and MP3 (full MPEG
+frame walk — exact VBR durations) — no media library needed — and are
+NULL for unrecognized payloads, never fabricated. Only PIXEL decode
 (``decode_image_stub``) remains stubbed (no codec libraries in this
 container): it raises NotImplementedError unless ``fake=True``. Everything
 Spark-side — schema, Arrow batch shape, mapInPandas partitioning — is real
@@ -38,6 +40,9 @@ MEDIA_META_SCHEMA = StructType(
         StructField("content_hash", StringType(), True),
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
     ]
 )
 
@@ -114,6 +119,89 @@ def image_dimensions(payload: bytes) -> tuple[str, int, int] | None:
     return None
 
 
+# MPEG audio frame-header tables (public layout, ISO/IEC 11172-3):
+# bitrate kbps by (version-group, layer) and sample rates by version.
+_MP3_BITRATE_V1_L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_BITRATE_V2_L3 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def audio_metadata(payload: bytes) -> tuple[str, int, int, int] | None:
+    """REAL (format, duration_ms, sample_rate, channels) from audio
+    container bytes, pure stdlib — WAV via the RIFF fmt/data chunk walk,
+    MP3 via an MPEG Layer-III frame-header walk (ID3v2 tag skipped, every
+    frame's samples summed, so VBR durations are exact, not first-frame
+    estimates). Returns None for unrecognized/truncated payloads; never
+    fabricates. Replaces the reference's mutagen ``MP3(path).info.length``
+    (timestamp.py:273-274) with an in-engine parser that runs on binary
+    COLUMNS inside Arrow batches instead of driver-side files."""
+    import struct
+
+    if payload is None or len(payload) < 12:
+        return None
+    b = bytes(payload)
+
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        i, sample_rate, channels, byte_rate, bits, data_size = 12, None, None, None, None, None
+        while i + 8 <= len(b):
+            tag = b[i : i + 4]
+            size = struct.unpack("<I", b[i + 4 : i + 8])[0]
+            if tag == b"fmt " and i + 24 <= len(b):
+                channels, sample_rate, byte_rate = struct.unpack(
+                    "<HII", b[i + 10 : i + 20]
+                )
+                if i + 24 <= len(b):
+                    bits = struct.unpack("<H", b[i + 22 : i + 24])[0]
+            elif tag == b"data":
+                data_size = min(size, len(b) - i - 8)
+            i += 8 + size + (size & 1)  # chunks are word-aligned
+        if not sample_rate or data_size is None:
+            return None
+        if not byte_rate:
+            if not bits or not channels:
+                return None
+            byte_rate = sample_rate * channels * bits // 8
+        return ("wav", data_size * 1000 // byte_rate, sample_rate, channels or 1)
+
+    i = 0
+    if b[:3] == b"ID3" and len(b) >= 10:  # ID3v2: syncsafe 28-bit size
+        i = 10 + (
+            (b[6] & 0x7F) << 21 | (b[7] & 0x7F) << 14 | (b[8] & 0x7F) << 7 | (b[9] & 0x7F)
+        )
+    samples_total, rate0, chans0, frames = 0.0, None, None, 0
+    while i + 4 <= len(b):
+        if b[i] != 0xFF or (b[i + 1] & 0xE0) != 0xE0:
+            if frames:
+                break  # trailing tag/garbage after a valid frame run
+            i += 1
+            continue
+        version = (b[i + 1] >> 3) & 3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer = (b[i + 1] >> 1) & 3  # 1=Layer III
+        br_idx = (b[i + 2] >> 4) & 15
+        sr_idx = (b[i + 2] >> 2) & 3
+        padding = (b[i + 2] >> 1) & 1
+        if version == 1 or layer != 1 or br_idx in (0, 15) or sr_idx == 3:
+            if frames:
+                break
+            i += 1
+            continue
+        sample_rate = _MP3_RATES[version][sr_idx]
+        kbps = (_MP3_BITRATE_V1_L3 if version == 3 else _MP3_BITRATE_V2_L3)[br_idx]
+        spf = 1152 if version == 3 else 576  # Layer III samples per frame
+        frame_len = (spf // 8) * kbps * 1000 // sample_rate + padding
+        if frame_len <= 0 or i + frame_len > len(b):
+            break  # truncated final frame: count only complete frames
+        if rate0 is None:
+            rate0 = sample_rate
+            chans0 = 1 if ((b[i + 3] >> 6) & 3) == 3 else 2
+        samples_total += spf / sample_rate  # seconds, exact per frame
+        frames += 1
+        i += frame_len
+    if frames:
+        return ("mp3", int(samples_total * 1000), rate0, chans0)
+    return None
+
+
 def media_metadata(
     df: DataFrame, url_col: str = "url", bin_col: str = "payload",
     media_type: str = "binary",
@@ -121,8 +209,10 @@ def media_metadata(
     """Binary column -> typed metadata rows via mapInPandas (Arrow batches;
     the binary never converts to Python objects row-by-row on the driver).
     width/height/media_type are REAL, parsed from the container header
-    (``image_dimensions``; PNG/JPEG/GIF/BMP); unrecognized payloads keep
-    the ``media_type`` default with NULL dimensions."""
+    (``image_dimensions``; PNG/JPEG/GIF/BMP), and so are
+    duration_ms/sample_rate/channels for audio payloads
+    (``audio_metadata``; WAV/MP3); unrecognized payloads keep the
+    ``media_type`` default with NULL dimensions/duration."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -131,12 +221,17 @@ def media_metadata(
                 image_dimensions(bytes(p)) if p is not None else None
                 for p in payloads
             ]
+            auds = [
+                audio_metadata(bytes(p)) if d is None and p is not None else None
+                for d, p in zip(dims, payloads)
+            ]
             yield pd.DataFrame(
                 {
                     "url": pdf[url_col],
                     "media_type": [
-                        d[0] if d else (media_type if p is not None else None)
-                        for d, p in zip(dims, payloads)
+                        d[0] if d else a[0] if a
+                        else (media_type if p is not None else None)
+                        for d, a, p in zip(dims, auds, payloads)
                     ],
                     "n_bytes": [len(p) if p is not None else 0 for p in payloads],
                     "content_hash": [
@@ -145,6 +240,15 @@ def media_metadata(
                     ],
                     "width": [d[1] if d else None for d in dims],
                     "height": [d[2] if d else None for d in dims],
+                    "duration_ms": pd.array(
+                        [a[1] if a else None for a in auds], dtype="Int64"
+                    ),
+                    "sample_rate": pd.array(
+                        [a[2] if a else None for a in auds], dtype="Int32"
+                    ),
+                    "channels": pd.array(
+                        [a[3] if a else None for a in auds], dtype="Int32"
+                    ),
                 }
             )
 

@@ -159,15 +159,34 @@ def q_redact_pii(spark, sf_dir):
 
 
 def q_contamination(spark, sf_dir):
-    # eval-set decontamination: flag corpus docs sharing 5-gram shingles
-    # with the probe subset (doc_id % 23 == 0 plays the benchmark)
-    from textractssmlprocessor_spark.operators.dedup import benchmark_contamination
+    # Leakage suite, variant-labeled: (1) eval-set decontamination — flag
+    # corpus docs sharing 5-gram shingles with the probe subset
+    # (doc_id % 23 == 0 plays the benchmark); (2) exact-substring duplicate
+    # spans (Lee et al. 2021): maximal >=8-token runs occurring more than
+    # once in the corpus, first occurrence exempt. Each branch is the
+    # unchanged operator.
+    from textractssmlprocessor_spark.operators.dedup import (
+        benchmark_contamination,
+        exact_substring_spans,
+    )
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
     probes = d.filter(F.col("doc_id") % 23 == 0).select("text")
-    return benchmark_contamination(d, probes, n=5, min_overlap=3).select(
-        F.col("id").alias("doc_id"), "n_overlap"
+    nulls = [F.lit(None).cast("bigint").alias(c) for c in ("span_start", "span_end")]
+    cont = benchmark_contamination(d, probes, n=5, min_overlap=3).select(
+        F.lit("contamination").alias("variant"),
+        F.col("id").alias("doc_id"),
+        F.col("n_overlap").alias("n"),
+        *nulls,
     )
+    spans = exact_substring_spans(d, k=8).select(
+        F.lit("dup_span").alias("variant"),
+        F.col("id").alias("doc_id"),
+        F.col("n_tokens").alias("n"),
+        "span_start",
+        "span_end",
+    )
+    return cont.unionByName(spans)
 
 
 def q_curate_corpus(spark, sf_dir):
@@ -1408,11 +1427,57 @@ def oracle_sql() -> dict[str, str]:
             probe AS (
                 SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id % 23 = 0
             ),
-            ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh)
-            SELECT ex.doc_id, count(*)::BIGINT AS n_overlap
+            ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+            -- exact-substring branch (Lee et al.): case-preserving tokens,
+            -- full 8-grams, corpus-duplicated hashes, first-occurrence
+            -- exempt, gaps-and-islands span merge
+            es_ws AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+                FROM documents WHERE text IS NOT NULL
+            ),
+            es_grams AS (
+                SELECT doc_id,
+                       list_transform(
+                           generate_series(1, greatest(len(ws) - 7, 0)),
+                           i -> {'pos': i - 1,
+                                 'h': substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 8)}
+                       ) AS grams
+                FROM es_ws
+            ),
+            es_occ AS (SELECT doc_id, unnest(grams, recursive := true) FROM es_grams),
+            es_ranked AS (
+                SELECT doc_id, pos,
+                       count(*) OVER (PARTITION BY h) AS c,
+                       row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+                FROM es_occ
+            ),
+            es_dup AS (SELECT doc_id, pos FROM es_ranked WHERE c > 1 AND rn > 1),
+            es_isl AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos <= lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+                            THEN 0 ELSE 1 END AS brk
+                FROM es_dup
+            ),
+            es_grp AS (
+                SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+                FROM es_isl
+            ),
+            es_spans AS (
+                SELECT doc_id, min(pos)::BIGINT AS span_start,
+                       (max(pos) + 8)::BIGINT AS span_end
+                FROM es_grp GROUP BY doc_id, g
+            )
+            SELECT 'contamination' AS variant, ex.doc_id,
+                   count(*)::BIGINT AS n,
+                   NULL::BIGINT AS span_start, NULL::BIGINT AS span_end
             FROM ex JOIN probe USING (shingle)
             GROUP BY ex.doc_id
             HAVING count(*) >= 3
+            UNION ALL
+            SELECT 'dup_span', doc_id, (span_end - span_start)::BIGINT,
+                   span_start, span_end
+            FROM es_spans
         """,
         "curate_corpus": """
             WITH d0 AS (

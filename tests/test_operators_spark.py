@@ -283,6 +283,99 @@ def test_image_dimensions_real_headers(spark):
     assert meta["txt://3"]["width"] is None
 
 
+def _paeth(a, b, c):
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    return a if pa <= pb and pa <= pc else b if pb <= pc else c
+
+
+def test_png_pixel_decode_real(spark):
+    """REAL PNG pixel decode: all five scanline filters, palette expansion,
+    multi-IDAT concatenation, and the distributed image_pixels operator —
+    exact pixel recovery from independently-encoded spec bytes."""
+    import struct
+    import zlib
+
+    from textractssmlprocessor_spark.operators.multimodal import (
+        decode_image_stub,
+        decode_png_pixels,
+        image_pixels,
+    )
+
+    def encode(width, height, pixels, color_type=2, filters=None,
+               palette=None, split_idat=False):
+        chans = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+        stride = width * chans
+        filters = filters if filters is not None else [0] * height
+        raw = bytearray()
+        prev = bytes(stride)
+        for y in range(height):
+            line = pixels[y * stride : (y + 1) * stride]
+            raw.append(filters[y])
+            for x in range(stride):
+                a = line[x - chans] if x >= chans else 0
+                c = prev[x - chans] if x >= chans else 0
+                pred = {0: 0, 1: a, 2: prev[x], 3: (a + prev[x]) >> 1,
+                        4: _paeth(a, prev[x], c)}[filters[y]]
+                raw.append((line[x] - pred) & 0xFF)
+            prev = line
+
+        def chunk(tag, body):
+            return (struct.pack(">I", len(body)) + tag + body
+                    + struct.pack(">I", zlib.crc32(tag + body)))
+
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if palette is not None:
+            out += chunk(b"PLTE", palette)
+        z = zlib.compress(bytes(raw))
+        if split_idat:
+            out += chunk(b"IDAT", z[: len(z) // 2]) + chunk(b"IDAT", z[len(z) // 2 :])
+        else:
+            out += chunk(b"IDAT", z)
+        return out + chunk(b"IEND", b"")
+
+    w, h = 9, 5
+    rgb = bytes((x * 7 + 13 * (x // 3) + 31 * (x % 5)) % 256 for x in range(w * h * 3))
+    # one row per filter type, split across two IDAT chunks
+    png = encode(w, h, rgb, color_type=2, filters=[0, 1, 2, 3, 4], split_idat=True)
+    assert decode_png_pixels(png) == (w, h, 3, rgb)
+    assert decode_image_stub(png, fake=False) == (w, h)
+
+    gray = bytes((x * 11) % 256 for x in range(w * h))
+    assert decode_png_pixels(encode(w, h, gray, color_type=0, filters=[4, 3, 2, 1, 0])) \
+        == (w, h, 1, gray)
+    rgba = bytes((x * 3 + 1) % 256 for x in range(4 * 2 * 4))
+    assert decode_png_pixels(encode(4, 2, rgba, color_type=6, filters=[1, 4])) \
+        == (4, 2, 4, rgba)
+
+    # palette: indices expand to RGB triples through PLTE
+    palette = bytes(range(12))  # 4 entries
+    idx = bytes([0, 1, 2, 3, 3, 2])
+    expected = b"".join(palette[i * 3 : i * 3 + 3] for i in idx)
+    assert decode_png_pixels(encode(3, 2, idx, color_type=3, palette=palette)) \
+        == (3, 2, 3, expected)
+
+    # unsupported/broken shapes are None, and fake=False raises for non-PNG
+    assert decode_png_pixels(b"not a png") is None
+    assert decode_png_pixels(png[:40]) is None
+    depth16 = bytearray(encode(2, 2, bytes(12)))
+    depth16[24] = 16  # IHDR bit-depth byte
+    assert decode_png_pixels(bytes(depth16)) is None
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"\xff\xd8 jpeg-ish", fake=False)
+
+    df = spark.createDataFrame(
+        [("png://1", bytearray(png)), ("txt://2", bytearray(b"nope"))],
+        ["url", "payload"],
+    )
+    rows = {r["url"]: r for r in image_pixels(df).collect()}
+    assert (rows["png://1"]["width"], rows["png://1"]["height"],
+            rows["png://1"]["channels"]) == (w, h, 3)
+    assert bytes(rows["png://1"]["pixels"]) == rgb
+    assert rows["txt://2"]["pixels"] is None
+
+
 def _wav_bytes(sample_rate=16000, channels=1, bits=16, n_data=64000) -> bytes:
     import struct
 
@@ -739,6 +832,55 @@ def test_fused_udf_rules_match_individual_rules(spark):
         + rule_nested_tags(df).collect()
     )
     assert fused == separate and len(fused) >= 3
+
+
+def test_exact_substring_spans_hand_computed(spark):
+    """Lee et al. exact-substring dedup on a corpus small enough to verify
+    by hand: cross-doc shared runs, a within-doc repeat, first-occurrence
+    exemption, island merging of overlapping/adjacent k-grams."""
+    from textractssmlprocessor_spark.operators.dedup import (
+        drop_duplicate_spans,
+        exact_substring_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("A", "a b c d e f"),
+            ("B", "x  a b c d y"),  # shares 'a b c d' with A (double space collapses)
+            ("C", "c d e f q r s q r s"),  # shares 'c d e f' with A; repeats 'q r s'
+            ("N", None),  # NULL text is not spannable
+            ("S", "too short"),  # < k tokens: cannot contain a duplicate
+        ],
+        ["doc_id", "text"],
+    )
+    spans = {
+        (r["id"], r["span_start"]): (r["span_end"], r["n_tokens"])
+        for r in exact_substring_spans(docs, k=3).collect()
+    }
+    # first occurrences all live in A (min (id, pos) struct) -> A has no spans
+    assert spans == {
+        ("B", 1): (5, 4),   # tokens 1-4 'a b c d'
+        ("C", 0): (4, 4),   # tokens 0-3 'c d e f'
+        ("C", 7): (10, 3),  # the second 'q r s'
+    }
+    # keep_first=False marks every occurrence, and chained overlapping
+    # grams merge into whole-doc spans
+    all_spans = {
+        (r["id"], r["span_start"]): r["span_end"]
+        for r in exact_substring_spans(docs, k=3, keep_first=False).collect()
+    }
+    assert all_spans == {("A", 0): 6, ("B", 1): 5, ("C", 0): 10}
+
+    cleaned = {
+        r["id"]: r["text"] for r in drop_duplicate_spans(docs, k=3).collect()
+    }
+    assert cleaned == {
+        "A": "a b c d e f",  # holds every first occurrence: untouched
+        "B": "x y",
+        "C": "q r s",  # the FIRST 'q r s' (pos 4) survives
+        "N": "",
+        "S": "too short",
+    }
 
 
 def test_winnowing_guarantee_shared_substring_shared_fingerprint(spark):

@@ -446,6 +446,147 @@ def benchmark_contamination(
     )
 
 
+def exact_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    hash_fn: str = "md5",
+    keep_first: bool = True,
+) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better" — the ExactSubstr side of
+    the paper): any run of >= k whitespace tokens that occurs more than
+    once in the corpus is a duplicate; per document, the duplicated k-gram
+    occurrences merge into maximal token spans. Returns one row per merged
+    span: (id, span_start, span_end, n_tokens) in 0-based token
+    coordinates over the whitespace-normalized text, span_end exclusive.
+
+    The paper builds one corpus-wide suffix array — inherently a
+    single-machine construction. This formulation reaches the same span
+    semantics with bounded distributed steps: (1) posexplode words and
+    assemble k-gram hashes via a lead() chain (ONE per-doc window — the
+    winnow_word_fingerprint_table machinery; docs shorter than k tokens
+    cannot contain a duplicate and drop out); (2) one groupBy(gram hash)
+    with map-side count partials finds grams occurring > 1 time, carrying
+    the min (id, pos) struct as the canonical first occurrence (an
+    aggregation, NOT a per-hash window — a boilerplate gram repeated 10^9
+    times would make a window hot-key); (3) join the duplicated-hash table
+    back to occurrences (AQE broadcasts it when small); with
+    ``keep_first`` the canonical first occurrence is exempt, so one copy
+    of every duplicated substring survives — the paper's deduplicated-
+    corpus semantics rather than drop-all; (4) per-doc gaps-and-islands
+    merge (per-id window: adjacent/overlapping [pos, pos+k) intervals
+    fuse). Nothing corpus-global, no suffix array, no driver state; text
+    case and punctuation are preserved (the match is exact, not
+    normalized — only whitespace runs collapse).
+    """
+    from pyspark.sql import Window as W
+
+    df = df.filter(F.col(text_col).isNotNull())
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    words = df.select(
+        F.col(id_col).alias("id"), F.posexplode(F.split(norm, " ")).alias("pos", "w")
+    )
+    wspec = W.partitionBy("id").orderBy("pos")
+    whole = W.partitionBy("id")
+    gram = F.concat_ws(
+        " ", F.col("w"), *[F.lead("w", i).over(wspec) for i in range(1, k)]
+    )
+    grams = (
+        words.select(
+            "id", "pos", gram.alias("gram"), F.count("w").over(whole).alias("_n")
+        )
+        .filter(F.col("pos") <= F.col("_n") - k)  # full k-grams only
+        .select("id", "pos", shingle_hash(F.col("gram"), hash_fn).alias("h"))
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.min(F.struct("id", "pos")).alias("_first"),
+        )
+        .filter(F.col("_c") > 1)
+        .select("h", "_first")
+    )
+    occ = grams.join(dup, "h")
+    if keep_first:
+        occ = occ.filter(
+            ~((F.col("id") == F.col("_first.id")) & (F.col("pos") == F.col("_first.pos")))
+        )
+    new_span = F.when(
+        F.col("pos") <= F.lag("pos").over(wspec) + k, F.lit(0)
+    ).otherwise(F.lit(1))  # NULL lag (first occurrence in doc) -> 1
+    islands = occ.select("id", "pos", new_span.alias("_new")).select(
+        "id",
+        "pos",
+        F.sum("_new").over(wspec.rowsBetween(W.unboundedPreceding, 0)).alias("_g"),
+    )
+    return (
+        islands.groupBy("id", "_g")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + k).cast("bigint").alias("span_end"),
+        )
+        .select(
+            "id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("n_tokens"),
+        )
+    )
+
+
+def drop_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """The removal side of ``exact_substring_spans``: rebuild each
+    document's text with every duplicated token span cut out, keeping the
+    corpus-first occurrence of each duplicated k-gram (so one copy of
+    every duplicated substring survives somewhere — Lee et al.'s
+    deduplicated-corpus output). Returns (id, text) covering the input id
+    set (NULL-text docs survive as empty strings; inter-token whitespace
+    normalizes to single spaces, same documented normalization as
+    drop_duplicate_sentences).
+
+    Plan: spans (two shuffles, see exact_substring_spans) left-join back
+    to the exploded words on id — a per-id equi-join; span rows per doc
+    are few — then an anti range-filter and order-stable reassembly."""
+    ids = df.select(F.col(id_col).alias("id")).dropDuplicates(["id"])
+    spans = exact_substring_spans(df, id_col, text_col, k, hash_fn, keep_first=True)
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    words = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.posexplode(F.split(norm, " ")).alias("pos", "w")
+    )
+    hit = (
+        words.join(spans, "id")
+        .filter(
+            (F.col("pos") >= F.col("span_start")) & (F.col("pos") < F.col("span_end"))
+        )
+        .select("id", "pos")
+        .dropDuplicates(["id", "pos"])
+    )
+    kept = words.join(hit, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos").alias("i"), F.col("w").alias("t")))
+                ),
+                lambda s: s["t"],
+            ),
+            " ",
+        ).alias(text_col)
+    )
+    return ids.join(rebuilt, ["id"], "left").select(
+        "id", F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+    )
+
+
 def winnow_fingerprint_table(
     df: DataFrame,
     id_col: str = "doc_id",

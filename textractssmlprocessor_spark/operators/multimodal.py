@@ -6,11 +6,13 @@ pure-stdlib container-header parser (``image_dimensions``) covering
 PNG/JPEG/GIF/BMP, and duration/sample-rate/channels from a pure-stdlib
 audio parser (``audio_metadata``) covering WAV and MP3 (full MPEG
 frame walk — exact VBR durations) — no media library needed — and are
-NULL for unrecognized payloads, never fabricated. Only PIXEL decode
-(``decode_image_stub``) remains stubbed (no codec libraries in this
-container): it raises NotImplementedError unless ``fake=True``. Everything
-Spark-side — schema, Arrow batch shape, mapInPandas partitioning — is real
-and tested, so swapping in a real pixel decoder is a one-function change.
+NULL for unrecognized payloads, never fabricated. PIXEL decode is REAL
+for PNG (``decode_png_pixels``: zlib inflate + all five scanline filters +
+palette expansion, exposed distributed as ``image_pixels``); JPEG/GIF
+pixels still need a codec library absent from this container, so
+``decode_image_stub(fake=False)`` raises NotImplementedError for those.
+Everything Spark-side — schema, Arrow batch shape, mapInPandas
+partitioning — is real and tested.
 """
 
 from __future__ import annotations
@@ -56,16 +58,159 @@ FRAME_SCHEMA = StructType(
 
 
 def decode_image_stub(payload: bytes, fake: bool = True) -> tuple[int, int]:
-    """Placeholder for a real PIXEL decoder (header-only metadata does NOT
-    need this — see ``image_dimensions``). With ``fake=True`` returns
-    deterministic pseudo-dimensions from the content hash."""
+    """With ``fake=True`` (the oracle-stable path) returns deterministic
+    pseudo-dimensions from the content hash. With ``fake=False`` decodes
+    REAL pixels for PNG payloads (``decode_png_pixels`` — pure stdlib) and
+    returns the true dimensions; non-PNG formats (JPEG needs an entropy/DCT
+    codec) still raise NotImplementedError until a codec library exists in
+    the container."""
     if not fake:
-        raise NotImplementedError(
-            "pixel decoding requires an image library not present in this "
-            "container; wire a real decoder here"
-        )
+        decoded = decode_png_pixels(payload)
+        if decoded is None:
+            raise NotImplementedError(
+                "real pixel decode implemented for PNG only; JPEG/GIF need "
+                "a codec library not present in this container"
+            )
+        return decoded[0], decoded[1]
     h = hashlib.md5(payload or b"").digest()
     return 64 + h[0] % 192, 64 + h[1] % 192
+
+
+# PNG color types (spec §11.2.2): samples per pixel at bit depth 8.
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes] | None:
+    """REAL PNG pixel decode, pure stdlib: chunk walk -> zlib inflate of the
+    concatenated IDAT stream -> per-scanline unfilter (all five public
+    filter types: None/Sub/Up/Average/Paeth, PNG spec §9) -> palette
+    expansion for color type 3. Returns (width, height, channels,
+    row-major 8-bit samples) or None for non-PNG / unsupported shapes
+    (bit depth != 8, Adam7 interlace). The per-byte unfilter loop is
+    Python — correct and Arrow-batched; a production deployment swaps in a
+    C codec inside the same ``image_pixels`` plumbing."""
+    import struct
+    import zlib
+
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    i, idat, plte, hdr = 8, [], None, None
+    while i + 8 <= len(b):
+        (size,) = struct.unpack(">I", b[i : i + 4])
+        tag = b[i + 4 : i + 8]
+        body = b[i + 8 : i + 8 + size]
+        if tag == b"IHDR" and len(body) >= 13:
+            hdr = struct.unpack(">IIBBBBB", body[:13])
+        elif tag == b"PLTE":
+            plte = body
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        i += 12 + size  # length + tag + body + CRC
+    if hdr is None or not idat:
+        return None
+    width, height, depth, color_type, _comp, _filt, interlace = hdr
+    if depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+        return None
+    if not width or not height:
+        return None
+    bpp = _PNG_CHANNELS[color_type]
+    stride = width * bpp
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    if len(raw) < height * (stride + 1):
+        return None
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _y in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                up = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else up if pb <= pc else c
+                line[x] = (line[x] + pred) & 0xFF
+        elif ftype != 0:
+            return None
+        out += line
+        prev = line
+    if color_type == 3:  # palette -> RGB triples
+        if plte is None:
+            return None
+        rgb = bytearray(len(out) * 3)
+        for j, idx in enumerate(out):
+            if idx * 3 + 3 > len(plte):
+                return None
+            rgb[j * 3 : j * 3 + 3] = plte[idx * 3 : idx * 3 + 3]
+        return (width, height, 3, bytes(rgb))
+    return (width, height, bpp, bytes(out))
+
+
+PIXELS_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("pixels", BinaryType(), True),
+    ]
+)
+
+
+def image_pixels(
+    df: DataFrame, url_col: str = "url", bin_col: str = "payload",
+) -> DataFrame:
+    """Distributed REAL pixel decode: binary PNG column -> (width, height,
+    channels, row-major samples) via mapInPandas. Non-PNG/undecodable rows
+    get NULLs (total function — one bad payload never kills a 100 TB job).
+    The pixel bytes feed ``byte_histogram_features`` or any downstream
+    embedding UDF without leaving the Arrow batch path."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                decode_png_pixels(bytes(p)) if p is not None else None
+                for p in pdf[bin_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "url": pdf[url_col],
+                    "width": pd.array(
+                        [r[0] if r else None for r in rows], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [r[1] if r else None for r in rows], dtype="Int32"
+                    ),
+                    "channels": pd.array(
+                        [r[2] if r else None for r in rows], dtype="Int32"
+                    ),
+                    "pixels": [r[3] if r else None for r in rows],
+                }
+            )
+
+    return df.select(url_col, bin_col).mapInPandas(gen, PIXELS_SCHEMA)
 
 
 def image_dimensions(payload: bytes) -> tuple[str, int, int] | None:

@@ -324,16 +324,36 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def q_dedup_clusters(spark, sf_dir):
-    # Near-dup CLUSTER assignment (the step after pair generation): MinHash
+    # Cluster-assignment suite, variant-labeled. (1) minhash_cc: MinHash
     # LSH pairs (identical params to dedup_minhash_lsh) -> large-star/
-    # small-star connected components -> total (doc_id, cluster_rep,
-    # cluster_size, is_survivor) over the corpus. Oracle replays the same
-    # pair CTEs + a recursive min-label transitive closure.
+    # small-star connected components -> total (id=doc_id, rep=cluster_rep,
+    # aux=cluster_size, keep=is_survivor) over the corpus. (2) semdedup
+    # (Abbas et al. 2023): k-means cells over the duped embedding corpus,
+    # within-cell cosine edges, CC groups, farthest-from-centroid survivor
+    # (id=vec_id, rep=group_rep, aux=cell, sim=centroid_sim). Oracle
+    # replays pair CTEs + recursive min-label closures for both branches.
     from textractssmlprocessor_spark.operators.graph import dedup_clusters
+    from textractssmlprocessor_spark.operators.similarity import semdedup
 
-    return dedup_clusters(
+    mh = dedup_clusters(
         _docs_with_dupes(spark, sf_dir), num_hashes=16, bands=4, threshold=0.5
+    ).select(
+        F.lit("minhash_cc").alias("variant"),
+        F.col("doc_id").alias("id"),
+        F.col("cluster_rep").alias("rep"),
+        F.col("cluster_size").alias("aux"),
+        F.lit(None).cast("double").alias("sim"),
+        F.col("is_survivor").alias("keep"),
     )
+    sd = semdedup(_emb_with_dupes(spark, sf_dir), threshold=0.999, n_cells=8).select(
+        F.lit("semdedup").alias("variant"),
+        "id",
+        F.col("group_rep").alias("rep"),
+        F.col("cell").alias("aux"),
+        F.col("centroid_sim").alias("sim"),
+        "keep",
+    )
+    return mh.unionByName(sd)
 
 
 def q_simhash_groups(spark, sf_dir):
@@ -1213,14 +1233,16 @@ _WORD_RE_SQL = r"\b[\w-]+\b"
 _BPE_RE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
-def _kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+def _kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64,
+                src: str = "embeddings") -> str:
     """CTE chain replaying kmeans_centroids' exact trajectory in DuckDB:
     first-k seeds, per-iteration argmax-cosine assignment (sims rounded to
     6, ties to lowest cell) and element-wise mean update (components
     rounded to 6) — the per-iteration quantization is what keeps both
-    engines' float sums in lockstep. Yields CTE c{iters} = (cell, cvec)."""
+    engines' float sums in lockstep. Yields CTE c{iters} = (cell, cvec);
+    ``src`` names the (vec_id, embedding) table/CTE to train on."""
     parts = [
-        "e AS (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS v FROM embeddings)",
+        f"e AS (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS v FROM {src})",
         f"c0 AS (SELECT vec_id::INT AS cell, v AS cvec FROM e ORDER BY vec_id LIMIT {k})",
     ]
     for t in range(1, iters + 1):
@@ -1830,9 +1852,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, jaccard FROM mhpairs
         """,
         "dedup_clusters": f"""
-            -- connected components of the minhash pair graph (same CTEs as
-            -- dedup_minhash_lsh), totalized over the corpus: min-reachable
-            -- label via recursive transitive closure, singletons rep=self
+            -- variant 'minhash_cc': connected components of the minhash
+            -- pair graph (same CTEs as dedup_minhash_lsh), totalized over
+            -- the corpus: min-reachable label via recursive transitive
+            -- closure, singletons rep=self. variant 'semdedup': k-means
+            -- cells over the duped embedding corpus (same CTE chain as
+            -- ann_topk's ivf branch), within-cell cosine edges, recursive
+            -- closure, farthest-from-centroid survivor per group.
             WITH RECURSIVE {minhash_pairs_ctes},
             edges AS (
                 SELECT id_a AS a, id_b AS b FROM mhpairs
@@ -1848,11 +1874,57 @@ def oracle_sql() -> dict[str, str]:
             tot AS (
                 SELECT d.doc_id, coalesce(l.rep, d.doc_id) AS cluster_rep
                 FROM d LEFT JOIN labels l ON l.id = d.doc_id
+            ),
+            sd_base AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 13 = 0
+            ),
+            {_kmeans_sql(8, 2, src="sd_base")},
+            sd_scored AS (
+                SELECT e.vec_id AS id, e.v, c.cell,
+                       round(list_cosine_similarity(e.v, c.cvec), 6) AS sim
+                FROM e CROSS JOIN c2 c
+            ),
+            sd_assigned AS (
+                SELECT id, v, cell, sim AS centroid_sim FROM (
+                    SELECT id, v, cell, sim,
+                           row_number() OVER (PARTITION BY id ORDER BY sim DESC, cell) AS rn
+                    FROM sd_scored
+                ) WHERE rn = 1
+            ),
+            sd_pairs AS (
+                SELECT a.id AS id_a, b.id AS id_b
+                FROM sd_assigned a JOIN sd_assigned b
+                  ON a.cell = b.cell AND a.id < b.id
+                WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.999
+            ),
+            sd_edges AS (
+                SELECT id_a AS a2, id_b AS b2 FROM sd_pairs
+                UNION
+                SELECT id_b, id_a FROM sd_pairs
+            ),
+            sd_reach(id, lab) AS (
+                SELECT a2, a2 FROM sd_edges
+                UNION
+                SELECT r.id, e2.b2 FROM sd_reach r JOIN sd_edges e2 ON e2.a2 = r.lab
+            ),
+            sd_labels AS (SELECT id, min(lab) AS rep FROM sd_reach GROUP BY id),
+            sd_tot AS (
+                SELECT a.id, a.cell, a.centroid_sim,
+                       coalesce(l.rep, a.id) AS group_rep
+                FROM sd_assigned a LEFT JOIN sd_labels l ON l.id = a.id
             )
-            SELECT doc_id, cluster_rep,
-                   (count(*) OVER (PARTITION BY cluster_rep))::BIGINT AS cluster_size,
-                   doc_id = cluster_rep AS is_survivor
+            SELECT 'minhash_cc' AS variant, doc_id AS id, cluster_rep AS rep,
+                   (count(*) OVER (PARTITION BY cluster_rep))::BIGINT AS aux,
+                   NULL::DOUBLE AS sim,
+                   doc_id = cluster_rep AS keep
             FROM tot
+            UNION ALL
+            SELECT 'semdedup', id, group_rep, cell::BIGINT, centroid_sim,
+                   (row_number() OVER (
+                        PARTITION BY group_rep ORDER BY centroid_sim, id) = 1)
+            FROM sd_tot
         """,
         "simhash_groups": f"""
             WITH d AS ({_DOCS_WITH_DUPES_SQL}),

@@ -620,6 +620,42 @@ def test_pairwise_near_dupes_bits_and_cap(spark):
         lsh_dims(65)
 
 
+def test_semdedup_hand_computed(spark):
+    """SemDeDup on vectors small enough to verify by hand: two k-means
+    cells, transitive grouping within a cell (0-2 and 2-3 edge but no 0-3
+    edge), farthest-from-centroid survivor, total singleton coverage."""
+    from textractssmlprocessor_spark.operators.similarity import semdedup
+
+    def v(x, y):
+        return [float(x), float(y)] + [0.0] * 2
+
+    rows = [
+        (0, v(1, 0)),     # cell A seed
+        (1, v(0, 1)),     # cell B seed
+        (2, v(1, 0.1)),   # cos(0,2)=.995 >= .99
+        (3, v(1, 0.2)),   # cos(2,3)=.99537 >= .99, cos(0,3)=.9806 < .99
+        (4, v(0.1, 1)),   # cos(1,4)=.995
+        (5, v(0.5, 1)),   # lands in cell B, pairs with nothing: singleton
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["id"]: r
+        for r in semdedup(emb, threshold=0.99, n_cells=2, train_iters=1).collect()
+    }
+    assert len(out) == 6  # total over the corpus
+    # transitive closure: {0,2,3} one group despite no direct 0-3 edge
+    assert [out[i]["group_rep"] for i in range(6)] == [0, 1, 0, 0, 1, 5]
+    # survivor = farthest from centroid (lowest cosine): after one Lloyd
+    # iteration cell A's centroid is mean([1,0],[1,.1],[1,.2]) = [1,.1], so
+    # id 2 sits ON the centroid (sim 1.0) and id 0 is farthest (0.995037)
+    assert [out[i]["keep"] for i in range(6)] == [True, True, False, False, False, True]
+    assert abs(out[2]["centroid_sim"] - 1.0) < 1e-9
+    assert abs(out[0]["centroid_sim"] - 0.995037) < 1e-6
+    # cells: {0,2,3} together, {1,4} together, disjoint
+    assert out[0]["cell"] == out[2]["cell"] == out[3]["cell"]
+    assert out[1]["cell"] == out[4]["cell"] != out[0]["cell"]
+
+
 def test_polly_sink_writes_files(spark, tmp_path):
     from textractssmlprocessor_spark.operators.polly import (
         assign_voices,

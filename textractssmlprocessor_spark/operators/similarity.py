@@ -295,6 +295,78 @@ def ann_ivf_topk(
     )
 
 
+def semdedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 8,
+    train_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    max_cell: int | None = None,
+    materialize: bool | str = True,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication over an
+    embedding column — k-means clusters the corpus, pairwise cosine runs
+    only WITHIN each cluster, near-duplicate groups form by transitive
+    closure, and each group keeps the member FARTHEST from its cluster
+    centroid (the paper's diversity-preserving survivor rule; ties break
+    to the lowest id). Returns one row per input vector, total:
+    (id, cell, centroid_sim, group_rep, keep) — singletons keep
+    themselves, group_rep is the component's min id.
+
+    Pure composition of audited pieces: deterministic k-means trainer
+    (kmeans_centroids — train on a sample at 10^12), map-side cell
+    assignment against inlined centroid literals (ivf_assign — zero
+    exchange of the corpus), group-and-pair-explode candidates on the
+    narrow (id, cell) table (dedup._cooccurrence_member_pairs — singleton
+    cells die at the first agg, ``max_cell`` caps degenerate cells), and
+    large-star/small-star connected components (graph.connected_components
+    — no per-group window, no neighborhood collect). Within-cell cosine is
+    all-pairs BY DESIGN (the paper's definition), so size ``n_cells`` with
+    the corpus: cells of ~10^4-10^5 vectors keep the quadratic term
+    bounded; the cell count is the same knob as pairwise_near_duplicates'
+    ``n_bits``. Rounded sims (6dp) keep the DuckDB oracle in lockstep."""
+    from .dedup import _cooccurrence_member_pairs
+    from .graph import connected_components
+
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(embeddings, n_cells, train_iters, id_col, vec_col)
+    )
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col)  # (id, v, cell)
+    a = assigned.join(F.broadcast(cents), "cell").select(
+        "id", "v", "cell",
+        F.round(cosine(F.col("v"), F.col("cvec")), 6).alias("centroid_sim"),
+    )
+    cand = _cooccurrence_member_pairs(
+        a.select("id", "cell"), "cell", F.col("id"), max_group=max_cell
+    ).select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+    vecs = a.select("id", "v")
+    edges = (
+        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b")
+        .filter(F.round(cosine(F.col("v_a"), F.col("v_b")), 6) >= threshold)
+        .select("id_a", "id_b")
+    )
+    labels = connected_components(edges, "id_a", "id_b", materialize=materialize)
+    tot = a.join(labels, "id", "left").select(
+        "id", "cell", "centroid_sim",
+        F.coalesce("rep", F.col("id")).alias("group_rep"),
+    )
+    survivors = tot.groupBy("group_rep").agg(
+        F.min(F.struct("centroid_sim", "id")).alias("_keep")
+    )
+    return tot.join(survivors, "group_rep").select(
+        "id",
+        F.col("cell").cast("bigint").alias("cell"),
+        "centroid_sim",
+        "group_rep",
+        (F.col("id") == F.col("_keep.id")).alias("keep"),
+    )
+
+
 def pairwise_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.99,

@@ -300,3 +300,91 @@ def test_sessionize_batch_all_null_values_sum_zero(spark):
     )
     rows = sessionize_events_batch(df).collect()
     assert len(rows) == 1 and rows[0]["sum_value"] == 0.0  # not NULL
+
+
+def test_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming exact dedup == batch dedup_exact when all data arrives in
+    one trigger (min-id survivor per fingerprint), over the real corpus
+    plus planted exact copies."""
+    from textractssmlprocessor_spark.operators.dedup import dedup_exact
+    from textractssmlprocessor_spark.streaming.dedup_stream import (
+        dedup_exact_stream,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dupes = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dupes)
+    landing = str(tmp_path / "docs")
+    corpus.coalesce(1).write.mode("overwrite").parquet(landing)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(landing)
+    q = (
+        dedup_exact_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["fingerprint"], r["keep_id"])
+        for r in spark.sql("select * from dedup_out").collect()
+    }
+    expected = {
+        (r["fingerprint"], r["keep_id"])
+        for r in dedup_exact(corpus).filter(F.col("fingerprint").isNotNull()).collect()
+    }
+    assert got and got == expected
+
+
+def test_dedup_stream_arrival_order_and_restart(spark, tmp_path):
+    """Cross-batch semantics: the FIRST arrival wins even against a lower
+    id in a later batch; repeats emit nothing; a checkpoint restart with no
+    new data emits nothing (exactly-once)."""
+    import time as _time
+
+    from textractssmlprocessor_spark.streaming.dedup_stream import (
+        dedup_exact_stream,
+    )
+
+    landing = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(5, "same words here")], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(landing)
+    _time.sleep(1.1)  # file-source orders by modification time
+    spark.createDataFrame(
+        [(3, "same words here"), (9, "brand new content")],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(landing)
+
+    out = str(tmp_path / "out")
+
+    def run():
+        # parquet sink: the memory sink cannot recover from a checkpoint,
+        # and the restart leg is the point of this test
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(landing)
+        )
+        q = (
+            dedup_exact_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["keep_id"] for r in spark.read.parquet(out).collect()}
+
+    assert run() == {5, 9}  # id 5 arrived first; the later id 3 is a repeat
+    assert run() == {5, 9}  # restart, no new files: nothing re-emitted

@@ -218,29 +218,50 @@ def q_curate_corpus(spark, sf_dir):
 
 
 def q_url_normalize(spark, sf_dir):
-    # url canonicalization: deterministic messy urls -> canonical key + host
+    # URL suite, variant-labeled: (1) canonicalization of deterministic
+    # messy urls -> canonical key + host; (2) canonical-URL dedup over a
+    # COLLIDING url set (path = doc_id % 37, per-doc tracking clutter,
+    # default ports and fragments on deterministic slices — everything
+    # that must normalize away for the groups to form).
     from textractssmlprocessor_spark.operators.weburl import (
         normalize_url,
+        url_dedup,
         url_host,
     )
 
-    d = _docs(spark, sf_dir).select(
+    base = F.concat(
+        F.lit("HTTPS://Host-"), F.col("source"), F.lit(".Example.org"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Path/"), F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit("?utm_source=feed&b=2&a=1&fbclid=xyz"),
+        ).otherwise(F.lit("?z=9&utm_campaign=x")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#section-3")).otherwise(F.lit("")),
+    )
+    collide = F.concat(
+        F.lit("HTTPS://Host-"), F.col("source"), F.lit(".Example.org"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Path/"), (F.col("doc_id") % 37).cast("string"),
+        F.lit("?b=2&a=1&utm_source=src"), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#s")).otherwise(F.lit("")),
+    )
+    d = _docs(spark, sf_dir).select("doc_id", base.alias("u1"), collide.alias("u2"))
+    norm = d.select(
+        F.lit("normalize").alias("variant"),
         "doc_id",
-        F.concat(
-            F.lit("HTTPS://Host-"), F.col("source"), F.lit(".Example.org"),
-            F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
-            F.lit("/Path/"), F.col("doc_id").cast("string"),
-            F.when(
-                F.col("doc_id") % 2 == 0,
-                F.lit("?utm_source=feed&b=2&a=1&fbclid=xyz"),
-            ).otherwise(F.lit("?z=9&utm_campaign=x")),
-            F.when(F.col("doc_id") % 5 == 0, F.lit("#section-3")).otherwise(F.lit("")),
-        ).alias("url"),
+        normalize_url(F.col("u1")).alias("canonical_url"),
+        url_host(F.col("u1")).alias("host"),
+        F.lit(None).cast("bigint").alias("n"),
     )
-    return d.select(
-        "doc_id", normalize_url(F.col("url")).alias("canonical_url"),
-        url_host(F.col("url")).alias("host"),
+    dd = url_dedup(d.select("doc_id", F.col("u2").alias("url"))).select(
+        F.lit("url_dedup").alias("variant"),
+        F.col("keep_id").alias("doc_id"),
+        "canonical_url",
+        F.lit(None).cast("string").alias("host"),
+        F.col("n_dupes").alias("n"),
     )
+    return norm.unionByName(dd)
 
 
 def q_gopher_quality(spark, sf_dir):
@@ -1557,7 +1578,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "url_normalize": """
             WITH d AS (
-                SELECT doc_id,
+                SELECT 'normalize' AS variant, doc_id,
                        'HTTPS://Host-' || source || '.Example.org'
                        || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
                        || '/Path/' || doc_id::VARCHAR
@@ -1567,45 +1588,61 @@ def oracle_sql() -> dict[str, str]:
                        || (CASE WHEN doc_id % 5 = 0 THEN '#section-3' ELSE '' END)
                        AS url
                 FROM documents
+                UNION ALL
+                SELECT 'url_dedup', doc_id,
+                       'HTTPS://Host-' || source || '.Example.org'
+                       || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+                       || '/Path/' || (doc_id % 37)::VARCHAR
+                       || '?b=2&a=1&utm_source=src' || doc_id::VARCHAR
+                       || (CASE WHEN doc_id % 5 = 0 THEN '#s' ELSE '' END)
+                FROM documents
             ),
             pieces AS (
-                SELECT doc_id,
+                SELECT variant, doc_id,
                        regexp_replace(url, '#.*', '') AS nf
                 FROM d
             ),
             split_q AS (
-                SELECT doc_id, nf,
+                SELECT variant, doc_id, nf,
                        CASE WHEN strpos(nf, '?') > 0 THEN substr(nf, 1, strpos(nf, '?') - 1) ELSE nf END AS base,
                        CASE WHEN strpos(nf, '?') > 0 THEN substr(nf, strpos(nf, '?') + 1) ELSE '' END AS q
                 FROM pieces
             ),
             sh AS (
-                SELECT doc_id, base, q,
+                SELECT variant, doc_id, base, q,
                        lower(regexp_extract(base, '^([a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*)', 1)) AS scheme_host,
                        substr(base, length(regexp_extract(base, '^([a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*)', 1)) + 1) AS rest
                 FROM split_q
             ),
             norm AS (
-                SELECT doc_id, rest, q,
+                SELECT variant, doc_id, rest, q,
                        CASE WHEN scheme_host LIKE 'http://%' THEN regexp_replace(scheme_host, ':80$', '')
                             WHEN scheme_host LIKE 'https://%' THEN regexp_replace(scheme_host, ':443$', '')
                             ELSE scheme_host END AS scheme_host
                 FROM sh
             ),
             params AS (
-                SELECT doc_id, scheme_host, rest,
+                SELECT variant, doc_id, scheme_host, rest,
                        list_sort(list_filter(string_split(q, '&'),
                            p -> p != '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|msclkid|mc_cid|mc_eid|igshid)='))) AS ps
                 FROM norm
+            ),
+            outp AS (
+                SELECT variant, doc_id,
+                       scheme_host || rest ||
+                       (CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END) AS canonical_url,
+                       substr(regexp_replace(scheme_host, '^[a-z][a-z0-9+.\\-]*://', ''), 1,
+                              CASE WHEN strpos(regexp_replace(scheme_host, '^[a-z][a-z0-9+.\\-]*://', ''), ':') > 0
+                                   THEN strpos(regexp_replace(scheme_host, '^[a-z][a-z0-9+.\\-]*://', ''), ':') - 1
+                                   ELSE length(regexp_replace(scheme_host, '^[a-z][a-z0-9+.\\-]*://', '')) END) AS host
+                FROM params
             )
-            SELECT doc_id,
-                   scheme_host || rest ||
-                   (CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END) AS canonical_url,
-                   substr(regexp_replace(scheme_host, '^[a-z][a-z0-9+.\\-]*://', ''), 1,
-                          CASE WHEN strpos(regexp_replace(scheme_host, '^[a-z][a-z0-9+.\\-]*://', ''), ':') > 0
-                               THEN strpos(regexp_replace(scheme_host, '^[a-z][a-z0-9+.\\-]*://', ''), ':') - 1
-                               ELSE length(regexp_replace(scheme_host, '^[a-z][a-z0-9+.\\-]*://', '')) END) AS host
-            FROM params
+            SELECT variant, doc_id, canonical_url, host, NULL::BIGINT AS n
+            FROM outp WHERE variant = 'normalize'
+            UNION ALL
+            SELECT variant, min(doc_id), canonical_url, NULL::VARCHAR, count(*)::BIGINT
+            FROM outp WHERE variant = 'url_dedup'
+            GROUP BY variant, canonical_url
         """,
         "gopher_quality": """
             WITH base AS (

@@ -620,6 +620,30 @@ def test_pairwise_near_dupes_bits_and_cap(spark):
         lsh_dims(65)
 
 
+def test_url_dedup_collapses_canonical_variants(spark):
+    """The same page via tracking params / host case / default port /
+    fragment collapses onto one canonical key; distinct pages survive."""
+    from textractssmlprocessor_spark.operators.weburl import url_dedup
+
+    rows = [
+        (1, "https://Example.org/a?b=2&a=1"),
+        (2, "HTTPS://example.org:443/a?a=1&utm_source=feed&b=2#frag"),
+        (3, "https://example.org/a?b=2&a=1&fbclid=zzz"),
+        (4, "https://example.org/a?b=2"),  # different query: distinct page
+        (5, "http://example.org:80/a?b=2&a=1"),  # http != https
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r["canonical_url"]: (r["keep_id"], r["n_dupes"])
+        for r in url_dedup(df).collect()
+    }
+    assert got == {
+        "https://example.org/a?a=1&b=2": (1, 3),
+        "https://example.org/a?b=2": (4, 1),
+        "http://example.org/a?a=1&b=2": (5, 1),
+    }
+
+
 def test_semdedup_hand_computed(spark):
     """SemDeDup on vectors small enough to verify by hand: two k-means
     cells, transitive grouping within a cell (0-2 and 2-3 edge but no 0-3

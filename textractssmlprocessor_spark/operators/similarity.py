@@ -328,7 +328,7 @@ def semdedup(
     bounded; the cell count is the same knob as pairwise_near_duplicates'
     ``n_bits``. Rounded sims (6dp) keep the DuckDB oracle in lockstep."""
     from .dedup import _cooccurrence_member_pairs
-    from .graph import connected_components
+    from .graph import _truncate, connected_components
 
     cents = (
         centroids
@@ -340,6 +340,11 @@ def semdedup(
         "id", "v", "cell",
         F.round(cosine(F.col("v"), F.col("cvec")), 6).alias("centroid_sim"),
     )
+    # the assigned table feeds FOUR consumers (candidate gen, two vector
+    # join-backs, the totalization); without a cut each one re-runs the
+    # scan + assignment (materialize=False keeps the lazy plan)
+    if materialize:
+        a = _truncate(a, materialize)
     cand = _cooccurrence_member_pairs(
         a.select("id", "cell"), "cell", F.col("id"), max_group=max_cell
     ).select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))

@@ -74,6 +74,28 @@ def with_canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonical-URL dedup — the standard pre-content pass in web-corpus
+    pipelines (run before any fingerprint dedup): the same page fetched
+    via tracking-parameter / host-case / default-port / fragment variants
+    collapses on the canonical key. One groupBy with map-side partials on
+    a corpus-sized but NARROW (id, canonical_url) projection; survivor =
+    min id, the same rule as dedup_exact. Returns
+    (canonical_url, keep_id, n_dupes)."""
+    return (
+        df.select(
+            F.col(id_col), normalize_url(F.col(url_col)).alias("canonical_url")
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dupes"),
+        )
+    )
+
+
 LINK_RE = r"""(?is)<a\s[^>]*?href\s*=\s*["']([^"']*)["'][^>]*>(.*?)</a>"""
 
 

@@ -58,11 +58,14 @@ BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 def q_doc_stats(spark, sf_dir):
     # Merged per-doc scalar aggregates — one driver-contract row per doc
     # covering A1 estimate_cost (reference utils.py:441-454), A3 count_words
-    # (ssml_validator.py:95-98), BPE-ish token counting, and A9 get_preview
-    # (ssml_validator.py:100-103). All map-side; one scan of documents.
+    # (ssml_validator.py:95-98), BPE-ish token counting, A9 get_preview
+    # (ssml_validator.py:100-103), and the deterministic hash train/val/test
+    # split (operators/sampling.py). All map-side; one scan of documents.
+    from textractssmlprocessor_spark.operators.sampling import split_assign
+
     n = F.length("text")
     words = F.regexp_extract_all("text", F.lit(WORD_RE), F.lit(0))
-    return _docs(spark, sf_dir).select(
+    return split_assign(_docs(spark, sf_dir), id_col="doc_id").select(
         "doc_id",
         n.cast("bigint").alias("character_count"),
         F.round(n / 1000000 * 20, 6).alias("gpt_cost"),
@@ -76,6 +79,7 @@ def q_doc_stats(spark, sf_dir):
             F.array_join(F.slice(words, 1, 5), " "),
             F.when(F.size(words) > 5, F.lit("...")).otherwise(F.lit("")),
         ).alias("preview"),
+        "split",
     )
 
 
@@ -1417,7 +1421,10 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '{_BPE_RE_SQL}'))::BIGINT AS n_tokens,
                    array_to_string(regexp_extract_all(text, '{_WORD_RE_SQL}')[1:5], ' ')
                    || (CASE WHEN len(regexp_extract_all(text, '{_WORD_RE_SQL}')) > 5 THEN '...' ELSE '' END)
-                   AS preview
+                   AS preview,
+                   CASE WHEN (('0x' || substr(md5('v1' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000) < 9000 THEN 'train'
+                        WHEN (('0x' || substr(md5('v1' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000) < 9500 THEN 'val'
+                        ELSE 'test' END AS split
             FROM documents
         """,
         "text_profile": f"""

@@ -1,0 +1,86 @@
+"""Deterministic hash-split / subsample operator (operators/sampling.py).
+
+The contract these tests pin down: assignment depends ONLY on (salt, id) —
+never on partition layout — splits are total and disjoint, and a smaller
+sample fraction under the same salt selects a strict subset (nested
+subsamples for scaling-law runs).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from textractssmlprocessor_spark.operators.sampling import (
+    hash_bucket,
+    sample_fraction,
+    split_assign,
+)
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 2000).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("doc_id")
+    )
+
+
+def test_split_total_and_disjoint(ids):
+    out = split_assign(ids).groupBy("split").count().collect()
+    counts = {r["split"]: r["count"] for r in out}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000  # total: every row gets exactly one label
+    # fractions roughly honored (hash is uniform; 2000 rows, loose bounds)
+    assert counts["train"] > 1600
+    assert counts["val"] + counts["test"] < 400
+
+
+def test_split_invariant_under_partitioning(ids):
+    a = split_assign(ids).collect()
+    b = split_assign(ids.repartition(13, "doc_id")).collect()
+    assert {(r["doc_id"], r["split"]) for r in a} == {
+        (r["doc_id"], r["split"]) for r in b
+    }
+
+
+def test_split_changes_with_salt(ids):
+    a = {(r["doc_id"], r["split"]) for r in split_assign(ids, salt="v1").collect()}
+    b = {(r["doc_id"], r["split"]) for r in split_assign(ids, salt="v2").collect()}
+    assert a != b
+
+
+def test_split_matches_python_md5(ids):
+    """Row-for-row agreement with a plain-Python md5 reimplementation — the
+    same computation the DuckDB oracle replays in q_doc_stats."""
+    import hashlib
+
+    for r in split_assign(ids, salt="v1").limit(64).collect():
+        bucket = int(hashlib.md5(("v1" + r["doc_id"]).encode()).hexdigest()[:8], 16) % 10000
+        want = "train" if bucket < 9000 else ("val" if bucket < 9500 else "test")
+        assert r["split"] == want, r["doc_id"]
+
+
+def test_sample_fraction_nested(ids):
+    small = {r["doc_id"] for r in sample_fraction(ids, 0.1).collect()}
+    big = {r["doc_id"] for r in sample_fraction(ids, 0.3).collect()}
+    assert small <= big
+    assert 100 < len(small) < 300 and 400 < len(big) < 800
+    assert len({r["doc_id"] for r in sample_fraction(ids, 0.0).collect()}) == 0
+    assert len({r["doc_id"] for r in sample_fraction(ids, 1.0).collect()}) == 2000
+
+
+def test_split_single_and_validation(ids):
+    only = split_assign(ids, splits={"all": 1.0}).select("split").distinct().collect()
+    assert [r["split"] for r in only] == ["all"]
+    with pytest.raises(ValueError):
+        split_assign(ids, splits={})
+    with pytest.raises(ValueError):
+        split_assign(ids, splits={"a": -0.1, "b": 1.1})
+    with pytest.raises(ValueError):
+        sample_fraction(ids, 1.5)
+
+
+def test_hash_bucket_range(ids):
+    mm = ids.select(
+        F.min(hash_bucket(F.col("doc_id"))).alias("lo"),
+        F.max(hash_bucket(F.col("doc_id"))).alias("hi"),
+    ).first()
+    assert 0 <= mm["lo"] and mm["hi"] < 10000

@@ -1,0 +1,76 @@
+"""Deterministic, engine-portable sampling and split assignment for corpus
+curation: reproducible train/val/test splits and fractional subsampling
+keyed on a stable id column.
+
+Why not ``df.sample()``: Spark's sampler draws per-partition from a seeded
+RNG, so the selected rows change with partition layout, AQE decisions, and
+input file order — a re-run of the same pipeline on the same data can ship
+a different training set. A hash split depends only on (salt, id): stable
+across engines, reruns, partitionings, and cluster sizes, and any engine
+can reproduce membership for audit (the DuckDB oracle does exactly that).
+
+The key is the first 8 hex chars of md5(salt || id) — a uniform 32-bit
+integer — taken modulo 10,000 fixed-width buckets; split fractions become
+contiguous bucket ranges, so splits are disjoint and total by
+construction. All map-side, codegen'd, zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 10000
+
+
+def hash_bucket(col: Column, salt: str = "", buckets: int = _BUCKETS) -> Column:
+    """Uniform deterministic bucket in [0, buckets): first 8 md5 hex chars
+    of (salt || id) parsed as an integer, mod buckets. Engine-portable
+    (md5 only — the repo's oracle-hash rule)."""
+    key = F.md5(F.concat(F.lit(str(salt)), col.cast("string")))
+    return F.pmod(
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint"), F.lit(buckets)
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    splits: dict[str, float] | None = None,
+    salt: str = "v1",
+    out_col: str = "split",
+) -> DataFrame:
+    """Add a split-label column with the given fractions (insertion order
+    fixes the bucket layout — document the dict order with the salt when
+    publishing a split). Fractions are quantized to 1/10000; the LAST
+    split absorbs rounding remainder so assignment is total."""
+    if splits is None:
+        splits = {"train": 0.9, "val": 0.05, "test": 0.05}
+    if not splits or any(w < 0 for w in splits.values()):
+        raise ValueError("splits must be non-empty with non-negative weights")
+    total = sum(splits.values())
+    b = hash_bucket(F.col(id_col), salt)
+    names = list(splits)
+    expr = None
+    acc = 0.0
+    for name in names[:-1]:
+        acc += splits[name]
+        hi = int(round(acc / total * _BUCKETS))
+        expr = (F.when if expr is None else expr.when)(b < hi, F.lit(name))
+    label = (
+        expr.otherwise(F.lit(names[-1])) if expr is not None else F.lit(names[-1])
+    )
+    return df.withColumn(out_col, label)
+
+
+def sample_fraction(
+    df: DataFrame, fraction: float, id_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Deterministic ~``fraction`` subsample (quantized to 1/10000). The
+    SAME (salt, fraction') with fraction' < fraction selects a SUBSET —
+    nested subsamples for scaling-law runs come free from the bucket
+    ordering."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    hi = int(round(fraction * _BUCKETS))
+    return df.filter(hash_bucket(F.col(id_col), salt) < hi)

@@ -228,6 +228,8 @@ def q_url_normalize(spark, sf_dir):
     # default ports and fragments on deterministic slices — everything
     # that must normalize away for the groups to form).
     from textractssmlprocessor_spark.operators.weburl import (
+        blocklist_flags,
+        domain_stats,
         normalize_url,
         url_dedup,
         url_host,
@@ -250,22 +252,64 @@ def q_url_normalize(spark, sf_dir):
         F.lit("?b=2&a=1&utm_source=src"), F.col("doc_id").cast("string"),
         F.when(F.col("doc_id") % 5 == 0, F.lit("#s")).otherwise(F.lit("")),
     )
-    d = _docs(spark, sf_dir).select("doc_id", base.alias("u1"), collide.alias("u2"))
+    # (3) per-host corpus stats over the colliding set; (4) UT1-style
+    # blocklist suffix matching — deep.sub. prefix on the %4 slice
+    # exercises the subdomain (host-suffix) path
+    blocked = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("deep.sub.")).otherwise(F.lit("")),
+        F.lit("host-"), F.col("source"), F.lit(".example.org/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id", base.alias("u1"), collide.alias("u2"), blocked.alias("u3")
+    )
+    nulls = {
+        "doc_id": F.lit(None).cast("bigint").alias("doc_id"),
+        "canonical_url": F.lit(None).cast("string").alias("canonical_url"),
+        "host": F.lit(None).cast("string").alias("host"),
+        "n": F.lit(None).cast("bigint").alias("n"),
+        "n2": F.lit(None).cast("bigint").alias("n2"),
+        "matched": F.lit(None).cast("string").alias("matched"),
+    }
     norm = d.select(
         F.lit("normalize").alias("variant"),
         "doc_id",
         normalize_url(F.col("u1")).alias("canonical_url"),
         url_host(F.col("u1")).alias("host"),
-        F.lit(None).cast("bigint").alias("n"),
+        nulls["n"], nulls["n2"], nulls["matched"],
     )
     dd = url_dedup(d.select("doc_id", F.col("u2").alias("url"))).select(
         F.lit("url_dedup").alias("variant"),
         F.col("keep_id").alias("doc_id"),
         "canonical_url",
-        F.lit(None).cast("string").alias("host"),
+        nulls["host"],
         F.col("n_dupes").alias("n"),
+        nulls["n2"], nulls["matched"],
     )
-    return norm.unionByName(dd)
+    ds = domain_stats(d.select("doc_id", F.col("u2").alias("url"))).select(
+        F.lit("domain_stats").alias("variant"),
+        nulls["doc_id"], nulls["canonical_url"],
+        "host",
+        F.col("n_docs").alias("n"),
+        F.col("n_pages").alias("n2"),
+        nulls["matched"],
+    )
+    blist = spark.createDataFrame(
+        [("host-src3.example.org",), ("host-src7.example.org",),
+         ("sub.host-src1.example.org",)],
+        "host string",
+    )
+    bl = blocklist_flags(d.select("doc_id", F.col("u3").alias("url")), blist).select(
+        F.lit("blocklist").alias("variant"),
+        F.col("id").alias("doc_id"),
+        nulls["canonical_url"],
+        "host",
+        F.col("blocked").cast("bigint").alias("n"),
+        nulls["n2"],
+        F.col("matched_host").alias("matched"),
+    )
+    return norm.unionByName(dd).unionByName(ds).unionByName(bl)
 
 
 def q_gopher_quality(spark, sf_dir):
@@ -324,12 +368,67 @@ _DOCS_WITH_DUPES_SQL = """
 """
 
 
-def q_dedup_exact(spark, sf_dir):
-    from textractssmlprocessor_spark.operators.dedup import dedup_exact
-
-    return dedup_exact(_docs_with_dupes(spark, sf_dir)).select(
-        "fingerprint", "keep_id", F.col("n_dupes").cast("bigint").alias("n_dupes")
+def _para_docs(spark, sf_dir):
+    """documents re-shaped into multi-paragraph pages (Dolma-style corpus):
+    para 0 = the doc's own text; para 1 = boilerplate shared by EVERY page
+    (the newsletter line paragraph dedup exists to kill); para 2 = a
+    copyright line shared by the doc_id%3==0 slice, unique closing
+    elsewhere; para 3 = whitespace-only on the %5 slice (exercises the
+    min_chars always-keep path), unique tail elsewhere."""
+    d = _docs(spark, sf_dir)
+    body = F.concat_ws(
+        "\n\n",
+        F.col("text"),
+        F.lit("Subscribe to our newsletter for updates."),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit("Copyright 2024 Example Org. All rights reserved."),
+        ).otherwise(F.concat(F.lit("Unique closing "), F.col("doc_id").cast("string"))),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("   ")).otherwise(
+            F.concat(F.lit("tail "), F.col("doc_id").cast("string"))
+        ),
     )
+    return d.select("doc_id", body.alias("text"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    # Exact-dedup suite, variant-labeled: (1) doc — whole-document
+    # fingerprint dedup over the duped corpus; (2) para — corpus-wide
+    # paragraph fingerprint table (Dolma §3.2) over the multi-paragraph
+    # corpus; (3) para_doc — the rebuilt documents with every duplicate
+    # paragraph removed except its first (id, idx) occurrence.
+    from textractssmlprocessor_spark.operators.dedup import (
+        dedup_exact,
+        dedup_paragraphs,
+        paragraph_fingerprints,
+    )
+
+    doc = dedup_exact(_docs_with_dupes(spark, sf_dir)).select(
+        F.lit("doc").alias("variant"),
+        "fingerprint",
+        "keep_id",
+        F.lit(None).cast("bigint").alias("keep_idx"),
+        F.col("n_dupes").cast("bigint").alias("n_dupes"),
+        F.lit(None).cast("string").alias("text"),
+    )
+    pd_ = _para_docs(spark, sf_dir)
+    para = paragraph_fingerprints(pd_).select(
+        F.lit("para").alias("variant"),
+        "fingerprint",
+        "keep_id",
+        F.col("keep_idx").cast("bigint").alias("keep_idx"),
+        F.col("n_dupes").cast("bigint").alias("n_dupes"),
+        F.lit(None).cast("string").alias("text"),
+    )
+    rebuilt = dedup_paragraphs(pd_).select(
+        F.lit("para_doc").alias("variant"),
+        F.lit(None).cast("string").alias("fingerprint"),
+        F.col("id").alias("keep_id"),
+        F.lit(None).cast("bigint").alias("keep_idx"),
+        F.lit(None).cast("bigint").alias("n_dupes"),
+        "text",
+    )
+    return doc.unionByName(para).unionByName(rebuilt)
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
@@ -1644,12 +1743,39 @@ def oracle_sql() -> dict[str, str]:
                                    ELSE length(regexp_replace(scheme_host, '^[a-z][a-z0-9+.\\-]*://', '')) END) AS host
                 FROM params
             )
-            SELECT variant, doc_id, canonical_url, host, NULL::BIGINT AS n
+            , bdocs AS (
+                SELECT doc_id,
+                       (CASE WHEN doc_id % 4 = 0 THEN 'deep.sub.' ELSE '' END)
+                       || 'host-' || source || '.example.org' AS host
+                FROM documents
+            ),
+            bhits AS (
+                SELECT doc_id, host, e,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY length(e) DESC, e DESC) AS rn
+                FROM bdocs,
+                     (VALUES ('host-src3.example.org'), ('host-src7.example.org'),
+                             ('sub.host-src1.example.org')) AS b(e)
+                WHERE host = e OR host LIKE '%.' || e
+            )
+            SELECT variant, doc_id, canonical_url, host, NULL::BIGINT AS n,
+                   NULL::BIGINT AS n2, NULL::VARCHAR AS matched
             FROM outp WHERE variant = 'normalize'
             UNION ALL
-            SELECT variant, min(doc_id), canonical_url, NULL::VARCHAR, count(*)::BIGINT
+            SELECT variant, min(doc_id), canonical_url, NULL::VARCHAR, count(*)::BIGINT,
+                   NULL::BIGINT, NULL::VARCHAR
             FROM outp WHERE variant = 'url_dedup'
             GROUP BY variant, canonical_url
+            UNION ALL
+            SELECT 'domain_stats', NULL::BIGINT, NULL::VARCHAR, host, count(*)::BIGINT,
+                   count(DISTINCT canonical_url)::BIGINT, NULL::VARCHAR
+            FROM outp WHERE variant = 'url_dedup'
+            GROUP BY host
+            UNION ALL
+            SELECT 'blocklist', d.doc_id, NULL::VARCHAR, d.host,
+                   (h.e IS NOT NULL)::BIGINT, NULL::BIGINT, h.e
+            FROM bdocs d
+            LEFT JOIN (SELECT doc_id, e FROM bhits WHERE rn = 1) h USING (doc_id)
         """,
         "gopher_quality": """
             WITH base AS (
@@ -1864,11 +1990,57 @@ def oracle_sql() -> dict[str, str]:
             FROM tot t LEFT JOIN agg a USING (url)
         """,
         "dedup_exact": f"""
-            WITH d AS ({_DOCS_WITH_DUPES_SQL})
-            SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
-                   min(doc_id) AS keep_id,
-                   count(*)::BIGINT AS n_dupes
-            FROM d GROUP BY 1
+            WITH d AS ({_DOCS_WITH_DUPES_SQL}),
+            doc_tab AS (
+                SELECT 'doc' AS variant,
+                       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+                       min(doc_id) AS keep_id,
+                       NULL::BIGINT AS keep_idx,
+                       count(*)::BIGINT AS n_dupes,
+                       NULL::VARCHAR AS text
+                FROM d GROUP BY 2
+            ),
+            paras AS (
+                SELECT doc_id AS id, 0 AS idx, text AS para FROM documents
+                UNION ALL
+                SELECT doc_id, 1, 'Subscribe to our newsletter for updates.' FROM documents
+                UNION ALL
+                SELECT doc_id, 2, CASE WHEN doc_id % 3 = 0
+                       THEN 'Copyright 2024 Example Org. All rights reserved.'
+                       ELSE 'Unique closing ' || doc_id::VARCHAR END FROM documents
+                UNION ALL
+                SELECT doc_id, 3, CASE WHEN doc_id % 5 = 0
+                       THEN '   ' ELSE 'tail ' || doc_id::VARCHAR END FROM documents
+            ),
+            ranked AS (
+                SELECT id, idx, para,
+                       md5(regexp_replace(lower(trim(para)), '\\s+', ' ', 'g')) AS f,
+                       row_number() OVER (PARTITION BY md5(regexp_replace(lower(trim(para)), '\\s+', ' ', 'g'))
+                                          ORDER BY id, idx) AS rn,
+                       count(*) OVER (PARTITION BY md5(regexp_replace(lower(trim(para)), '\\s+', ' ', 'g'))) AS cnt
+                FROM paras WHERE length(trim(para)) >= 1
+            ),
+            para_tab AS (
+                SELECT 'para' AS variant, f AS fingerprint, id AS keep_id,
+                       idx::BIGINT AS keep_idx, cnt::BIGINT AS n_dupes,
+                       NULL::VARCHAR AS text
+                FROM ranked WHERE rn = 1
+            ),
+            kept AS (
+                SELECT id, idx, para FROM ranked WHERE rn = 1
+                UNION ALL
+                SELECT id, idx, para FROM paras WHERE length(trim(para)) < 1
+            ),
+            rebuilt AS (
+                SELECT 'para_doc' AS variant, NULL::VARCHAR AS fingerprint,
+                       id AS keep_id, NULL::BIGINT AS keep_idx,
+                       NULL::BIGINT AS n_dupes,
+                       string_agg(para, e'\\n\\n' ORDER BY idx) AS text
+                FROM kept GROUP BY id
+            )
+            SELECT * FROM doc_tab
+            UNION ALL SELECT * FROM para_tab
+            UNION ALL SELECT * FROM rebuilt
         """,
         "dedup_ngram_jaccard": f"""
             WITH d AS ({_DOCS_WITH_DUPES_SQL}),

@@ -1342,3 +1342,89 @@ def test_connected_components_matches_union_find_on_random_graphs(spark):
             r["id"]: r["rep"] for r in connected_components(df).collect()
         }
         assert got == expected, f"seed {seed}"
+
+
+def test_paragraph_dedup_keeps_first_occurrence_and_order(spark):
+    from textractssmlprocessor_spark.operators.dedup import (
+        dedup_paragraphs,
+        paragraph_fingerprints,
+    )
+
+    rows = [
+        (1, "alpha one\n\nSHARED BOILER\n\nunique a"),
+        (2, "beta two\n\nshared  boiler\n\nunique b"),   # case/ws variant dies
+        (3, "SHARED BOILER\n\ngamma three\n\n \n\nunique c"),  # short para kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r["text"] for r in dedup_paragraphs(df).collect()}
+    assert out[1] == "alpha one\n\nSHARED BOILER\n\nunique a"
+    assert out[2] == "beta two\n\nunique b"
+    # doc 3's copy of the boilerplate dies (first occurrence is doc 1's),
+    # the whitespace-only paragraph survives untouched, order preserved
+    assert out[3] == "gamma three\n\n \n\nunique c"
+
+    fps = paragraph_fingerprints(df).collect()
+    shared = [r for r in fps if r["n_dupes"] == 3]
+    assert len(shared) == 1 and shared[0]["keep_id"] == 1 and shared[0]["keep_idx"] == 1
+    # whitespace-only paragraph never enters the fingerprint table
+    assert all(r["n_dupes"] >= 1 for r in fps)
+    assert len(fps) == 1 + 6  # 1 shared group + six unique paragraphs
+
+
+def test_paragraph_dedup_doc_losing_all_paragraphs_survives_empty(spark):
+    from textractssmlprocessor_spark.operators.dedup import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [(1, "same para"), (2, "same para")], "doc_id long, text string"
+    )
+    out = {r["id"]: r["text"] for r in dedup_paragraphs(df).collect()}
+    assert out == {1: "same para", 2: ""}
+
+
+def test_host_suffixes_and_blocklist_subdomain_match(spark):
+    from textractssmlprocessor_spark.operators.weburl import (
+        blocklist_flags,
+        host_suffixes,
+    )
+
+    sfx = (
+        spark.range(1)
+        .select(host_suffixes(F.lit("a.b.example.org")).alias("s"))
+        .first()["s"]
+    )
+    assert sfx == ["a.b.example.org", "b.example.org", "example.org", "org"]
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://ads.tracker.net/x"),        # exact entry
+            (2, "https://deep.sub.tracker.net/y"),   # subdomain of entry
+            (3, "https://nottracker.net/z"),         # suffix WITHOUT dot boundary
+            (4, "https://clean.example.com/w"),
+        ],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame(
+        [("tracker.net",), ("ads.tracker.net",)], "host string"
+    )
+    out = {r["id"]: r for r in blocklist_flags(docs, bl).collect()}
+    assert out[1]["blocked"] and out[1]["matched_host"] == "ads.tracker.net"
+    assert out[2]["blocked"] and out[2]["matched_host"] == "tracker.net"
+    assert not out[3]["blocked"] and out[3]["matched_host"] is None
+    assert not out[4]["blocked"]
+
+
+def test_domain_stats_counts_distinct_canonical_pages(spark):
+    from textractssmlprocessor_spark.operators.weburl import domain_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://Example.org/a?utm_source=x"),
+            (2, "https://example.org/a"),              # same canonical page
+            (3, "https://example.org/b"),
+            (4, "https://other.net/c"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r["host"]: r for r in domain_stats(docs).collect()}
+    assert out["example.org"]["n_docs"] == 3 and out["example.org"]["n_pages"] == 2
+    assert out["other.net"]["n_docs"] == 1 and out["other.net"]["n_pages"] == 1

@@ -764,3 +764,108 @@ def simhash_groups(
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def paragraph_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = r"\n{2,}",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide paragraph fingerprint table (Dolma/CCNet paragraph dedup,
+    Soldaini et al. 2024 §3.2): one row per distinct normalized paragraph
+    with its first occurrence and corpus frequency.
+
+    Returns (fingerprint, keep_id, keep_idx, n_dupes): md5 of the
+    whitespace/case-normalized paragraph, the (id, paragraph-index) of the
+    first occurrence in (id, idx) order, and how many times the paragraph
+    appears corpus-wide. Paragraphs shorter than ``min_chars`` after
+    trimming are excluded (never deduplicated, always kept by
+    :func:`dedup_paragraphs`).
+
+    Scale: one explode (map-side, no shuffle) and ONE shuffle — the
+    groupBy(fingerprint) with map-side partial aggregation. Fingerprint
+    cardinality is near-corpus-size, so the shuffle is well spread; there
+    is no window over a global ordering anywhere.
+    """
+    paras = _spread(df, id_col).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "para"),
+    ).filter(F.length(F.trim(F.col("para"))) >= min_chars)
+    return (
+        paras.select("id", "idx", fingerprint(F.col("para")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(F.struct("id", "idx")).alias("_first"),
+            F.count(F.lit(1)).cast("int").alias("n_dupes"),
+        )
+        .select(
+            "fingerprint",
+            F.col("_first.id").alias("keep_id"),
+            F.col("_first.idx").alias("keep_idx"),
+            "n_dupes",
+        )
+    )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = r"\n{2,}",
+    join_sep: str = "\n\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Remove corpus-wide duplicate paragraphs, keeping each distinct
+    paragraph only at its FIRST occurrence (lowest (id, paragraph-index)) —
+    the Dolma paragraph-level dedup that strips repeated boilerplate
+    ("subscribe to our newsletter") from every page but one while leaving
+    unique prose untouched.
+
+    Returns (id, text) with each document's surviving paragraphs re-joined
+    by ``join_sep`` in their original order; documents whose paragraphs all
+    die keep an empty-string text. Paragraphs shorter than ``min_chars``
+    (after trim) are always kept.
+
+    Scale: explode -> groupBy(fingerprint) [shuffle 1] -> join back on
+    fingerprint [shuffle 2, AQE-planned; near-unique key so no skew] ->
+    groupBy(id) rebuild via array_sort(collect_list(struct)) [shuffle 3,
+    per-document state only — no global window]. Short paragraphs bypass
+    the dedup joins entirely and union back in.
+    """
+    paras = _spread(df, id_col).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "para"),
+    )
+    short = paras.filter(F.length(F.trim(F.col("para"))) < min_chars)
+    long_ = paras.filter(F.length(F.trim(F.col("para"))) >= min_chars)
+    tagged = long_.withColumn("fp", fingerprint(F.col("para")))
+    first = (
+        tagged.groupBy("fp")
+        .agg(F.min(F.struct("id", "idx")).alias("_first"))
+        .select(
+            "fp",
+            F.col("_first.id").alias("_fid"),
+            F.col("_first.idx").alias("_fidx"),
+        )
+    )
+    kept = tagged.join(first, "fp").filter(
+        (F.col("id") == F.col("_fid")) & (F.col("idx") == F.col("_fidx"))
+    ).select("id", "idx", "para")
+    survivors = kept.unionByName(short.select("id", "idx", "para"))
+    rebuilt = survivors.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "para"))),
+                lambda s: s["para"],
+            ),
+            join_sep,
+        ).alias(text_col)
+    )
+    # documents that lost every paragraph still appear, with empty text
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(rebuilt, "id", "left")
+        .select("id", F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
+    )

@@ -123,3 +123,83 @@ def extract_links(
         F.col("lk.href").alias("href"),
         anchor.alias("anchor"),
     )
+
+
+def host_suffixes(host_col: Column) -> Column:
+    """All dot-suffixes of a host ('a.b.example.org' -> ['a.b.example.org',
+    'b.example.org', 'example.org', 'org']) — the join key set for
+    suffix-matching a host against a domain blocklist WITHOUT a LIKE-any
+    cross join. The outer ``parts`` reference inside the transform lambda
+    re-evaluates the split per element (the higher-order re-evaluation
+    trap, PLANS.md) — acceptable ONLY because host label count is bounded
+    tiny (<~10); do not reuse this shape for unbounded arrays."""
+    parts = F.split(host_col, r"\.")
+    return F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(F.slice(parts, i, 1 << 30), "."),
+    )
+
+
+def domain_stats(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-registered-host corpus statistics — the table a crawl curator
+    reads to spot over-represented hosts (and the input to per-host caps):
+    (host, n_docs, n_pages) where n_pages counts DISTINCT canonical urls.
+
+    One groupBy(host) with map-side partials over a narrow projection;
+    count_distinct of the canonical url is the standard two-phase partial
+    distinct, still a single shuffle. Host keys are Zipf-skewed at crawl
+    scale — AQE skew-split handles the head hosts (no salting needed:
+    the aggregation state per key is O(1) + distinct-set, and the partial
+    aggregate already collapses most of the head on the map side)."""
+    return (
+        df.select(
+            F.col(id_col),
+            url_host(F.col(url_col)).alias("host"),
+            normalize_url(F.col(url_col)).alias("_canon"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct(F.col("_canon")).cast("bigint").alias("n_pages"),
+        )
+    )
+
+
+def blocklist_flags(
+    df: DataFrame,
+    blocked_hosts: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """UT1/adult-blocklist-style host filtering: flag every document whose
+    url host equals OR is a subdomain of any entry in ``blocked_hosts``
+    (a DataFrame with one column ``host``, e.g. read from a blocklist
+    file). Returns df's (id, host) plus (blocked: boolean, matched_host:
+    the most specific blocklist entry that hit, NULL when clean).
+
+    Scale: the blocklist (UT1 adult is ~4M hosts, a few hundred MB) is
+    broadcast; each document explodes its host into its <=~10 dot-suffixes
+    and broadcast-joins — no shuffle of the corpus at all. The groupBy
+    collapsing multi-suffix hits is keyed on the document id (near-unique,
+    no skew)."""
+    suffixed = df.select(
+        F.col(id_col).alias("id"), url_host(F.col(url_col)).alias("host")
+    ).withColumn("_sfx", F.explode(host_suffixes(F.col("host"))))
+    hits = suffixed.join(
+        F.broadcast(blocked_hosts.select(F.col("host").alias("_sfx")).distinct()),
+        "_sfx",
+    ).groupBy("id").agg(
+        # most specific (longest) matching entry wins the report column
+        F.max(F.struct(F.length("_sfx").alias("l"), F.col("_sfx").alias("h")))[
+            "h"
+        ].alias("matched_host")
+    )
+    base = df.select(F.col(id_col).alias("id"), url_host(F.col(url_col)).alias("host"))
+    return base.join(hits, "id", "left").select(
+        "id",
+        "host",
+        F.col("matched_host").isNotNull().alias("blocked"),
+        "matched_host",
+    )

@@ -60,12 +60,23 @@ def q_doc_stats(spark, sf_dir):
     # covering A1 estimate_cost (reference utils.py:441-454), A3 count_words
     # (ssml_validator.py:95-98), BPE-ish token counting, A9 get_preview
     # (ssml_validator.py:100-103), and the deterministic hash train/val/test
-    # split (operators/sampling.py). All map-side; one scan of documents.
-    from textractssmlprocessor_spark.operators.sampling import split_assign
+    # split (operators/sampling.py) and the per-source mixture-subsampling
+    # keep flag (sampling.subsample_by_group: src0 quartered, src1 halved,
+    # src2 at 3/4, everything else untouched). All map-side; one scan of
+    # documents.
+    from textractssmlprocessor_spark.operators.sampling import (
+        split_assign,
+        subsample_by_group,
+    )
 
     n = F.length("text")
     words = F.regexp_extract_all("text", F.lit(WORD_RE), F.lit(0))
-    return split_assign(_docs(spark, sf_dir), id_col="doc_id").select(
+    d = subsample_by_group(
+        _docs(spark, sf_dir),
+        {"src0": 0.25, "src1": 0.5, "src2": 0.75},
+        out_col="mix_keep",
+    )
+    return split_assign(d, id_col="doc_id").select(
         "doc_id",
         n.cast("bigint").alias("character_count"),
         F.round(n / 1000000 * 20, 6).alias("gpt_cost"),
@@ -80,16 +91,38 @@ def q_doc_stats(spark, sf_dir):
             F.when(F.size(words) > 5, F.lit("...")).otherwise(F.lit("")),
         ).alias("preview"),
         "split",
+        "mix_keep",
     )
 
 
 def q_text_profile(spark, sf_dir):
     # Merged per-doc text profile: quality features + language-ID heuristic
     # (stopword-hit argmax, deterministic tie-break) + md5 fingerprint of
-    # whitespace/case-normalized text. One scan, all map-side.
+    # whitespace/case-normalized text — plus the unicode-hygiene columns
+    # (operators/textnorm.py): NFC normalization of a seeded NFD string
+    # (pandas UDF), the native mojibake artifact count, and the gated
+    # pandas repair UDF on a seeded cp1252-mangled slice (doc_id%3==0;
+    # clean rows must pass through BYTE-UNCHANGED, which the oracle checks
+    # by emitting the raw else-branch). One scan, all map-side.
+    from textractssmlprocessor_spark.operators.textnorm import (
+        MOJIBAKE_SAMPLE,
+        NFD_SAMPLE,
+        mojibake_artifacts,
+        repair_mojibake,
+        with_nfc_text,
+    )
     from textractssmlprocessor_spark.operators.textstats import lang_id
 
     d = _docs(spark, sf_dir)
+    # NFD seed: e + COMBINING ACUTE (U+0301), i + COMBINING DIAERESIS
+    # (U+0308) - NFC must compose both; the ASCII tail passes unchanged
+    nfd_seed = F.concat(F.lit(NFD_SAMPLE), F.substring("text", 1, 16))
+    moji_seed = F.when(
+        F.col("doc_id") % 3 == 0, F.lit(MOJIBAKE_SAMPLE)
+    ).otherwise(F.substring("text", 1, 8))
+    d = d.withColumn("_nfd", nfd_seed).withColumn("_moji", moji_seed)
+    d = with_nfc_text(d, text_col="_nfd", out_col="nfc_text")
+    d = repair_mojibake(d, text_col="_moji", out_col="moji_fixed")
     n = F.length("text").cast("double")
     words = F.size(F.regexp_extract_all("text", F.lit(WORD_RE), F.lit(0)))
     alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
@@ -104,6 +137,9 @@ def q_text_profile(spark, sf_dir):
         F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias(
             "fingerprint"
         ),
+        "nfc_text",
+        mojibake_artifacts(F.col("_moji")).cast("bigint").alias("moji_hits"),
+        "moji_fixed",
     )
 
 
@@ -229,6 +265,7 @@ def q_url_normalize(spark, sf_dir):
     # that must normalize away for the groups to form).
     from textractssmlprocessor_spark.operators.weburl import (
         blocklist_flags,
+        cap_per_host,
         domain_stats,
         normalize_url,
         url_dedup,
@@ -309,7 +346,21 @@ def q_url_normalize(spark, sf_dir):
         nulls["n2"],
         F.col("matched_host").alias("matched"),
     )
-    return norm.unionByName(dd).unionByName(ds).unionByName(bl)
+    # (5) per-host cap: the deep.sub.* hosts sit under the cap (no window,
+    # NULL rank) while the plain hosts exceed it and rank-truncate to 10
+    hc = cap_per_host(
+        d.select("doc_id", F.col("u3").alias("url")), max_docs=10
+    ).select(
+        F.lit("host_cap").alias("variant"),
+        "doc_id",
+        nulls["canonical_url"],
+        "host",
+        F.col("host_rank").alias("n"),
+        nulls["n2"], nulls["matched"],
+    )
+    return (
+        norm.unionByName(dd).unionByName(ds).unionByName(bl).unionByName(hc)
+    )
 
 
 def q_gopher_quality(spark, sf_dir):
@@ -1357,6 +1408,44 @@ _WORD_RE_SQL = r"\b[\w-]+\b"
 _BPE_RE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+def _sql_str(s: str) -> str:
+    """Render a Python string as a DuckDB expression, emitting non-ASCII
+    (and quote) codepoints as chr(n) so the oracle seeds the EXACT same
+    characters as the Spark literal regardless of source encoding."""
+    parts: list[str] = []
+    buf: list[str] = []
+    for c in s:
+        if 32 <= ord(c) < 127 and c != "'":
+            buf.append(c)
+        else:
+            if buf:
+                parts.append("'" + "".join(buf) + "'")
+                buf = []
+            parts.append(f"chr({ord(c)})")
+    if buf:
+        parts.append("'" + "".join(buf) + "'")
+    return "(" + " || ".join(parts or ["''"]) + ")"
+
+
+def _textnorm_sql_consts() -> tuple[str, str, str, str]:
+    from textractssmlprocessor_spark.operators.textnorm import (
+        MOJIBAKE_RE,
+        MOJIBAKE_SAMPLE,
+        MOJIBAKE_SAMPLE_FIXED,
+        NFD_SAMPLE,
+    )
+
+    return (
+        _sql_str(NFD_SAMPLE),
+        _sql_str(MOJIBAKE_SAMPLE),
+        _sql_str(MOJIBAKE_RE),
+        _sql_str(MOJIBAKE_SAMPLE_FIXED),
+    )
+
+
+_nfd_sql, _moji_sql, _moji_re_sql, _moji_fixed_sql = _textnorm_sql_consts()
+
+
 def _kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64,
                 src: str = "embeddings") -> str:
     """CTE chain replaying kmeans_centroids' exact trajectory in DuckDB:
@@ -1523,7 +1612,10 @@ def oracle_sql() -> dict[str, str]:
                    AS preview,
                    CASE WHEN (('0x' || substr(md5('v1' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000) < 9000 THEN 'train'
                         WHEN (('0x' || substr(md5('v1' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000) < 9500 THEN 'val'
-                        ELSE 'test' END AS split
+                        ELSE 'test' END AS split,
+                   (('0x' || substr(md5('mix-v1' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000)
+                   < (CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 5000
+                                  WHEN 'src2' THEN 7500 ELSE 10000 END) AS mix_keep
             FROM documents
         """,
         "text_profile": f"""
@@ -1534,7 +1626,14 @@ def oracle_sql() -> dict[str, str]:
                          / len(regexp_extract_all(text, '{_WORD_RE_SQL}'))::DOUBLE, 6) AS mean_word_len,
                    len(regexp_extract_all(text, '{_WORD_RE_SQL}'))::BIGINT AS n_words,
                    substr(list_min([{lang_keys}]), 7, 2) AS lang_pred,
-                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+                   nfc_normalize({_nfd_sql} || substr(text, 1, 16)) AS nfc_text,
+                   (CASE WHEN doc_id % 3 = 0
+                         THEN len(regexp_extract_all({_moji_sql}, {_moji_re_sql}))
+                         ELSE len(regexp_extract_all(substr(text, 1, 8), {_moji_re_sql}))
+                    END)::BIGINT AS moji_hits,
+                   CASE WHEN doc_id % 3 = 0 THEN {_moji_fixed_sql}
+                        ELSE substr(text, 1, 8) END AS moji_fixed
             FROM documents
         """,
 
@@ -1776,6 +1875,16 @@ def oracle_sql() -> dict[str, str]:
                    (h.e IS NOT NULL)::BIGINT, NULL::BIGINT, h.e
             FROM bdocs d
             LEFT JOIN (SELECT doc_id, e FROM bhits WHERE rn = 1) h USING (doc_id)
+            UNION ALL
+            SELECT 'host_cap', doc_id, NULL::VARCHAR, host,
+                   CASE WHEN cnt > 10 THEN rn END::BIGINT, NULL::BIGINT, NULL::VARCHAR
+            FROM (
+                SELECT doc_id, host,
+                       row_number() OVER (PARTITION BY host
+                           ORDER BY md5('hostcap-v1' || doc_id::VARCHAR)) AS rn,
+                       count(*) OVER (PARTITION BY host) AS cnt
+                FROM bdocs
+            ) WHERE cnt <= 10 OR rn <= 10
         """,
         "gopher_quality": """
             WITH base AS (

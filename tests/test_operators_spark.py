@@ -1428,3 +1428,44 @@ def test_domain_stats_counts_distinct_canonical_pages(spark):
     out = {r["host"]: r for r in domain_stats(docs).collect()}
     assert out["example.org"]["n_docs"] == 3 and out["example.org"]["n_pages"] == 2
     assert out["other.net"]["n_docs"] == 1 and out["other.net"]["n_pages"] == 1
+
+
+def test_cap_per_host_window_only_for_overcap_hosts(spark):
+    from textractssmlprocessor_spark.operators.weburl import cap_per_host
+
+    rows = [(i, f"https://big.example.org/p/{i}") for i in range(20)] + [
+        (100 + i, f"https://small.example.org/p/{i}") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = cap_per_host(df, max_docs=5).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append(r)
+    assert len(by_host["big.example.org"]) == 5
+    assert sorted(r["host_rank"] for r in by_host["big.example.org"]) == [1, 2, 3, 4, 5]
+    # under-cap host: all rows kept, never ranked (no window touched them)
+    assert len(by_host["small.example.org"]) == 3
+    assert all(r["host_rank"] is None for r in by_host["small.example.org"])
+    # determinism: same input, same survivors
+    again = {r["doc_id"] for r in cap_per_host(df, max_docs=5).collect()}
+    assert again == {r["doc_id"] for r in out}
+
+
+def test_subsample_by_group_fractions_and_stability(spark):
+    from textractssmlprocessor_spark.operators.sampling import subsample_by_group
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("g"), (F.col("id") % 2).cast("string")).alias("source"),
+    )
+    out = subsample_by_group(df, {"g0": 0.25}, default=1.0).collect()
+    kept = [r for r in out if r["keep"]]
+    g0 = [r for r in kept if r["source"] == "g0"]
+    g1 = [r for r in kept if r["source"] == "g1"]
+    assert len(g1) == 2000                       # default 1.0 keeps everything
+    assert 380 <= len(g0) <= 620                 # ~25% of 2000, hash-uniform
+    # deterministic: rerun keeps the identical membership
+    again = {r["doc_id"] for r in subsample_by_group(df, {"g0": 0.25}).collect() if r["keep"]}
+    assert again == {r["doc_id"] for r in kept}
+    with pytest.raises(ValueError):
+        subsample_by_group(df, {"g0": 1.5})

@@ -1,0 +1,102 @@
+"""Unicode hygiene (operators/textnorm.py): NFC normalization, mojibake
+detection/repair — pure-Python semantics plus the Spark pandas-UDF path."""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from textractssmlprocessor_spark.operators.textnorm import (
+    MOJIBAKE_RE,
+    MOJIBAKE_SAMPLE,
+    MOJIBAKE_SAMPLE_FIXED,
+    NFD_SAMPLE,
+    NFD_SAMPLE_NFC,
+    _repair_mojibake_str,
+    mojibake_artifacts,
+    repair_mojibake,
+    with_nfc_text,
+)
+
+
+def _whatwg_mangle(s: str) -> str:
+    """Browser-style decode of UTF-8 bytes as windows-1252 with the WHATWG
+    control-char fallbacks for the five undefined bytes."""
+    out = []
+    for byte in s.encode("utf-8"):
+        try:
+            out.append(bytes([byte]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(chr(byte))
+    return "".join(out)
+
+
+def test_canonical_vectors_consistent():
+    assert _whatwg_mangle(MOJIBAKE_SAMPLE_FIXED) == MOJIBAKE_SAMPLE
+    assert _repair_mojibake_str(MOJIBAKE_SAMPLE) == MOJIBAKE_SAMPLE_FIXED
+    assert unicodedata.normalize("NFC", NFD_SAMPLE) == NFD_SAMPLE_NFC
+    assert len(re.findall(MOJIBAKE_RE, MOJIBAKE_SAMPLE)) == 5
+    assert not re.findall(MOJIBAKE_RE, MOJIBAKE_SAMPLE_FIXED)
+
+
+def test_repair_handles_double_encoding_and_never_mangles_clean():
+    double = _whatwg_mangle(MOJIBAKE_SAMPLE)
+    assert _repair_mojibake_str(double) == MOJIBAKE_SAMPLE_FIXED
+    for clean in ["plain ascii", "café déjà vu", "łódź — ünïcode", ""]:
+        assert _repair_mojibake_str(clean) == clean
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", categories=("L", "N", "P", "S", "Z")
+        ),
+        max_size=40,
+    )
+)
+def test_repair_roundtrip_property(s):
+    """mangle-then-repair recovers any printable string whose original is
+    itself a repair fixed point. Strings that already LOOK mangled (e.g. a
+    text literally discussing 'Ã©') are excluded — repair is allowed to
+    keep unwinding those."""
+    from hypothesis import assume
+
+    assume(_repair_mojibake_str(s) == s)
+    assert _repair_mojibake_str(_whatwg_mangle(s)) == s
+
+
+def test_spark_nfc_and_gated_repair(spark):
+    rows = [
+        (0, MOJIBAKE_SAMPLE),
+        (1, "clean text"),
+        (2, _whatwg_mangle(_whatwg_mangle("déjà"))),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r["id"]: r
+        for r in repair_mojibake(
+            df.withColumn("hits", mojibake_artifacts(F.col("text"))),
+            text_col="text",
+            out_col="fixed",
+        ).collect()
+    }
+    assert out[0]["fixed"] == MOJIBAKE_SAMPLE_FIXED and out[0]["hits"] == 5
+    assert out[1]["fixed"] == "clean text" and out[1]["hits"] == 0
+    assert out[2]["fixed"] == "déjà"
+
+    nfc = {
+        r["id"]: r["nfc_text"]
+        for r in with_nfc_text(
+            spark.createDataFrame(
+                [(0, NFD_SAMPLE), (1, "ascii")], "id long, text string"
+            )
+        ).collect()
+    }
+    assert nfc[0] == NFD_SAMPLE_NFC
+    assert nfc[1] == "ascii"

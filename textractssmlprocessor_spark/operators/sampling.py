@@ -74,3 +74,40 @@ def sample_fraction(
         raise ValueError("fraction must be in [0, 1]")
     hi = int(round(fraction * _BUCKETS))
     return df.filter(hash_bucket(F.col(id_col), salt) < hi)
+
+
+def subsample_by_group(
+    df: DataFrame,
+    fractions: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+    default: float = 1.0,
+    out_col: str = "keep",
+) -> DataFrame:
+    """Per-group deterministic subsampling — the mixture-reweighting
+    primitive (Pile/Dolma-style source mixing): keep each row of group g
+    with probability ``fractions.get(g, default)``, decided by the same
+    engine-portable hash bucket as :func:`split_assign` so membership is
+    stable across reruns, partitionings, and engines. Downsampling only
+    (fractions > 1, i.e. upsampling/repetition, is a different operator —
+    shard packing repeats sources explicitly). Adds a boolean ``out_col``;
+    filter on it to materialize the mix. All map-side, zero shuffles."""
+    if any(not (0.0 <= f <= 1.0) for f in fractions.values()) or not (
+        0.0 <= default <= 1.0
+    ):
+        raise ValueError("fractions must be within [0, 1]")
+    b = hash_bucket(F.col(id_col), salt)
+    thresh = None
+    for name, frac in fractions.items():
+        hi = int(round(frac * _BUCKETS))
+        t = (F.when if thresh is None else thresh.when)(
+            F.col(group_col) == name, F.lit(hi)
+        )
+        thresh = t
+    thresh = (
+        F.lit(int(round(default * _BUCKETS)))
+        if thresh is None
+        else thresh.otherwise(F.lit(int(round(default * _BUCKETS))))
+    )
+    return df.withColumn(out_col, b < thresh)

@@ -1,0 +1,133 @@
+"""Unicode hygiene for web-crawl text: NFC normalization and mojibake
+(UTF-8-read-as-Latin-1/cp1252) detection and repair.
+
+Crawled pages mix normalization forms (NFD from Mac-origin content, NFC
+elsewhere), so fingerprint/dedup keys computed on raw text miss
+canonically-equal documents; and a long tail of pages is double-encoded
+("Ã©" where "é" was meant). Detection is a NATIVE regex over the
+characteristic artifact sequences (map-side, codegen, oracle-portable);
+normalization and repair are Arrow-batched pandas UDFs (there is no JVM
+builtin for either), applied AFTER the cheap flag filters so the Python
+path only ever sees the rows that need it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Characteristic UTF-8-bytes-shown-as-Latin-1/cp1252 artifacts: a 2-byte
+# UTF-8 lead byte rendered as 'Ã'/'Â' followed by a continuation-byte
+# glyph, and the 3-byte punctuation family rendered as 'â€?'. Literal
+# char classes only — identical semantics in Java regex and RE2 (the
+# DuckDB oracle embeds the same pattern).
+MOJIBAKE_RE = "\u00c3[\u0080-\u00ff]|\u00e2\u20ac.|\u00c2[\u00a0-\u00bf]"
+
+
+def mojibake_artifacts(col: Column) -> Column:
+    """Count of mojibake artifact sequences (0 = clean). Native regex —
+    use as the cheap pre-filter so the pandas repair UDF only runs on
+    ``mojibake_artifacts(text) > 0`` rows."""
+    return F.size(F.regexp_extract_all(col, F.lit(MOJIBAKE_RE), F.lit(0)))
+
+
+def nfc_normalize_udf():
+    """Arrow-batched pandas UDF: Unicode NFC normalization (canonical
+    composition). Vectorized via pandas ``str.normalize`` — one C-level
+    pass per batch, no per-row Python."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):
+        return s.str.normalize("NFC")
+
+    return _nfc
+
+
+def with_nfc_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "nfc_text"
+) -> DataFrame:
+    return df.withColumn(out_col, nfc_normalize_udf()(F.col(text_col)))
+
+
+def _register_sloppy_cp1252() -> None:
+    """WHATWG windows-1252 maps the five undefined bytes (81 8D 8F 90 9D)
+    to the SAME-VALUED C1 control codepoints, and that is what every
+    browser and most lenient decoders produced when the original mangling
+    happened — so the repair's re-encode must map those controls back to
+    their byte values or it gives up on exactly the strings that contain
+    a 0x9D continuation byte (e.g. a right double quote U+201D)."""
+    import codecs
+
+    ctrl = {0x81, 0x8D, 0x8F, 0x90, 0x9D}
+
+    def _handler(err):
+        chunk = err.object[err.start : err.end]
+        if all(ord(c) in ctrl for c in chunk):
+            return (bytes(ord(c) for c in chunk), err.end)
+        raise err
+
+    try:
+        codecs.lookup_error("cp1252_sloppy")
+    except LookupError:
+        codecs.register_error("cp1252_sloppy", _handler)
+
+
+def _repair_mojibake_str(s: str, max_rounds: int = 3) -> str:
+    """Iteratively undo UTF-8-decoded-as-cp1252: re-encode with (sloppy)
+    cp1252 and decode as UTF-8 while that round-trip is exact, up to
+    ``max_rounds`` (handles double and triple encoding). Any failure
+    leaves the input unchanged — the repair never destroys clean text."""
+    _register_sloppy_cp1252()
+    prev = s
+    for _ in range(max_rounds):
+        try:
+            cand = prev.encode("cp1252", "cp1252_sloppy").decode("utf-8")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            return prev
+        if cand == prev:
+            return cand
+        prev = cand
+    return prev
+
+
+def fix_mojibake_udf(max_rounds: int = 3):
+    """Arrow-batched pandas UDF wrapping :func:`_repair_mojibake_str`.
+    Per-string Python inside the batch is unavoidable (codec round-trip),
+    which is why callers must gate it behind ``mojibake_artifacts > 0`` —
+    on a web corpus that prunes the Python path to the sub-percent tail."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _fix(s):
+        return s.map(
+            lambda x: _repair_mojibake_str(x, max_rounds) if x is not None else None
+        )
+
+    return _fix
+
+
+def repair_mojibake(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Repair mojibake in ``text_col`` (in place unless ``out_col`` given).
+    The native artifact flag gates the pandas UDF so clean rows never
+    leave the JVM."""
+    out = out_col or text_col
+    flag = mojibake_artifacts(F.col(text_col)) > 0
+    return df.withColumn(
+        out,
+        F.when(flag, fix_mojibake_udf()(F.col(text_col))).otherwise(
+            F.col(text_col)
+        ),
+    )
+
+
+# Canonical test vectors (WHATWG-cp1252 mangling of MOJIBAKE_SAMPLE_FIXED):
+# shared by the contract query and its DuckDB oracle so both engines seed
+# the exact same bytes.
+MOJIBAKE_SAMPLE = "caf\u00c3\u00a9 \u00e2\u20ac\u201c \u00e2\u20ac\u0153ok\u00e2\u20ac\u009d \u00c2\u00a9"
+MOJIBAKE_SAMPLE_FIXED = "caf\u00e9 \u2013 \u201cok\u201d \u00a9"
+NFD_SAMPLE = "Cafe\u0301 nai\u0308ve "
+NFD_SAMPLE_NFC = "Caf\u00e9 na\u00efve "

@@ -203,3 +203,43 @@ def blocklist_flags(
         F.col("matched_host").isNotNull().alias("blocked"),
         "matched_host",
     )
+
+
+def cap_per_host(
+    df: DataFrame,
+    max_docs: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    salt: str = "hostcap-v1",
+) -> DataFrame:
+    """Deterministically downsample over-represented hosts to at most
+    ``max_docs`` documents each — the standard diversity guard against a
+    handful of mega-hosts dominating a crawl-derived training corpus.
+
+    Selection is unbiased and reproducible: rows rank within their host by
+    md5(salt || id) (a uniform deterministic key — partition layout, AQE,
+    and cluster size cannot change the sample), ties impossible for
+    distinct ids. Returns the input columns plus (host, host_rank).
+
+    Scale: hosts at or under the cap never enter a window — a broadcast-
+    able per-host count aggregate splits the corpus, and only the
+    over-cap head (a tiny host set with many rows each, the skewed tail
+    of the Zipf curve) pays the per-host window sort. That bounds window
+    work to the rows that can actually be dropped; the common case is a
+    map-side pass plus one small aggregate."""
+    from pyspark.sql import Window
+
+    with_host = df.withColumn("host", url_host(F.col(url_col)))
+    counts = with_host.groupBy("host").agg(F.count(F.lit(1)).alias("_n"))
+    over = counts.filter(F.col("_n") > max_docs).select("host")
+    under = with_host.join(F.broadcast(over), "host", "left_anti").withColumn(
+        "host_rank", F.lit(None).cast("bigint")
+    )
+    rank_key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy("host").orderBy(rank_key)
+    capped = (
+        with_host.join(F.broadcast(over), "host")
+        .withColumn("host_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("host_rank") <= max_docs)
+    )
+    return under.unionByName(capped)

@@ -358,8 +358,41 @@ def q_url_normalize(spark, sf_dir):
         F.col("host_rank").alias("n"),
         nulls["n2"], nulls["matched"],
     )
+    # (6) crawl-snapshot delta (operators/delta.crawl_delta): old = the
+    # corpus; new drops the %10 slice, rewrites the %7 slice's content,
+    # and adds fresh urls on the %13 slice
+    from textractssmlprocessor_spark.operators.delta import crawl_delta
+
+    docs = _docs(spark, sf_dir)
+    page_url = F.concat(
+        F.lit("https://host-"), F.col("source"), F.lit(".example.org/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    old = docs.select(page_url.alias("url"), "text")
+    new = docs.filter(F.col("doc_id") % 10 != 0).select(
+        page_url.alias("url"),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" updated"))
+        ).otherwise(F.col("text")).alias("text"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 13 == 0).select(
+            F.concat(
+                F.lit("https://host-"), F.col("source"),
+                F.lit(".example.org/p/new"), F.col("doc_id").cast("string"),
+            ).alias("url"),
+            "text",
+        )
+    )
+    cd = crawl_delta(old, new).select(
+        F.lit("crawl_delta").alias("variant"),
+        nulls["doc_id"],
+        F.col("url").alias("canonical_url"),
+        nulls["host"], nulls["n"], nulls["n2"],
+        F.col("status").alias("matched"),
+    )
     return (
-        norm.unionByName(dd).unionByName(ds).unionByName(bl).unionByName(hc)
+        norm.unionByName(dd).unionByName(ds).unionByName(bl)
+        .unionByName(hc).unionByName(cd)
     )
 
 
@@ -479,7 +512,25 @@ def q_dedup_exact(spark, sf_dir):
         F.lit(None).cast("bigint").alias("n_dupes"),
         "text",
     )
-    return doc.unionByName(para).unionByName(rebuilt)
+    # (4) incr — dedup against history (operators/delta.new_against_history):
+    # the %3 slice's fingerprints are "already seen"; survivors are the
+    # docs whose content never appeared there
+    from textractssmlprocessor_spark.operators.delta import new_against_history
+    from textractssmlprocessor_spark.operators.textstats import fingerprint
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    history = docs.filter(F.col("doc_id") % 3 == 0).select(
+        fingerprint(F.col("text")).alias("fingerprint")
+    )
+    incr = new_against_history(docs, history).select(
+        F.lit("incr").alias("variant"),
+        "fingerprint",
+        F.col("doc_id").alias("keep_id"),
+        F.lit(None).cast("bigint").alias("keep_idx"),
+        F.lit(None).cast("bigint").alias("n_dupes"),
+        F.lit(None).cast("string").alias("text"),
+    )
+    return doc.unionByName(para).unionByName(rebuilt).unionByName(incr)
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
@@ -1885,6 +1936,32 @@ def oracle_sql() -> dict[str, str]:
                        count(*) OVER (PARTITION BY host) AS cnt
                 FROM bdocs
             ) WHERE cnt <= 10 OR rn <= 10
+            UNION ALL
+            SELECT 'crawl_delta', NULL::BIGINT, url, NULL::VARCHAR,
+                   NULL::BIGINT, NULL::BIGINT, status
+            FROM (
+                WITH pg AS (
+                    SELECT doc_id, source,
+                           'https://host-' || source || '.example.org/p/' || doc_id::VARCHAR AS url,
+                           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+                           md5(regexp_replace(lower(trim(text || ' updated')), '\\s+', ' ', 'g')) AS fp_upd
+                    FROM documents
+                ),
+                o AS (SELECT url, fp AS old_fp FROM pg),
+                n AS (
+                    SELECT url, CASE WHEN doc_id % 7 = 0 THEN fp_upd ELSE fp END AS new_fp
+                    FROM pg WHERE doc_id % 10 != 0
+                    UNION ALL
+                    SELECT 'https://host-' || source || '.example.org/p/new' || doc_id::VARCHAR, fp
+                    FROM pg WHERE doc_id % 13 = 0
+                )
+                SELECT coalesce(o.url, n.url) AS url,
+                       CASE WHEN o.old_fp IS NULL THEN 'added'
+                            WHEN n.new_fp IS NULL THEN 'removed'
+                            WHEN o.old_fp = n.new_fp THEN 'unchanged'
+                            ELSE 'changed' END AS status
+                FROM o FULL OUTER JOIN n ON o.url = n.url
+            )
         """,
         "gopher_quality": """
             WITH base AS (
@@ -2150,6 +2227,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM doc_tab
             UNION ALL SELECT * FROM para_tab
             UNION ALL SELECT * FROM rebuilt
+            UNION ALL
+            SELECT 'incr', md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+                   doc_id, NULL::BIGINT, NULL::BIGINT, NULL::VARCHAR
+            FROM documents
+            WHERE md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) NOT IN (
+                SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                FROM documents WHERE doc_id % 3 = 0
+            )
         """,
         "dedup_ngram_jaccard": f"""
             WITH d AS ({_DOCS_WITH_DUPES_SQL}),

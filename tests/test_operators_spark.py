@@ -1469,3 +1469,38 @@ def test_subsample_by_group_fractions_and_stability(spark):
     assert again == {r["doc_id"] for r in kept}
     with pytest.raises(ValueError):
         subsample_by_group(df, {"g0": 1.5})
+
+
+def test_crawl_delta_statuses(spark):
+    from textractssmlprocessor_spark.operators.delta import crawl_delta
+
+    old = spark.createDataFrame(
+        [("u1", "same text"), ("u2", "old text"), ("u3", "gone")],
+        "url string, text string",
+    )
+    new = spark.createDataFrame(
+        [("u1", "Same   TEXT"),      # normalized-equal -> unchanged
+         ("u2", "new text"),          # changed
+         ("u4", "fresh page")],       # added
+        "url string, text string",
+    )
+    out = {r["url"]: r["status"] for r in crawl_delta(old, new).collect()}
+    assert out == {
+        "u1": "unchanged", "u2": "changed", "u3": "removed", "u4": "added"
+    }
+
+
+def test_new_against_history_filters_seen_content(spark):
+    from textractssmlprocessor_spark.operators.delta import new_against_history
+    from textractssmlprocessor_spark.operators.textstats import fingerprint
+
+    new = spark.createDataFrame(
+        [(1, "seen before"), (2, "SEEN   BEFORE"), (3, "brand new")],
+        "doc_id long, text string",
+    )
+    history = spark.createDataFrame([("seen before",)], "text string").select(
+        fingerprint(F.col("text")).alias("fingerprint")
+    )
+    out = new_against_history(new, history).collect()
+    assert [r["doc_id"] for r in out] == [3]
+    assert "fingerprint" in out[0].asDict()

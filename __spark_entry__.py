@@ -399,7 +399,10 @@ def q_url_normalize(spark, sf_dir):
 def q_gopher_quality(spark, sf_dir):
     # Quality-scoring suite: Gopher-rule flags (Rae et al. 2021 — native,
     # map-side) + CCNet-style n-gram LM perplexity columns (Wenzek et al.
-    # 2020 — broadcast-model joins, operators/lm.py)
+    # 2020 — broadcast-model joins, operators/lm.py) + DSIR importance
+    # log-ratios (Xie et al. 2023, operators/dsir.py — hashed-bigram cell
+    # multinomials; the %5 slice plays the high-quality target corpus)
+    from textractssmlprocessor_spark.operators.dsir import dsir_scores
     from textractssmlprocessor_spark.operators.lm import lm_perplexity
     from textractssmlprocessor_spark.operators.textstats import gopher_columns
 
@@ -409,7 +412,10 @@ def q_gopher_quality(spark, sf_dir):
     lm = lm_perplexity(d, id_col="doc_id", text_col="text").withColumnRenamed(
         "id", "doc_id"
     )
-    return g.join(lm, "doc_id")
+    ds = dsir_scores(
+        d, d.filter(F.col("doc_id") % 5 == 0), buckets=2000
+    ).withColumnRenamed("id", "doc_id")
+    return g.join(lm, "doc_id").join(ds, "doc_id")
 
 
 def q_repetition_stats(spark, sf_dir):
@@ -2044,11 +2050,45 @@ def oracle_sql() -> dict[str, str]:
                        round(sum(logp) / count(*), 6) AS lm_avg_logprob,
                        round(sum(oov)::DOUBLE / count(*), 6) AS lm_oov_frac
                 FROM sc GROUP BY 1
+            ),
+            -- DSIR importance replay (operators/dsir.py): hashed bigram
+            -- cells (md5 first-8-hex mod 2000), Laplace(1) cell
+            -- multinomials, mean ln(p_target/p_raw) per doc
+            cells AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(w1 || ' ' || w2), 1, 8))::BIGINT % 2000 AS cell
+                FROM bg
+            ),
+            craw AS (SELECT cell, count(*)::BIGINT AS c_raw FROM cells GROUP BY 1),
+            ctgt AS (SELECT cell, count(*)::BIGINT AS c_tgt FROM cells
+                     WHERE doc_id % 5 = 0 GROUP BY 1),
+            dtot AS (
+                SELECT (SELECT sum(c_raw) FROM craw)::DOUBLE AS n_raw,
+                       (SELECT coalesce(sum(c_tgt), 0) FROM ctgt)::DOUBLE AS n_tgt
+            ),
+            dsc AS (
+                SELECT c.doc_id,
+                       ln(((coalesce(ctgt.c_tgt, 0)::DOUBLE + 1.0) / (t.n_tgt + 2000.0))
+                          / ((coalesce(craw.c_raw, 0)::DOUBLE + 1.0) / (t.n_raw + 2000.0))) AS lr
+                FROM cells c
+                LEFT JOIN craw USING (cell)
+                LEFT JOIN ctgt USING (cell)
+                CROSS JOIN dtot t
+            ),
+            dper AS (
+                SELECT doc_id,
+                       count(*)::BIGINT AS dsir_n_grams,
+                       round(sum(lr) / count(*), 6) AS dsir_logratio
+                FROM dsc GROUP BY 1
             )
             SELECT g.*,
                    coalesce(per.lm_n_bigrams, 0)::BIGINT AS lm_n_bigrams,
-                   per.lm_avg_logprob, per.lm_oov_frac
-            FROM g LEFT JOIN per ON g.doc_id = per.doc_id
+                   per.lm_avg_logprob, per.lm_oov_frac,
+                   coalesce(dper.dsir_n_grams, 0)::BIGINT AS dsir_n_grams,
+                   dper.dsir_logratio
+            FROM g
+            LEFT JOIN per ON g.doc_id = per.doc_id
+            LEFT JOIN dper ON g.doc_id = dper.doc_id
         """,
         "repetition_stats": """
             WITH d AS (

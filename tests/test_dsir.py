@@ -1,0 +1,46 @@
+"""DSIR importance scoring (operators/dsir.py): target-likeness ordering,
+totality, determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_dsir_ranks_target_like_docs_higher(spark):
+    from textractssmlprocessor_spark.operators.dsir import dsir_scores
+
+    target = spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps over the lazy dog again and again")
+         for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),   # target-like
+            (2, "zzz qqq www eee rrr ttt yyy uuu iii ooo"),        # alien
+            (3, ""),                                               # no grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in dsir_scores(raw, target, buckets=500).collect()}
+    assert out[1]["dsir_logratio"] > out[2]["dsir_logratio"]
+    assert out[3]["dsir_n_grams"] == 0 and out[3]["dsir_logratio"] is None
+    assert out[1]["dsir_n_grams"] == 8
+
+    # deterministic: identical rerun, identical scores
+    again = {r["id"]: r for r in dsir_scores(raw, target, buckets=500).collect()}
+    assert {k: v["dsir_logratio"] for k, v in again.items()} == {
+        k: v["dsir_logratio"] for k, v in out.items()
+    }
+
+
+def test_dsir_total_over_input_ids(spark, sf_dir):
+    from textractssmlprocessor_spark.operators.dsir import dsir_scores
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    tgt = d.filter(F.col("doc_id") % 5 == 0)
+    out = dsir_scores(d, tgt, buckets=1000)
+    assert out.count() == d.count()
+    assert out.filter(F.col("dsir_n_grams") > 0).filter(
+        F.col("dsir_logratio").isNull()
+    ).count() == 0

@@ -1,0 +1,138 @@
+"""DSIR-style importance scoring for data selection (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling").
+
+DSIR picks pretraining documents that *look like* a small high-quality
+target corpus (Wikipedia/books) by estimating importance weights
+p_target(x)/p_raw(x) under hashed bag-of-n-grams models — a bucketed
+multinomial over md5-hashed n-grams, so the "model" is just two count
+vectors of ``buckets`` cells. Re-expressed as DataFrame algebra:
+
+1. FEATURIZE (map-side): tokenize (the shared lm.py tokenizer — identical
+   bytes in Java regex and RE2), form word bigrams, hash each gram into
+   one of ``buckets`` cells with the repo's engine-portable md5 bucket
+   (sampling.hash_bucket semantics with an empty salt).
+2. FIT (one aggregation each, map-side partials): per-cell gram counts
+   for the raw corpus and for the target corpus. Both tables are at most
+   ``buckets`` rows — broadcastable by construction, independent of
+   corpus size. At 10^12 docs the raw side is fit on a deterministic
+   hash-sample; the scoring side below is unchanged.
+3. SCORE (broadcast joins, one per-doc agg): every document gram probes
+   the two Laplace-smoothed cell distributions and contributes
+   ln(p_target(cell)/p_raw(cell)); the per-document mean (rounded to 6,
+   the repo convention absorbing summation-order ulp) is the document's
+   importance log-ratio. Selection = keep the top fraction, or resample
+   with :func:`sampling.subsample_by_group`-style hash Gumbel draws.
+
+No windows, no collect, no corpus-sized shuffle: the only shuffles are
+the two bounded count aggregations and the per-document mean.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _spread
+from .lm import TOKEN_DELIM_RE, tokens_column
+
+
+def _gram_buckets(toks: Column, buckets: int) -> Column:
+    """Hashed bigram cells as an array column: md5 of 'w1 w2', first 8 hex
+    chars as a uniform 32-bit int, mod ``buckets``. zip_with over the
+    materialized token array (attribute-bound lambda — not the
+    higher-order re-evaluation trap)."""
+    grams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, 1 << 30),
+        lambda a, b: F.pmod(
+            F.conv(F.substring(F.md5(F.concat_ws(" ", a, b)), 1, 8), 16, 10)
+            .cast("bigint"),
+            F.lit(buckets),
+        ),
+    )
+    return grams
+
+
+def hashed_gram_cells(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 10000,
+) -> DataFrame:
+    """(id, cell) — one row per document bigram occurrence."""
+    base = _spread(df, id_col).select(
+        F.col(id_col).alias("id"), tokens_column(F.col(text_col)).alias("toks")
+    )
+    return base.select(
+        "id", F.explode(_gram_buckets(F.col("toks"), buckets)).alias("cell")
+    )
+
+
+def _cell_counts(cells: DataFrame, name: str) -> DataFrame:
+    return cells.groupBy("cell").agg(F.count(F.lit(1)).cast("bigint").alias(name))
+
+
+def dsir_scores(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 10000,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document DSIR importance columns over the raw corpus:
+    (id, dsir_logratio, dsir_n_grams). ``dsir_logratio`` is the mean over
+    the document's hashed bigrams of ln(p_target/p_raw) under
+    Laplace(alpha)-smoothed cell multinomials — positive means the
+    document reads more like ``target`` than like the raw average.
+    Documents with no bigrams keep their row with 0 grams and NULL score.
+    """
+    raw_cells = hashed_gram_cells(raw, id_col, text_col, buckets)
+    tgt_cells = hashed_gram_cells(target, id_col, text_col, buckets)
+    raw_counts = _cell_counts(raw_cells.select("cell"), "c_raw")
+    tgt_counts = _cell_counts(tgt_cells.select("cell"), "c_tgt")
+    model = (
+        raw_counts.join(tgt_counts, "cell", "full_outer")
+        .select(
+            "cell",
+            F.coalesce("c_raw", F.lit(0)).alias("c_raw"),
+            F.coalesce("c_tgt", F.lit(0)).alias("c_tgt"),
+        )
+    )
+    totals = model.agg(
+        F.sum("c_raw").cast("double").alias("n_raw"),
+        F.sum("c_tgt").cast("double").alias("n_tgt"),
+    )
+    b = float(buckets)
+    scored = (
+        raw_cells.join(F.broadcast(model), "cell", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "id",
+            F.log(
+                (
+                    (F.coalesce(F.col("c_tgt"), F.lit(0)).cast("double") + F.lit(alpha))
+                    / (F.col("n_tgt") + F.lit(alpha * b))
+                )
+                / (
+                    (F.coalesce(F.col("c_raw"), F.lit(0)).cast("double") + F.lit(alpha))
+                    / (F.col("n_raw") + F.lit(alpha * b))
+                )
+            ).alias("lr"),
+        )
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dsir_n_grams"),
+        F.round(F.sum("lr") / F.count(F.lit(1)), 6).alias("dsir_logratio"),
+    )
+    return (
+        raw.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("dsir_n_grams", F.lit(0).cast("bigint")).alias(
+                "dsir_n_grams"
+            ),
+            "dsir_logratio",
+        )
+    )

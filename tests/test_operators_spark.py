@@ -1504,3 +1504,77 @@ def test_new_against_history_filters_seen_content(spark):
     out = new_against_history(new, history).collect()
     assert [r["doc_id"] for r in out] == [3]
     assert "fingerprint" in out[0].asDict()
+
+
+def _gradient_png(w: int, h: int, shift: int = 0, noise_at: int = -1) -> bytes:
+    """Real grayscale PNG with 9 vertical stripes aligned to dHash's 9-col
+    NN sample grid (cell value alternates 0/255), so the hash is identical
+    at any resolution >= 9 px wide. shift raises the dark stripes
+    (comparison-preserving); noise_at >= 0 flips one pixel — a 'small
+    edit' for near-dup tests."""
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    rows = []
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            v = 255 if (x * 9 // w) % 2 else min(255, 0 + shift)
+            if y * w + x == noise_at:
+                v = 255 - v
+            row.append(v)
+        rows.append(b"\x00" + bytes(row))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_dhash_scale_invariant_and_edit_tolerant():
+    from textractssmlprocessor_spark.operators.multimodal import dhash64
+
+    big = dhash64(_gradient_png(90, 80))
+    small = dhash64(_gradient_png(18, 16))
+    bright = dhash64(_gradient_png(90, 80, shift=20))
+    assert big is not None and big == small          # resolution-invariant
+    assert bin((big ^ bright) & ((1 << 64) - 1)).count("1") <= 3
+    # alternating stripes -> per-row bit pattern 01010101, never all-zero
+    assert big != 0
+    assert dhash64(b"not a png") is None
+    assert dhash64(_png_bytes(50, 50)) == 0          # flat image: no edges
+
+
+def test_image_dhash_and_near_dupes(spark):
+    from textractssmlprocessor_spark.operators.multimodal import (
+        dhash_near_dupes,
+        image_dhash,
+    )
+
+    rows = [
+        ("u-big", _gradient_png(90, 80)),
+        ("u-small", _gradient_png(18, 16)),          # same content, resized
+        ("u-noise", _gradient_png(90, 80, noise_at=40 * 90 + 30)),  # tiny edit
+        ("u-flat", _png_bytes(50, 50)),              # all-black: distinct
+        ("u-bad", b"garbage"),
+    ]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    hashed = image_dhash(df)
+    got = {r["url"]: r["dhash"] for r in hashed.collect()}
+    assert got["u-bad"] is None
+    assert got["u-big"] == got["u-small"]
+
+    pairs = dhash_near_dupes(hashed, max_hamming=3).collect()
+    keys = {tuple(sorted((r["id_a"], r["id_b"]))) for r in pairs}
+    assert ("u-big", "u-small") in keys
+    assert ("u-big", "u-noise") in keys or ("u-noise", "u-small") in keys
+    assert all("u-flat" not in k for k in keys)
+    assert all(r["hamming"] <= 3 for r in pairs)

@@ -508,3 +508,121 @@ def sample_frames(
             yield pd.DataFrame({"url": urls, "frame_no": nos, "frame": frames})
 
     return df.select(url_col, bin_col).mapInPandas(gen, FRAME_SCHEMA)
+
+
+def dhash64(payload: bytes) -> int | None:
+    """64-bit perceptual difference hash (dHash) over the REAL PNG decode:
+    grayscale -> nearest-neighbor 9x8 grid -> bit (r, c) = grid[r][c] >
+    grid[r][c+1]. Resolution/re-encode-stable for identical content,
+    locality-preserving for small edits (crops/brightness shift a few
+    bits). Returns a SIGNED 64-bit int (Spark LongType-safe two's
+    complement) or None for undecodable payloads. Pure integer
+    arithmetic — deterministic across platforms."""
+    decoded = decode_png_pixels(payload)
+    if decoded is None:
+        return None
+    w, h, ch, pix = decoded
+    def luma(r: int, c: int) -> int:
+        o = (r * w + c) * ch
+        if ch == 1 or ch == 2:       # gray / gray+alpha
+            return pix[o]
+        return (299 * pix[o] + 587 * pix[o + 1] + 114 * pix[o + 2]) // 1000
+    bits = 0
+    for r in range(8):
+        # nearest-neighbor row/col sample on the 9x8 grid
+        sr = min(r * h // 8, h - 1)
+        row = [luma(sr, min(c * w // 9, w - 1)) for c in range(9)]
+        for c in range(8):
+            bits = (bits << 1) | (1 if row[c] > row[c + 1] else 0)
+    if bits >= 1 << 63:              # two's complement for LongType
+        bits -= 1 << 64
+    return bits
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("dhash", LongType(), True),
+    ]
+)
+
+
+def image_dhash(
+    df: DataFrame, url_col: str = "url", bin_col: str = "payload"
+) -> DataFrame:
+    """Distributed perceptual hashing: (url, dhash) via mapInPandas over
+    the binary column; NULL for undecodable rows (total — one bad payload
+    never kills the job)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": pdf[url_col],
+                    "dhash": pd.array(
+                        [
+                            dhash64(bytes(p)) if p is not None else None
+                            for p in pdf[bin_col]
+                        ],
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    return df.select(url_col, bin_col).mapInPandas(gen, DHASH_SCHEMA)
+
+
+def dhash_near_dupes(
+    hashed: DataFrame,
+    id_col: str = "url",
+    hash_col: str = "dhash",
+    max_hamming: int = 3,
+    max_bucket: int | None = 100000,
+) -> DataFrame:
+    """Near-duplicate image pairs: (id_a, id_b, hamming <= max_hamming)
+    over 64-bit dHashes. Banded LSH on 4 x 16-bit slices — pigeonhole
+    guarantees any pair within Hamming distance 3 agrees on >= 1 band, so
+    band-bucket candidate generation (the simhash/minhash
+    group-and-pair-explode, singleton buckets die at the first agg) loses
+    nothing at max_hamming <= 3; the native xor+bit_count verify then
+    drops false candidates. No all-pairs join anywhere; ``max_bucket``
+    caps degenerate buckets (e.g. millions of identical blank images)
+    exactly like the embedding near-dup cap."""
+    from .dedup import _cooccurrence_member_pairs
+
+    h = hashed.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("h")
+    )
+    bands = h.select(
+        "id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("h", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "h", F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
+    pairs = _cooccurrence_member_pairs(
+        bands,
+        key_col=["band", "val"],
+        member=F.struct("id", "h"),
+        max_group=max_bucket,
+    )
+    verified = (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return verified

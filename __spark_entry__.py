@@ -144,12 +144,33 @@ def q_text_profile(spark, sf_dir):
 
 
 def q_pack_shards(spark, sf_dir):
-    # token-budgeted training-shard assignment via the blocked running sum
-    from textractssmlprocessor_spark.operators.shards import pack_shards
+    # Packing suite, variant-labeled: (1) shards — token-budgeted
+    # training-shard assignment via the blocked running sum; (2) seqs —
+    # GPT-style concat-and-chunk fragment table (shards.
+    # make_training_sequences: which seq_len=512 training sequence each
+    # document fragment lands in, and where)
+    from textractssmlprocessor_spark.operators.shards import (
+        make_training_sequences,
+        pack_shards,
+    )
 
-    return pack_shards(
-        _docs(spark, sf_dir).select("doc_id", "text"), tokens_per_shard=2000
-    ).select(F.col("id").alias("doc_id"), "n_tokens", "shard_id")
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    nul = F.lit(None).cast("bigint")
+    ps = pack_shards(d, tokens_per_shard=2000).select(
+        F.lit("shards").alias("variant"),
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        "shard_id",
+        nul.alias("seq_id"), nul.alias("frag_start"),
+        nul.alias("frag_len"), nul.alias("seq_offset"),
+    )
+    sq = make_training_sequences(d, seq_len=512).select(
+        F.lit("seqs").alias("variant"),
+        F.col("id").alias("doc_id"),
+        nul.alias("n_tokens"), nul.alias("shard_id"),
+        "seq_id", "frag_start", "frag_len", "seq_offset",
+    )
+    return ps.unionByName(sq)
 
 
 def q_corpus_report(spark, sf_dir):
@@ -1698,11 +1719,29 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
                 SELECT doc_id, len(regexp_extract_all(text, '\\b[\\w-]+\\b'))::BIGINT AS n_tokens
                 FROM documents
+            ),
+            r AS (
+                SELECT doc_id, n_tokens,
+                       (sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - n_tokens) AS s
+                FROM t
             )
-            SELECT doc_id, n_tokens,
-                   floor((sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                          - n_tokens) / 2000)::BIGINT AS shard_id
-            FROM t
+            SELECT 'shards' AS variant, doc_id, n_tokens,
+                   (s // 2000)::BIGINT AS shard_id,
+                   NULL::BIGINT AS seq_id, NULL::BIGINT AS frag_start,
+                   NULL::BIGINT AS frag_len, NULL::BIGINT AS seq_offset
+            FROM r
+            UNION ALL
+            SELECT 'seqs', doc_id, NULL::BIGINT, NULL::BIGINT,
+                   seq_id,
+                   (greatest(seq_id * 512, s) - s)::BIGINT,
+                   (least((seq_id + 1) * 512, s + n_tokens) - greatest(seq_id * 512, s))::BIGINT,
+                   (greatest(seq_id * 512, s) - seq_id * 512)::BIGINT
+            FROM (
+                SELECT doc_id, n_tokens, s,
+                       unnest(generate_series((s // 512)::BIGINT, ((s + n_tokens - 1) // 512)::BIGINT)) AS seq_id
+                FROM r WHERE n_tokens > 0
+            )
         """,
         "corpus_report": """
             SELECT count(*)::BIGINT AS n_docs,

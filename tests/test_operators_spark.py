@@ -1578,3 +1578,49 @@ def test_image_dhash_and_near_dupes(spark):
     assert ("u-big", "u-noise") in keys or ("u-noise", "u-small") in keys
     assert all("u-flat" not in k for k in keys)
     assert all(r["hamming"] <= 3 for r in pairs)
+
+
+def test_make_training_sequences_partitions_token_stream_exactly(spark):
+    from textractssmlprocessor_spark.operators.shards import (
+        make_training_sequences,
+        token_count,
+    )
+
+    rows = [
+        (1, "a b c d e"),            # 5 tokens
+        (2, ""),                     # zero tokens: contributes nothing
+        (3, "f g h i j k l m"),      # 8 tokens
+        (4, "n o p"),                # 3 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        make_training_sequences(df, seq_len=4).collect(),
+        key=lambda r: (r["seq_id"], r["seq_offset"]),
+    )
+    # stream: doc1 [0,5) doc3 [5,13) doc4 [13,16) -> 4 sequences of 4
+    got = [
+        (r["id"], r["seq_id"], r["frag_start"], r["frag_len"], r["seq_offset"])
+        for r in out
+    ]
+    assert got == [
+        (1, 0, 0, 4, 0),
+        (1, 1, 4, 1, 0),
+        (3, 1, 0, 3, 1),
+        (3, 2, 3, 4, 0),
+        (3, 3, 7, 1, 0),
+        (4, 3, 0, 3, 1),
+    ]
+    # invariants: fragments tile each sequence with no gaps or overlap,
+    # and per-doc fragment lengths sum to the doc's token count
+    from collections import defaultdict
+
+    per_seq = defaultdict(list)
+    for g in got:
+        per_seq[g[1]].append((g[4], g[3]))
+    for seq_id, frags in per_seq.items():
+        frags.sort()
+        pos = frags[0][0] if seq_id == max(per_seq) or seq_id == 0 else 0
+        pos = frags[0][0]
+        for off, ln in frags:
+            assert off == pos
+            pos += ln

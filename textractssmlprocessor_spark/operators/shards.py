@@ -68,3 +68,56 @@ def corpus_report(df: DataFrame, text_col: str = "text",
         F.countDistinct(F.col(lang_col)).cast("bigint").alias("n_langs"),
     ]
     return df.agg(*agg)
+
+
+def make_training_sequences(
+    df: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-style concat-and-chunk layout: the corpus's token stream (docs
+    concatenated in global id order) is cut into fixed ``seq_len``-token
+    training sequences, and each document is mapped to the fragments it
+    contributes: one row per (document, overlapped sequence) with
+
+      - ``seq_id``      which training sequence the fragment lands in
+      - ``frag_start``  first token of the fragment WITHIN the document
+      - ``frag_len``    fragment token count
+      - ``seq_offset``  where the fragment begins WITHIN the sequence
+
+    This is the writer-side assignment table: a shard writer joins it to
+    the tokenized docs and emits sequences without ever materializing the
+    global token stream. Zero-token documents contribute nothing.
+
+    Scale: the global exclusive token offset is the BLOCKED running sum
+    (no single-task corpus window); everything after is map-side integer
+    arithmetic plus one bounded explode (a document overlaps at most
+    n_tokens/seq_len + 1 sequences, so output is linear in corpus
+    tokens)."""
+    d = df.select(
+        F.col(id_col).alias("id"), token_count(F.col(text_col)).alias("n_tokens")
+    )
+    run = blocked_running_sum(d, block_of("id"), ["id"], "n_tokens", out="_incl")
+    s = F.col("_incl") - F.col("n_tokens")
+    L = F.lit(seq_len)
+    spanned = run.filter(F.col("n_tokens") > 0).select(
+        "id",
+        "n_tokens",
+        s.alias("_s"),
+        F.explode(
+            F.sequence(
+                F.floor(s / L).cast("bigint"),
+                F.floor((s + F.col("n_tokens") - 1) / L).cast("bigint"),
+            )
+        ).alias("seq_id"),
+    )
+    lo = F.greatest(F.col("seq_id") * L, F.col("_s"))
+    hi = F.least((F.col("seq_id") + 1) * L, F.col("_s") + F.col("n_tokens"))
+    return spanned.select(
+        "id",
+        "seq_id",
+        (lo - F.col("_s")).cast("bigint").alias("frag_start"),
+        (hi - lo).cast("bigint").alias("frag_len"),
+        (lo - F.col("seq_id") * L).cast("bigint").alias("seq_offset"),
+    )

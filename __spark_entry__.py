@@ -436,7 +436,18 @@ def q_gopher_quality(spark, sf_dir):
     ds = dsir_scores(
         d, d.filter(F.col("doc_id") % 5 == 0), buckets=2000
     ).withColumnRenamed("id", "doc_id")
-    return g.join(lm, "doc_id").join(ds, "doc_id")
+    # fastText-style linear classifier scoring (dsir.linear_text_classifier)
+    # with deterministic seeded weights: cell c -> (c % 7 - 3) * 0.1
+    from textractssmlprocessor_spark.operators.dsir import linear_text_classifier
+
+    weights = spark.range(2000).select(
+        F.col("id").cast("bigint").alias("cell"),
+        ((F.pmod(F.col("id"), F.lit(7)) - 3) * 0.1).alias("weight"),
+    )
+    clf = linear_text_classifier(
+        d, weights, buckets=2000, bias=0.25
+    ).withColumnRenamed("id", "doc_id")
+    return g.join(lm, "doc_id").join(ds, "doc_id").join(clf, "doc_id")
 
 
 def q_repetition_stats(spark, sf_dir):
@@ -2119,15 +2130,27 @@ def oracle_sql() -> dict[str, str]:
                        count(*)::BIGINT AS dsir_n_grams,
                        round(sum(lr) / count(*), 6) AS dsir_logratio
                 FROM dsc GROUP BY 1
+            ),
+            -- linear classifier replay (dsir.linear_text_classifier):
+            -- seeded weights cell -> (cell % 7 - 3) * 0.1, bias 0.25
+            cper AS (
+                SELECT doc_id,
+                       count(*)::BIGINT AS clf_n_grams,
+                       round(sum((cell % 7 - 3) * 0.1) + 0.25, 6) AS clf_logit,
+                       round(1.0 / (1.0 + exp(-(sum((cell % 7 - 3) * 0.1) + 0.25))), 6) AS clf_prob
+                FROM cells GROUP BY 1
             )
             SELECT g.*,
                    coalesce(per.lm_n_bigrams, 0)::BIGINT AS lm_n_bigrams,
                    per.lm_avg_logprob, per.lm_oov_frac,
                    coalesce(dper.dsir_n_grams, 0)::BIGINT AS dsir_n_grams,
-                   dper.dsir_logratio
+                   dper.dsir_logratio,
+                   coalesce(cper.clf_n_grams, 0)::BIGINT AS clf_n_grams,
+                   cper.clf_logit, cper.clf_prob
             FROM g
             LEFT JOIN per ON g.doc_id = per.doc_id
             LEFT JOIN dper ON g.doc_id = dper.doc_id
+            LEFT JOIN cper ON g.doc_id = cper.doc_id
         """,
         "repetition_stats": """
             WITH d AS (

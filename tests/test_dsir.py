@@ -44,3 +44,26 @@ def test_dsir_total_over_input_ids(spark, sf_dir):
     assert out.filter(F.col("dsir_n_grams") > 0).filter(
         F.col("dsir_logratio").isNull()
     ).count() == 0
+
+
+def test_linear_classifier_scores_and_totality(spark):
+    from textractssmlprocessor_spark.operators.dsir import (
+        hashed_gram_cells,
+        linear_text_classifier,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "good words here today"), (2, "")],
+        "doc_id long, text string",
+    )
+    # weight +1 on exactly the cells doc 1 hits -> logit = n_grams + bias
+    cells = [r["cell"] for r in hashed_gram_cells(df, buckets=100).collect()]
+    w = spark.createDataFrame(
+        [(int(c), 1.0) for c in set(cells)], "cell long, weight double"
+    )
+    out = {r["id"]: r for r in
+           linear_text_classifier(df, w, buckets=100, bias=-1.0).collect()}
+    assert out[1]["clf_n_grams"] == 3
+    assert out[1]["clf_logit"] == 2.0          # 3*1.0 - 1.0
+    assert abs(out[1]["clf_prob"] - 1 / (1 + 2.718281828 ** -2.0)) < 1e-6
+    assert out[2]["clf_n_grams"] == 0 and out[2]["clf_prob"] is None

@@ -136,3 +136,46 @@ def dsir_scores(
             "dsir_logratio",
         )
     )
+
+
+def linear_text_classifier(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 10000,
+    bias: float = 0.0,
+) -> DataFrame:
+    """fastText-style linear quality classifier scoring at corpus scale —
+    the "looks like references / educational content" filter (LLaMA 1,
+    FineWeb-Edu) applied map-side: a document's hashed-bigram cells probe
+    a broadcast (cell, weight) table, the per-document logit is
+    bias + sum(weights), and ``clf_prob`` is its sigmoid.
+
+    Returns (id, clf_n_grams, clf_logit, clf_prob); documents with no
+    bigrams keep their row with NULL scores. Training is out of scope by
+    design — weights come from any offline trainer; the table is at most
+    ``buckets`` rows, broadcast, so scoring shuffles nothing but the
+    per-document aggregation."""
+    cells = hashed_gram_cells(df, id_col, text_col, buckets)
+    scored = cells.join(
+        F.broadcast(weights.select("cell", "weight")), "cell", "left"
+    ).select("id", F.coalesce("weight", F.lit(0.0)).alias("w"))
+    logit = F.sum("w") + F.lit(bias)
+    per_doc = scored.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("clf_n_grams"),
+        F.round(logit, 6).alias("clf_logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("clf_prob"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("clf_n_grams", F.lit(0).cast("bigint")).alias(
+                "clf_n_grams"
+            ),
+            "clf_logit",
+            "clf_prob",
+        )
+    )

@@ -1313,20 +1313,65 @@ def q_boilerplate_lines(spark, sf_dir):
 
 
 def q_extract_links(spark, sf_dir):
-    # outlink extraction over seeded html: one absolute link with nested
-    # markup in the anchor + one relative single-quoted link per page
+    # Web-graph suite, variant-labeled: (1) links — outlink extraction
+    # over seeded html (absolute link with nested anchor markup, href
+    # COLLIDING on doc_id%20 so targets group; relative single-quoted
+    # link on doc_id%10); (2) anchors — per-target anchor-text
+    # aggregation (in-degree + lexicographic-min anchor, the anchor-text
+    # corpus construction step); (3) pagerank — 3 power iterations over a
+    # seeded host graph (h(doc_id%17) -> h(doc_id%23); hosts h17..h22
+    # appear only as targets, exercising the dangling-mass path).
+    from textractssmlprocessor_spark.operators.graph import pagerank
     from textractssmlprocessor_spark.operators.weburl import extract_links
 
     d = _docs(spark, sf_dir).select(
+        "doc_id",
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
         F.concat(
-            F.lit("<p>"), F.col("text"), F.lit('</p><a href="https://out.example.com/'),
-            F.col("doc_id").cast("string"), F.lit('">Read <b>more</b> '),
-            F.col("doc_id").cast("string"), F.lit("</a><a class=x href='/local/"),
-            F.col("doc_id").cast("string"), F.lit("'>  local  </a>"),
+            F.lit("<p>"), F.col("text"), F.lit('</p><a href="https://out.example.com/page'),
+            (F.col("doc_id") % 20).cast("string"), F.lit('">Read <b>more</b> '),
+            (F.col("doc_id") % 3).cast("string"), F.lit("</a><a class=x href='/local/"),
+            (F.col("doc_id") % 10).cast("string"), F.lit("'>  local  </a>"),
         ).alias("html"),
     )
-    return extract_links(d)
+    links = extract_links(d.select("url", "html"))
+    nul_b = F.lit(None).cast("bigint")
+    nul_s = F.lit(None).cast("string")
+    lk = links.select(
+        F.lit("links").alias("variant"),
+        "url",
+        F.col("link_no").cast("bigint").alias("link_no"),
+        "href",
+        "anchor",
+        nul_b.alias("n"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    an = links.groupBy("href").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_links"),
+        F.min("anchor").alias("top_anchor"),
+    ).select(
+        F.lit("anchors").alias("variant"),
+        nul_s.alias("url"),
+        nul_b.alias("link_no"),
+        "href",
+        F.col("top_anchor").alias("anchor"),
+        F.col("n_links").alias("n"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    edges = d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 17).cast("string")).alias("src"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 23).cast("string")).alias("dst"),
+    )
+    pr = pagerank(edges, iterations=3).select(
+        F.lit("pagerank").alias("variant"),
+        F.col("node").alias("url"),
+        nul_b.alias("link_no"),
+        nul_s.alias("href"),
+        nul_s.alias("anchor"),
+        nul_b.alias("n"),
+        F.col("rank").alias("score"),
+    )
+    return lk.unionByName(an).unionByName(pr)
 
 
 # main_content page chrome, shared verbatim between the Spark query and the
@@ -1533,6 +1578,37 @@ def _textnorm_sql_consts() -> tuple[str, str, str, str]:
 
 
 _nfd_sql, _moji_sql, _moji_re_sql, _moji_fixed_sql = _textnorm_sql_consts()
+
+
+def _pagerank_sql(iterations: int = 3, damping: float = 0.85) -> str:
+    """CTE chain replaying graph.pagerank's exact trajectory in DuckDB over
+    an ``e(s, t)`` distinct-edge CTE: uniform r0 and, per iteration, the
+    in-sum over out-degree-normalized contributions plus uniform dangling
+    redistribution, each rank rounded to 6 (the lockstep convention).
+    Yields CTE r{iterations} = (node, rank)."""
+    d = damping
+    parts = [
+        "nodes AS (SELECT s AS node FROM e UNION SELECT t FROM e)",
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM nodes)",
+        "deg AS (SELECT s, count(*)::DOUBLE AS deg FROM e GROUP BY 1)",
+        "r0 AS (SELECT node, round(1.0 / nn.n, 6) AS rank FROM nodes, nn)",
+    ]
+    for t in range(1, iterations + 1):
+        parts.append(
+            f"c{t} AS (SELECT e.t AS node, sum(r.rank / deg.deg) AS in_sum "
+            f"FROM e JOIN r{t-1} r ON e.s = r.node JOIN deg ON deg.s = e.s "
+            "GROUP BY 1)"
+        )
+        parts.append(
+            f"d{t} AS (SELECT coalesce(sum(r.rank), 0.0) AS dang "
+            f"FROM r{t-1} r LEFT JOIN deg ON deg.s = r.node WHERE deg.s IS NULL)"
+        )
+        parts.append(
+            f"r{t} AS (SELECT nodes.node, "
+            f"round({1.0 - d} / nn.n + {d} * (coalesce(c.in_sum, 0.0) + d.dang / nn.n), 6) AS rank "
+            f"FROM nodes LEFT JOIN c{t} c ON nodes.node = c.node, nn, d{t} d)"
+        )
+    return ",\n            ".join(parts)
 
 
 def _kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64,
@@ -2224,12 +2300,12 @@ def oracle_sql() -> dict[str, str]:
                    (t.n_lines - coalesce(r.n_kept, 0))::BIGINT AS n_dropped
             FROM totals t LEFT JOIN rebuilt r ON t.url = r.url
         """,
-        "extract_links": """
+        "extract_links": f"""
             WITH d AS (
                 SELECT 'doc://' || doc_id::VARCHAR AS url,
-                       '<p>' || text || '</p><a href="https://out.example.com/'
-                       || doc_id::VARCHAR || '">Read <b>more</b> ' || doc_id::VARCHAR
-                       || '</a><a class=x href=''/local/' || doc_id::VARCHAR
+                       '<p>' || text || '</p><a href="https://out.example.com/page'
+                       || (doc_id % 20)::VARCHAR || '">Read <b>more</b> ' || (doc_id % 3)::VARCHAR
+                       || '</a><a class=x href=''/local/' || (doc_id % 10)::VARCHAR
                        || '''>  local  </a>' AS html
                 FROM documents
             ),
@@ -2238,10 +2314,29 @@ def oracle_sql() -> dict[str, str]:
                        regexp_extract_all(html, '(?is)<a\\s[^>]*?href\\s*=\\s*["'']([^"'']*)["''][^>]*>(.*?)</a>', 1) AS hrefs,
                        regexp_extract_all(html, '(?is)<a\\s[^>]*?href\\s*=\\s*["'']([^"'']*)["''][^>]*>(.*?)</a>', 2) AS anchors
                 FROM d
-            )
-            SELECT url, (g.i - 1)::BIGINT AS link_no, hrefs[g.i] AS href,
-                   trim(regexp_replace(anchors[g.i], '<[^>]+>', '', 'g')) AS anchor
-            FROM m, unnest(generate_series(1, len(hrefs))) AS g(i)
+            ),
+            links AS (
+                SELECT url, (g.i - 1)::BIGINT AS link_no, hrefs[g.i] AS href,
+                       trim(regexp_replace(anchors[g.i], '<[^>]+>', '', 'g')) AS anchor
+                FROM m, unnest(generate_series(1, len(hrefs))) AS g(i)
+            ),
+            e AS (
+                SELECT DISTINCT 'h' || (doc_id % 17)::VARCHAR AS s,
+                                'h' || (doc_id % 23)::VARCHAR AS t
+                FROM documents
+            ),
+            {_pagerank_sql(iterations=3, damping=0.85)}
+            SELECT 'links' AS variant, url, link_no, href, anchor,
+                   NULL::BIGINT AS n, NULL::DOUBLE AS score
+            FROM links
+            UNION ALL
+            SELECT 'anchors', NULL::VARCHAR, NULL::BIGINT, href, min(anchor),
+                   count(*)::BIGINT, NULL::DOUBLE
+            FROM links GROUP BY href
+            UNION ALL
+            SELECT 'pagerank', node, NULL::BIGINT, NULL::VARCHAR, NULL::VARCHAR,
+                   NULL::BIGINT, rank
+            FROM r3
         """,
         "main_content": f"""
             WITH pages AS (

@@ -1624,3 +1624,25 @@ def test_make_training_sequences_partitions_token_stream_exactly(spark):
         for off, ln in frags:
             assert off == pos
             pos += ln
+
+
+def test_pagerank_ring_uniform_and_dangling_mass(spark):
+    from textractssmlprocessor_spark.operators.graph import pagerank
+
+    ring = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    out = {r["node"]: r["rank"] for r in pagerank(ring, iterations=4).collect()}
+    assert out == {"a": 0.333333, "b": 0.333333, "c": 0.333333}
+
+    # star: hub links to 3 leaves (all dangling) -> leaves equal, hub lowest
+    star = spark.createDataFrame(
+        [("hub", "l1"), ("hub", "l2"), ("hub", "l3")], "src string, dst string"
+    )
+    pr = {r["node"]: r["rank"] for r in pagerank(star, iterations=3).collect()}
+    assert pr["l1"] == pr["l2"] == pr["l3"] > pr["hub"]
+    assert abs(sum(pr.values()) - 1.0) < 1e-4      # mass conserved
+    # duplicate edges must not double-count (distinct applied)
+    dup = star.unionByName(star)
+    pr2 = {r["node"]: r["rank"] for r in pagerank(dup, iterations=3).collect()}
+    assert pr2 == pr

@@ -259,3 +259,75 @@ def dedup_clusters(
             ).alias("is_survivor"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Host-graph PageRank by unrolled power iteration — the web-graph
+    authority signal crawl schedulers and quality filters consume.
+    Returns (node, rank) over the union of endpoints after ``iterations``
+    synchronous updates of
+
+        rank = (1-d)/N + d * (sum_in contrib + dangling_mass / N)
+
+    with per-iteration rounding to 6 decimals (the repo's oracle-parity
+    convention — keeps both engines' float trajectories in lockstep,
+    kmeans precedent). Dangling nodes (no outlinks) redistribute their
+    mass uniformly, the standard correction.
+
+    Scale shape per iteration: one join of the edge list with the rank
+    table on src (both hash-partitioned on the node key — co-partitioned
+    across iterations on a cluster), one groupBy(dst) sum with map-side
+    partials, and two 1-row broadcast scalars (N, dangling mass) via
+    crossJoin — never a collect. Hub pages (Zipf in-degree) land in the
+    AGGREGATION, which tree-reduces; nothing is a per-node window. The
+    unrolled plan grows linearly with ``iterations``; checkpoint between
+    rounds for long chains (connected_components' machinery)."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).distinct()
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("t").alias("node")))
+        .distinct()
+    )
+    n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    out_deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
+        "node", F.round(F.lit(1.0) / F.col("n"), 6).alias("rank")
+    )
+    d = float(damping)
+    for _ in range(iterations):
+        with_deg = ranks.join(out_deg, ranks["node"] == out_deg["s"], "left")
+        contrib = (
+            with_deg.filter(F.col("deg").isNotNull())
+            .select(F.col("s").alias("cs"), (F.col("rank") / F.col("deg")).alias("c"))
+            .join(e, F.col("cs") == F.col("s"))
+            .groupBy("t")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        dangling = (
+            with_deg.filter(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["t"], "left")
+            .crossJoin(F.broadcast(n_df))
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                F.round(
+                    (1.0 - d) / F.col("n")
+                    + d
+                    * (
+                        F.coalesce(F.col("in_sum"), F.lit(0.0))
+                        + F.col("dang") / F.col("n")
+                    ),
+                    6,
+                ).alias("rank"),
+            )
+        )
+    return ranks

@@ -411,9 +411,50 @@ def q_url_normalize(spark, sf_dir):
         nulls["host"], nulls["n"], nulls["n2"],
         F.col("status").alias("matched"),
     )
+    # (7) robots.txt verdicts (operators/robots.py): every host serves the
+    # same base policy (googlebot fully blocked — must NOT leak into the
+    # '*' verdicts; /admin/ disallowed with /admin/public/ carved back
+    # out), odd-numbered hosts additionally disallow /page/. Exercises
+    # RFC group selection, longest-match precedence, and allow-wins ties.
+    from textractssmlprocessor_spark.operators.robots import (
+        parse_robots,
+        robots_verdicts,
+    )
+
+    src_num = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    host = F.concat(F.lit("host-"), F.col("source"), F.lit(".example.org"))
+    robots_txt = F.concat(
+        F.lit("# crawl policy\nUser-agent: googlebot\nDisallow: /\n\n"
+              "User-agent: *\nDisallow: /admin/\nAllow: /admin/public/\n"),
+        F.when(src_num % 2 == 1, F.lit("Disallow: /page/\n")).otherwise(F.lit("")),
+    )
+    robots_tbl = (
+        _docs(spark, sf_dir)
+        .select(host.alias("host"), robots_txt.alias("robots_txt"))
+        .distinct()
+    )
+    rpath = (
+        F.when(F.col("doc_id") % 9 == 0,
+               F.concat(F.lit("/admin/public/y"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 3 == 0,
+              F.concat(F.lit("/admin/x"), F.col("doc_id").cast("string")))
+        .otherwise(F.concat(F.lit("/page/"), F.col("doc_id").cast("string")))
+    )
+    rurls = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.lit("https://"), host, rpath).alias("url")
+    )
+    rb = robots_verdicts(rurls, parse_robots(robots_tbl)).select(
+        F.lit("robots").alias("variant"),
+        F.col("id").alias("doc_id"),
+        F.col("path").alias("canonical_url"),
+        "host",
+        F.col("allowed").cast("bigint").alias("n"),
+        nulls["n2"],
+        F.col("matched_path").alias("matched"),
+    )
     return (
         norm.unionByName(dd).unionByName(ds).unionByName(bl)
-        .unionByName(hc).unionByName(cd)
+        .unionByName(hc).unionByName(cd).unionByName(rb)
     )
 
 
@@ -2068,6 +2109,43 @@ def oracle_sql() -> dict[str, str]:
                        count(*) OVER (PARTITION BY host) AS cnt
                 FROM bdocs
             ) WHERE cnt <= 10 OR rn <= 10
+            UNION ALL
+            SELECT 'robots', doc_id, path, host, allowed, NULL::BIGINT, matched_path
+            FROM (
+                WITH ru AS (
+                    SELECT doc_id,
+                           'host-' || source || '.example.org' AS host,
+                           regexp_extract(source, '([0-9]+)', 1)::INT AS sn,
+                           CASE WHEN doc_id % 9 = 0 THEN '/admin/public/y' || doc_id::VARCHAR
+                                WHEN doc_id % 3 = 0 THEN '/admin/x' || doc_id::VARCHAR
+                                ELSE '/page/' || doc_id::VARCHAR END AS path
+                    FROM documents
+                ),
+                rules AS (
+                    SELECT DISTINCT host, 'disallow' AS rule, '/admin/' AS prefix, sn FROM ru
+                    UNION ALL
+                    SELECT DISTINCT host, 'allow', '/admin/public/', sn FROM ru
+                    UNION ALL
+                    SELECT DISTINCT host, 'disallow', '/page/', sn FROM ru WHERE sn % 2 = 1
+                ),
+                hits AS (
+                    SELECT ru.doc_id, rules.rule, rules.prefix,
+                           row_number() OVER (
+                               PARTITION BY ru.doc_id
+                               ORDER BY length(rules.prefix) DESC,
+                                        (rules.rule = 'allow') DESC,
+                                        rules.prefix DESC
+                           ) AS rn
+                    FROM ru JOIN rules ON ru.host = rules.host
+                    WHERE starts_with(ru.path, rules.prefix)
+                )
+                SELECT ru.doc_id, ru.path, ru.host,
+                       coalesce(h.rule = 'allow', TRUE)::BIGINT AS allowed,
+                       h.prefix AS matched_path
+                FROM ru
+                LEFT JOIN (SELECT doc_id, rule, prefix FROM hits WHERE rn = 1) h
+                USING (doc_id)
+            )
             UNION ALL
             SELECT 'crawl_delta', NULL::BIGINT, url, NULL::VARCHAR,
                    NULL::BIGINT, NULL::BIGINT, status

@@ -1,0 +1,162 @@
+"""robots.txt parsing and crawl-permission filtering (RFC 9309 subset).
+
+A crawl pipeline must be able to re-evaluate politeness after the fact —
+drop pages fetched from paths a site's robots.txt disallows (the
+opt-out-respecting filter in every modern corpus pipeline). Two pieces:
+
+- ``parse_robots``: (host, robots_txt) -> one row per rule
+  (host, rule, path) for the groups matching the given user-agent
+  (default ``*``), via an Arrow-batched pandas UDF. The robots table is
+  HOST-count-sized (millions of rows, kilobytes each), not corpus-sized —
+  Python parsing here is off the hot path by construction.
+- ``robots_verdicts``: urls x rules -> per-url allowed/blocked under the
+  RFC precedence: the longest matching path wins; on a length tie,
+  ``allow`` wins. No matching rule (or no robots row for the host) means
+  allowed. Matching is literal path-prefix (the RFC's ``*``/``$``
+  wildcards are NOT interpreted — rules containing them only match their
+  literal-prefix part up to the first ``*``; documented subset).
+
+Scale: rules broadcast-join to the urls on host (rule tables are small);
+precedence is a per-URL max-struct AGGREGATION, not a window — the
+longest-match/allow-wins pick tree-reduces even for urls matching many
+rules.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from .weburl import url_host
+
+ROBOTS_RULES_SCHEMA = StructType(
+    [
+        StructField("host", StringType(), False),
+        StructField("rule", StringType(), False),   # 'allow' | 'disallow'
+        StructField("path", StringType(), False),
+    ]
+)
+
+
+def _parse_robots_txt(text: str, agent: str = "*") -> list[tuple[str, str]]:
+    """RFC 9309 group parsing: consecutive ``User-agent`` lines open a
+    group. Per the RFC's group-selection rule, if ANY group names the
+    agent exactly, only those groups apply; otherwise the ``*`` groups
+    apply. Comments (#) stripped; field names case-insensitive; empty
+    Disallow (meaning allow-all) ignored. Returns [(rule, path)]."""
+    groups: list[tuple[list[str], list[tuple[str, str]]]] = []
+    agents: list[str] = []
+    cur: list[tuple[str, str]] | None = None
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if cur is not None:
+                groups.append((agents, cur))
+                agents = []
+                cur = None
+            agents.append(value.lower())
+        elif field in ("allow", "disallow"):
+            if cur is None:
+                cur = []
+            if value:
+                cur.append((field, value))
+        else:
+            if cur is None and agents:
+                cur = []
+    if cur is not None or agents:
+        groups.append((agents, cur or []))
+    a = agent.lower()
+    exact = [g for g in groups if a in g[0]]
+    chosen = exact if (exact and a != "*") else [g for g in groups if "*" in g[0]]
+    return [r for _, rs in chosen for r in rs]
+
+
+def parse_robots(
+    df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """(host, rule, path) rows for every allow/disallow applying to
+    ``agent``. Hosts whose robots.txt yields no applicable rules emit
+    nothing (absent host == allowed)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hosts, rules_, paths = [], [], []
+            for host, text in zip(pdf[host_col], pdf[text_col]):
+                for rule, path in _parse_robots_txt(
+                    text if text is not None else "", agent
+                ):
+                    hosts.append(host)
+                    rules_.append(rule)
+                    paths.append(path)
+            yield pd.DataFrame({"host": hosts, "rule": rules_, "paths": paths}).rename(
+                columns={"paths": "path"}
+            )
+
+    return df.select(host_col, text_col).mapInPandas(gen, ROBOTS_RULES_SCHEMA)
+
+
+def robots_verdicts(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-url crawl verdict under the parsed rule table: (id, host, path,
+    allowed, matched_path). Longest matching literal prefix wins; allow
+    beats disallow on ties; no match -> allowed with NULL matched_path."""
+    base = urls.select(
+        F.col(id_col).alias("id"),
+        url_host(F.col(url_col)).alias("host"),
+        # path = everything from the first '/' after the authority
+        F.coalesce(
+            F.regexp_extract(F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*(/[^#?]*)", 1),
+            F.lit("/"),
+        ).alias("path"),
+    ).withColumn("path", F.when(F.col("path") == "", "/").otherwise(F.col("path")))
+    # literal-prefix subset: a rule's effective prefix stops at its first '*'
+    eff = rules.select(
+        "host",
+        "rule",
+        F.substring_index(F.col("path"), "*", 1).alias("prefix"),
+    )
+    hits = (
+        base.join(eff, "host")
+        .filter(F.col("path").startswith(F.col("prefix")))
+        .groupBy("id")
+        .agg(
+            # longest prefix wins; tie -> allow (rule 'allow' < 'disallow',
+            # so max on (len, negated-rule-flag) needs allow to sort HIGHER:
+            # use (len, rule=='allow') — true > false in struct ordering
+            F.max(
+                F.struct(
+                    F.length("prefix").alias("l"),
+                    (F.col("rule") == "allow").alias("a"),
+                    F.col("prefix").alias("p"),
+                )
+            ).alias("win"),
+        )
+        .select(
+            "id",
+            F.col("win.a").alias("_allow"),
+            F.col("win.p").alias("matched_path"),
+        )
+    )
+    return base.join(hits, "id", "left").select(
+        "id",
+        "host",
+        "path",
+        F.coalesce(F.col("_allow"), F.lit(True)).alias("allowed"),
+        "matched_path",
+    )

@@ -126,3 +126,31 @@ def test_warc_pages_flow_through_extraction(spark, warc_path):
     }
     expected = convert_html_to_ssml("<h4>Chapter One</h4><p>Body from a crawl.</p>")
     assert chunks["https://a.example.org/page/1"]["extracted_text"] == expected
+
+
+def test_wet_conversion_records_to_text(spark, tmp_path):
+    from textractssmlprocessor_spark.sources import read_warc, read_wet
+
+    wet = (
+        _record("warcinfo", b"software: wet-test\r\n")
+        + _record(
+            "conversion",
+            "Extracted plain text.\nSecond line — naïve café.".encode("utf-8"),
+            url="https://a.example.org/page/1",
+        )
+        + _record("response", b"HTTP/1.1 200 OK\r\n\r\n<p>html</p>",
+                  url="https://a.example.org/page/1")
+    )
+    d = tmp_path / "wet"
+    d.mkdir()
+    (d / "seg.warc.wet").write_bytes(wet)
+
+    rows = read_wet(spark, str(d)).collect()
+    assert len(rows) == 1                      # response records excluded
+    r = rows[0]
+    assert r["url"] == "https://a.example.org/page/1"
+    assert r["html"] is None
+    assert r["text"] == "Extracted plain text.\nSecond line — naïve café."
+    # the WARC reader on the same file still sees only the response record
+    warc_rows = read_warc(spark, str(d)).collect()
+    assert len(warc_rows) == 1 and warc_rows[0]["text"] is None

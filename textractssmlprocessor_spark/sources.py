@@ -87,7 +87,12 @@ def _iter_warc_records(stream):
         yield headers, body
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple[str, ...] = ("response", "resource"),
+    payload_as_text: bool = False,
+) -> DataFrame:
     """WARC scan (S1 alternate source): Common Crawl's native archive format
     -> the standard pages table (url, warc_ts, html, text=NULL, lang=NULL).
 
@@ -127,7 +132,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                 else:
                     stream = io.BytesIO(data)
                 for headers, body in _iter_warc_records(stream):
-                    if headers.get("warc-type") not in ("response", "resource"):
+                    if headers.get("warc-type") not in record_types:
                         continue
                     url = headers.get("warc-target-uri")
                     if not url:
@@ -160,12 +165,29 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                             payload = body[sep + 4 :]
                     rows["url"].append(url)
                     rows["warc_ts"].append(ts)
-                    rows["html"].append(payload)
-                    rows["text"].append(None)
+                    if payload_as_text:
+                        rows["html"].append(None)
+                        rows["text"].append(
+                            payload.decode("utf-8", errors="replace")
+                        )
+                    else:
+                        rows["html"].append(payload)
+                        rows["text"].append(None)
                     rows["lang"].append(None)
             yield pd.DataFrame(rows)
 
     return files.select("content").mapInPandas(parse, schema=PAGES_SCHEMA)
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """WET scan (Common Crawl's extracted-text sibling of WARC): the same
+    record walker, but only 'conversion' records — whose payload IS the
+    extracted plain text — populating the pages table's ``text`` column
+    (html NULL). Use when the pipeline starts from CC's own extraction
+    rather than raw html."""
+    return read_warc(
+        spark, path, record_types=("conversion",), payload_as_text=True
+    )
 
 
 def write_pages_output(

@@ -121,3 +121,42 @@ def test_curate_job_spark_submit(spark, tmp_path):
     assert got == expected
     kept_ids = {r["doc_id"] for r in spark.read.parquet(kept_out).collect()}
     assert kept_ids == {i for (i, k, _) in expected if k}
+
+
+def test_build_manifest_host_cap_and_dsir_stages(spark):
+    from textractssmlprocessor_spark.jobs.curate_job import build_manifest
+
+    docs = _corpus(spark).filter(F.col("doc_id") < 500000).withColumn(
+        "url",
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 4).cast("string"),
+            F.lit(".example.org/p/"), F.col("doc_id").cast("string"),
+        ),
+    )
+    n_input = docs.count()
+
+    # host cap: 4 hosts, cap far below per-host volume -> exactly 4*cap kept
+    m = build_manifest(docs, url_col="url", max_per_host=10)
+    rows = m.collect()
+    assert len(rows) == n_input
+    kept_before = {r["id"] for r in rows if r["kept"]}
+    capped = [r for r in rows if r["drop_reason"] == "host_cap"]
+    assert len(kept_before) <= 40
+    assert capped and all(not r["kept"] for r in capped)
+
+    # DSIR floor: an impossible floor drops every doc the earlier stages
+    # kept, with reason dsir_low; totality preserved
+    target = docs.select("doc_id", "text").limit(20)
+    m2 = build_manifest(
+        docs, url_col="url", max_per_host=10,
+        dsir_target=target, dsir_min=1e9, dsir_buckets=500,
+    )
+    rows2 = {r["id"]: r for r in m2.collect()}
+    assert len(rows2) == n_input
+    assert not any(r["kept"] for r in rows2.values())
+    assert {r["drop_reason"] for r in rows2.values()} <= {
+        "language", "quality", "duplicate", "host_cap", "dsir_low"
+    }
+    # the docs kept by the host-cap run now carry dsir_low specifically
+    for i in kept_before:
+        assert rows2[i]["drop_reason"] == "dsir_low"

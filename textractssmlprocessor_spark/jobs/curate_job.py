@@ -55,9 +55,19 @@ def build_manifest(
     text_col: str = "text",
     lang_col: str = "lang",
     materialize="local",
+    url_col=None,
+    max_per_host=None,
+    dsir_target=None,
+    dsir_min=None,
+    dsir_buckets: int = 10000,
 ):
     """Compose the curation verdicts; importable and unit-testable without
     spark-submit. Returns (id, kept, drop_reason) — total over the input.
+    Stage order (each optional stage sees only prior keepers): language/
+    Gopher/exact-dedup -> per-host cap ('host_cap', needs ``url_col`` +
+    ``max_per_host``) -> near-dup CC ('near_duplicate') -> DSIR
+    target-likeness floor ('dsir_low', needs ``dsir_target`` +
+    ``dsir_min``).
 
     ``materialize='persist'`` routes every intermediate the near-dup stage
     re-reads (MinHash signatures, CC edge rounds) through replicated-disk
@@ -74,29 +84,60 @@ def build_manifest(
         docs, id_col=id_col, text_col=text_col, lang_col=lang_col,
         languages=languages,
     )
-    if not near_dup:
-        return manifest
-    keepers = docs.join(
-        manifest.filter(F.col("kept")).select(F.col("id").alias(id_col)),
-        id_col,
-    )
-    near_drops = (
-        dedup_clusters(keepers, id_col=id_col, text_col=text_col,
-                       threshold=threshold, materialize=mat)
-        .filter(~F.col("is_survivor"))
-        .select(F.col("doc_id").alias("id"), F.lit(True).alias("_near_dup"))
-    )
-    return (
-        manifest.join(near_drops, "id", "left")
-        .select(
-            "id",
-            (F.col("kept") & F.col("_near_dup").isNull()).alias("kept"),
-            F.coalesce(
-                F.col("drop_reason"),
-                F.when(F.col("_near_dup"), F.lit("near_duplicate")),
-            ).alias("drop_reason"),
+
+    def keepers():
+        return docs.join(
+            manifest.filter(F.col("kept")).select(F.col("id").alias(id_col)),
+            id_col,
         )
-    )
+
+    def apply_drops(drop_ids, reason):
+        drops = drop_ids.select(
+            F.col(id_col).alias("id"), F.lit(True).alias("_hit")
+        ).distinct()
+        return (
+            manifest.join(drops, "id", "left")
+            .select(
+                "id",
+                (F.col("kept") & F.col("_hit").isNull()).alias("kept"),
+                F.coalesce(
+                    F.col("drop_reason"),
+                    F.when(F.col("_hit"), F.lit(reason)),
+                ).alias("drop_reason"),
+            )
+        )
+
+    if max_per_host and url_col:
+        from textractssmlprocessor_spark.operators.weburl import cap_per_host
+
+        k = keepers()
+        survivors = cap_per_host(
+            k, max_per_host, url_col=url_col, id_col=id_col
+        ).select(id_col)
+        over = k.select(id_col).join(survivors, id_col, "left_anti")
+        manifest = apply_drops(over, "host_cap")
+
+    if near_dup:
+        near_drops = (
+            dedup_clusters(keepers(), id_col=id_col, text_col=text_col,
+                           threshold=threshold, materialize=mat)
+            .filter(~F.col("is_survivor"))
+            .select(F.col("doc_id").alias(id_col))
+        )
+        manifest = apply_drops(near_drops, "near_duplicate")
+
+    if dsir_target is not None and dsir_min is not None:
+        from textractssmlprocessor_spark.operators.dsir import dsir_scores
+
+        low = (
+            dsir_scores(keepers(), dsir_target, id_col=id_col,
+                        text_col=text_col, buckets=dsir_buckets)
+            .filter(F.col("dsir_logratio") < dsir_min)
+            .select(F.col("id").alias(id_col))
+        )
+        manifest = apply_drops(low, "dsir_low")
+
+    return manifest
 
 
 def main() -> None:
@@ -118,6 +159,13 @@ def main() -> None:
         "executor loss; the multi-executor-cluster mode); 'local' = fast "
         "single-node defaults",
     )
+    p.add_argument("--url-col", default=None)
+    p.add_argument("--max-per-host", type=int, default=None,
+                   help="per-host diversity cap (needs --url-col)")
+    p.add_argument("--dsir-target", default=None,
+                   help="parquet path of the high-quality target corpus")
+    p.add_argument("--dsir-min", type=float, default=None,
+                   help="drop docs with DSIR log-ratio below this floor")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -147,6 +195,12 @@ def main() -> None:
         text_col=args.text_col,
         lang_col=args.lang_col,
         materialize=args.materialize,
+        url_col=args.url_col,
+        max_per_host=args.max_per_host,
+        dsir_target=(
+            spark.read.parquet(args.dsir_target) if args.dsir_target else None
+        ),
+        dsir_min=args.dsir_min,
     )
     # the manifest is consumed up to three times (write, kept count, kept
     # join) — write it FIRST, then serve the other consumers from a

@@ -267,6 +267,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 3,
     damping: float = 0.85,
+    materialize=True,
 ) -> DataFrame:
     """Host-graph PageRank by unrolled power iteration — the web-graph
     authority signal crawl schedulers and quality filters consume.
@@ -285,22 +286,39 @@ def pagerank(
     across iterations on a cluster), one groupBy(dst) sum with map-side
     partials, and two 1-row broadcast scalars (N, dangling mass) via
     crossJoin — never a collect. Hub pages (Zipf in-degree) land in the
-    AGGREGATION, which tree-reduces; nothing is a per-node window. The
-    unrolled plan grows linearly with ``iterations``; checkpoint between
-    rounds for long chains (connected_components' machinery)."""
+    AGGREGATION, which tree-reduces; nothing is a per-node window.
+
+    Plan discipline: each iteration references the previous rank table
+    TWICE (contrib + dangling) and the static edge/node/degree tables
+    once each, so an uncut logical plan grows ~2^iterations (observed
+    234 Exchange nodes at 3 iterations on the contract query vs 7 cut).
+    Under ``materialize`` the static tables are checkpointed once and
+    the rank table is checkpointed per iteration — GraphFrames' own
+    discipline for iterative algorithms — with the superseded round's
+    blocks unpersisted deterministically (connected_components' cleanup).
+    ``materialize``: True -> localCheckpoint, 'persist' -> reliable
+    checkpoint (recoverable on executor loss), False -> no cut (tiny
+    graphs / plan-inspection only)."""
+    spark = edges.sparkSession
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).distinct()
+    if materialize:
+        e = _truncate(e, materialize)
     nodes = (
         e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("t").alias("node")))
         .distinct()
     )
-    n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
     out_deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    if materialize:
+        nodes = _truncate(nodes, materialize)
+        out_deg = _truncate(out_deg, materialize)
+    n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
         "node", F.round(F.lit(1.0) / F.col("n"), 6).alias("rank")
     )
     d = float(damping)
-    for _ in range(iterations):
+    prev_round_ids: set = set()
+    for it in range(iterations):
         with_deg = ranks.join(out_deg, ranks["node"] == out_deg["s"], "left")
         contrib = (
             with_deg.filter(F.col("deg").isNotNull())
@@ -330,4 +348,14 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        # cut the rank table so the next iteration's two references share
+        # one leaf (last iteration left uncut: the caller's downstream
+        # plan fuses with the final update) and free the superseded round
+        if materialize and it < iterations - 1:
+            pre_ids = _round_rdd_ids(spark)
+            ranks = _truncate(ranks, materialize)
+            ranks.count()  # materialize before unpersisting the old round
+            this_round_ids = _round_rdd_ids(spark) - pre_ids
+            _unpersist_rdds(spark, prev_round_ids)
+            prev_round_ids = this_round_ids
     return ranks

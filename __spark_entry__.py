@@ -176,9 +176,12 @@ def q_pack_shards(spark, sf_dir):
 def q_corpus_report(spark, sf_dir):
     # one-row corpus audit (exact fields only — the operator's
     # percentile_approx sketch is engine-specific by nature), extended with
-    # A2 estimate_total_cost (reference utils.py:456-478). Two 1-row aggs
-    # crossJoined — both sides are single rows, so the join is trivial.
+    # A2 estimate_total_cost (reference utils.py:456-478) and the corpus
+    # heavy hitters (textstats.top_ngrams k=1 — the census's "most
+    # frequent token / bigram" line; top-k is TakeOrderedAndProject, no
+    # full sort). All sides are single rows, so the crossJoins are trivial.
     from textractssmlprocessor_spark.operators.shards import corpus_report
+    from textractssmlprocessor_spark.operators.textstats import top_ngrams
 
     d = _docs(spark, sf_dir)
     n = F.length("text")
@@ -188,9 +191,21 @@ def q_corpus_report(spark, sf_dir):
         F.round(F.sum(n) / 1000000 * 30, 6).alias("total_polly_cost_generative"),
         F.round(F.sum(n) / 1000000 * 100, 6).alias("total_polly_cost_long_form"),
     )
-    return corpus_report(d).select(
-        "n_docs", "n_tokens", "min_tokens", "max_tokens", "n_langs"
-    ).crossJoin(totals)
+    t1 = top_ngrams(d, n=1, k=1).select(
+        F.col("gram").alias("top_term"),
+        F.col("n_occurrences").alias("top_term_count"),
+    )
+    t2 = top_ngrams(d, n=2, k=1).select(
+        F.col("gram").alias("top_bigram"),
+        F.col("n_occurrences").alias("top_bigram_count"),
+    )
+    return (
+        corpus_report(d)
+        .select("n_docs", "n_tokens", "min_tokens", "max_tokens", "n_langs")
+        .crossJoin(totals)
+        .crossJoin(t1)
+        .crossJoin(t2)
+    )
 
 
 def q_redact_pii(spark, sf_dir):
@@ -673,9 +688,14 @@ def q_simhash_groups(spark, sf_dir):
 
 def q_ann_topk(spark, sf_dir):
     # Merged top-k retrieval suite: exact brute-force cosine (the recall
-    # baseline), multi-probe sign-LSH, and IVF-flat over deterministic
-    # k-means centroids — one contract row per (method, neighbor). Each
-    # branch is the unchanged operator; the union just labels them.
+    # baseline), multi-probe sign-LSH, IVF-flat over deterministic
+    # k-means centroids, and lexical BM25 over the documents table
+    # (operators/retrieval.py — query terms are plan literals, corpus
+    # never shuffles unmatched tokens) — one contract row per
+    # (method, hit). Each branch is the unchanged operator; the union
+    # just labels them. Columns are generic (hit_id, score) because the
+    # bm25 branch retrieves doc_ids, not vec_ids.
+    from textractssmlprocessor_spark.operators.retrieval import bm25_topk
     from textractssmlprocessor_spark.operators.similarity import (
         ann_ivf_topk,
         ann_lsh_topk,
@@ -684,15 +704,26 @@ def q_ann_topk(spark, sf_dir):
 
     emb = _emb(spark, sf_dir)
     brute = cosine_topk(emb, query_id=0, k=10).select(
-        F.lit("brute").alias("method"), "vec_id", "cosine_sim"
+        F.lit("brute").alias("method"),
+        F.col("vec_id").cast("bigint").alias("hit_id"),
+        F.col("cosine_sim").alias("score"),
     )
     lsh = ann_lsh_topk(emb, query_id=0, k=10).select(
-        F.lit("lsh").alias("method"), "vec_id", "cosine_sim"
+        F.lit("lsh").alias("method"),
+        F.col("vec_id").cast("bigint").alias("hit_id"),
+        F.col("cosine_sim").alias("score"),
     )
     ivf = ann_ivf_topk(emb, query_id=0, k=10, n_cells=8).select(
-        F.lit("ivf").alias("method"), "vec_id", "cosine_sim"
+        F.lit("ivf").alias("method"),
+        F.col("vec_id").cast("bigint").alias("hit_id"),
+        F.col("cosine_sim").alias("score"),
     )
-    return brute.unionByName(lsh).unionByName(ivf)
+    bm = bm25_topk(_docs(spark, sf_dir), "spark window join", k=10).select(
+        F.lit("bm25").alias("method"),
+        F.col("doc_id").cast("bigint").alias("hit_id"),
+        F.col("score"),
+    )
+    return brute.unionByName(lsh).unionByName(ivf).unionByName(bm)
 
 
 def _emb_with_dupes(spark, sf_dir):
@@ -1872,6 +1903,25 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "corpus_report": """
+            WITH tk AS (
+                SELECT list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), t -> t != '') AS toks
+                FROM documents
+            ),
+            t1 AS (
+                SELECT gram AS top_term, count(*)::BIGINT AS top_term_count
+                FROM (SELECT unnest(toks) AS gram FROM tk)
+                GROUP BY gram ORDER BY count(*) DESC, gram LIMIT 1
+            ),
+            t2 AS (
+                SELECT gram AS top_bigram, count(*)::BIGINT AS top_bigram_count
+                FROM (
+                    SELECT unnest(list_transform(
+                        generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1])) AS gram
+                    FROM tk WHERE len(toks) >= 2
+                )
+                GROUP BY gram ORDER BY count(*) DESC, gram LIMIT 1
+            )
             SELECT count(*)::BIGINT AS n_docs,
                    sum(len(regexp_extract_all(text, '\\b[\\w-]+\\b')))::BIGINT AS n_tokens,
                    min(len(regexp_extract_all(text, '\\b[\\w-]+\\b')))::BIGINT AS min_tokens,
@@ -1880,8 +1930,10 @@ def oracle_sql() -> dict[str, str]:
                    sum(length(text))::BIGINT AS total_character_count,
                    round(sum(length(text))/1000000.0*20, 6) AS total_gpt_cost,
                    round(sum(length(text))/1000000.0*30, 6) AS total_polly_cost_generative,
-                   round(sum(length(text))/1000000.0*100, 6) AS total_polly_cost_long_form
-            FROM documents
+                   round(sum(length(text))/1000000.0*100, 6) AS total_polly_cost_long_form,
+                   top_term, top_term_count, top_bigram, top_bigram_count
+            FROM documents CROSS JOIN t1 CROSS JOIN t2
+            GROUP BY top_term, top_term_count, top_bigram, top_bigram_count
         """,
         "redact_pii": _redact_pii_sql(),
         "contamination": """
@@ -2619,7 +2671,7 @@ def oracle_sql() -> dict[str, str]:
             FROM h GROUP BY simhash HAVING count(*) > 1
         """,
         "ann_topk": f"""
-            SELECT 'brute' AS method, vec_id, cosine_sim FROM (
+            SELECT 'brute' AS method, vec_id::BIGINT AS hit_id, cosine_sim AS score FROM (
                 WITH e AS (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS v FROM embeddings),
                 q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
                 SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS cosine_sim
@@ -2627,7 +2679,7 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY cosine_sim DESC, vec_id LIMIT 10
             )
             UNION ALL
-            SELECT 'lsh' AS method, vec_id, cosine_sim FROM (
+            SELECT 'lsh' AS method, vec_id::BIGINT AS hit_id, cosine_sim AS score FROM (
                 WITH e AS (
                 SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS v,
                        (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
@@ -2654,7 +2706,7 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY cosine_sim DESC, vec_id LIMIT 10
             )
             UNION ALL
-            SELECT 'ivf' AS method, vec_id, cosine_sim FROM (
+            SELECT 'ivf' AS method, vec_id::BIGINT AS hit_id, cosine_sim AS score FROM (
                 WITH {_kmeans_sql(8, 2)},
                 scored AS (
                     SELECT e.vec_id AS id, e.v, c.cell,
@@ -2672,6 +2724,37 @@ def oracle_sql() -> dict[str, str]:
                 SELECT id AS vec_id, round(list_cosine_similarity(v, qvec), 6) AS cosine_sim
                 FROM assigned, q WHERE id != 0 AND cell = qcell
                 ORDER BY cosine_sim DESC, vec_id LIMIT 10
+            )
+            UNION ALL
+            -- BM25 replay (operators/retrieval.py): same tokenizer as the
+            -- LM oracle, Lucene idf, k1=1.2 b=0.75, query terms literal
+            SELECT 'bm25' AS method, doc_id::BIGINT AS hit_id, score FROM (
+                WITH tk AS (
+                    SELECT doc_id,
+                           list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), t -> t != '') AS toks
+                    FROM documents
+                ),
+                stats AS (
+                    SELECT count(*)::DOUBLE AS n_docs, avg(len(toks))::DOUBLE AS avgdl FROM tk
+                ),
+                ex AS (
+                    SELECT doc_id, len(toks)::DOUBLE AS dl, unnest(toks) AS term FROM tk
+                ),
+                tf AS (
+                    SELECT doc_id, term, dl, count(*)::DOUBLE AS tf
+                    FROM ex WHERE term IN ('join', 'spark', 'window')
+                    GROUP BY doc_id, term, dl
+                ),
+                dfc AS (SELECT term, count(*)::DOUBLE AS dft FROM tf GROUP BY term)
+                SELECT doc_id,
+                       round(sum(
+                           ln(1.0 + (n_docs - dft + 0.5) / (dft + 0.5))
+                           * tf * (1.2 + 1.0)
+                           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                       ), 6) AS score
+                FROM tf JOIN dfc USING (term) CROSS JOIN stats
+                GROUP BY doc_id
+                ORDER BY score DESC, doc_id LIMIT 10
             )
         """,
         "knn_join": """

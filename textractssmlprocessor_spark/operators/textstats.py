@@ -280,3 +280,52 @@ def total_cost(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.sum(n / 1000000 * 30).alias("total_polly_cost_generative"),
         F.sum(n / 1000000 * 100).alias("total_polly_cost_long_form"),
     )
+
+
+# --- corpus heavy hitters -------------------------------------------------------
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 1,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide top-k most frequent token n-grams: (gram, n_occurrences),
+    count descending, ties broken by ascending gram — a total order, so
+    the result is deterministic and engine-portable. The vocabulary/
+    boilerplate-phrase census every corpus audit starts with.
+
+    Tokenization is the LM convention (lm.tokens_column — lowercase,
+    [^a-z0-9]+ delimiters, RE2/Java-identical). Grams join tokens with a
+    single space.
+
+    Scale shape: one explode + one (gram) count with map-side partials
+    (Zipf-head grams tree-reduce), then orderBy().limit(k) =
+    TakeOrderedAndProject — Spark's distributed two-phase top-k (each
+    partition keeps k, the driver merges P*k rows). No window, no
+    full-corpus sort. For n >= 2 the gram array is built from a
+    MATERIALIZED token column with attribute-bound lambdas
+    (repetition_stats' discipline — never re-evaluate the tokenizer
+    per element)."""
+    from textractssmlprocessor_spark.operators.lm import tokens_column
+
+    toks = df.select(tokens_column(F.col(text_col)).alias("toks"))
+    if n <= 1:
+        grams = toks.select(F.explode("toks").alias("gram"))
+    else:
+        c = F.col("toks")
+        gram_arr = F.when(
+            F.size(c) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(c) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(c, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        grams = toks.select(F.explode(gram_arr).alias("gram"))
+    counted = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
+    )
+    return counted.orderBy(F.col("n_occurrences").desc(), F.col("gram")).limit(k)

@@ -624,7 +624,31 @@ def q_dedup_exact(spark, sf_dir):
         F.lit(None).cast("bigint").alias("n_dupes"),
         F.lit(None).cast("string").alias("text"),
     )
-    return doc.unionByName(para).unionByName(rebuilt).unionByName(incr)
+    # (5) bloom — the SAME history gate through the Bloom-sketch-then-
+    # verify path (delta.new_against_history_bloom): identical rows by
+    # construction (no false negatives; FP tail exact-verified), so the
+    # oracle is the same anti-join. m_bits small enough here that false
+    # positives actually occur and exercise the verify join.
+    from textractssmlprocessor_spark.operators.delta import (
+        new_against_history_bloom,
+    )
+
+    bloom = new_against_history_bloom(
+        docs, history, m_bits=1 << 12, k=3
+    ).select(
+        F.lit("bloom").alias("variant"),
+        "fingerprint",
+        F.col("doc_id").alias("keep_id"),
+        F.lit(None).cast("bigint").alias("keep_idx"),
+        F.lit(None).cast("bigint").alias("n_dupes"),
+        F.lit(None).cast("string").alias("text"),
+    )
+    return (
+        doc.unionByName(para)
+        .unionByName(rebuilt)
+        .unionByName(incr)
+        .unionByName(bloom)
+    )
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
@@ -2556,6 +2580,16 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT * FROM rebuilt
             UNION ALL
             SELECT 'incr', md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+                   doc_id, NULL::BIGINT, NULL::BIGINT, NULL::VARCHAR
+            FROM documents
+            WHERE md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) NOT IN (
+                SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                FROM documents WHERE doc_id % 3 = 0
+            )
+            UNION ALL
+            -- bloom variant: exact-by-construction (sketch-then-verify),
+            -- so the oracle is the identical anti-join
+            SELECT 'bloom', md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
                    doc_id, NULL::BIGINT, NULL::BIGINT, NULL::VARCHAR
             FROM documents
             WHERE md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) NOT IN (

@@ -84,3 +84,50 @@ def test_hash_bucket_range(ids):
         F.max(hash_bucket(F.col("doc_id"))).alias("hi"),
     ).first()
     assert 0 <= mm["lo"] and mm["hi"] < 10000
+
+
+# --- Bloom-gated dedup-against-history (operators/delta.py) -----------------
+
+
+def test_bloom_gate_matches_exact_anti_join(spark):
+    from textractssmlprocessor_spark.operators.delta import (
+        new_against_history,
+        new_against_history_bloom,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} body text") for i in range(200)],
+        "doc_id bigint, text string",
+    )
+    history_src = docs.filter(F.col("doc_id") % 3 == 0)
+    from textractssmlprocessor_spark.operators.textstats import fingerprint
+
+    history = history_src.select(fingerprint(F.col("text")).alias("fingerprint"))
+    exact = {r["doc_id"] for r in new_against_history(docs, history).collect()}
+    # tiny m forces real false positives through the verify join; result
+    # must still be EXACT (no false negatives by Bloom construction)
+    for m_bits, k in [(1 << 8, 2), (1 << 12, 3), (1 << 20, 4)]:
+        got = {
+            r["doc_id"]
+            for r in new_against_history_bloom(
+                docs, history, m_bits=m_bits, k=k
+            ).collect()
+        }
+        assert got == exact, (m_bits, k)
+
+
+def test_bloom_bitmap_is_set_function(spark):
+    """Bitmap depends only on the fingerprint SET: duplicates and order
+    must not change any word."""
+    from textractssmlprocessor_spark.operators.delta import bloom_bitmap
+
+    fps = spark.createDataFrame(
+        [(f"fp{i:03d}",) for i in range(50)], "fingerprint string"
+    )
+    dup_shuffled = fps.unionByName(fps).orderBy(F.rand(seed=7))
+    a = {(r["word_idx"], r["bits"]) for r in bloom_bitmap(fps, 1 << 10, 3).collect()}
+    b = {
+        (r["word_idx"], r["bits"])
+        for r in bloom_bitmap(dup_shuffled, 1 << 10, 3).collect()
+    }
+    assert a == b

@@ -643,11 +643,35 @@ def q_dedup_exact(spark, sf_dir):
         F.lit(None).cast("bigint").alias("n_dupes"),
         F.lit(None).cast("string").alias("text"),
     )
+    # (6) mh_incr — NEAR-dup against history (dedup.near_dupes_against_
+    # history): the %3 slice's persisted MinHash band table is the
+    # history; survivors are docs colliding with it in no band. The %7
+    # exact-dup slice of _docs_with_dupes guarantees live collisions
+    # beyond the slice's own members (case/whitespace copies share all
+    # shingles, hence all bands).
+    from textractssmlprocessor_spark.operators.dedup import (
+        minhash_band_table,
+        near_dupes_against_history,
+    )
+
+    dd = _docs_with_dupes(spark, sf_dir)
+    hist_bands = minhash_band_table(dd.filter(F.col("doc_id") % 3 == 0))
+    mh_incr = near_dupes_against_history(
+        dd.filter(F.col("doc_id") % 3 != 0), hist_bands
+    ).select(
+        F.lit("mh_incr").alias("variant"),
+        F.lit(None).cast("string").alias("fingerprint"),
+        F.col("doc_id").alias("keep_id"),
+        F.lit(None).cast("bigint").alias("keep_idx"),
+        F.lit(None).cast("bigint").alias("n_dupes"),
+        F.lit(None).cast("string").alias("text"),
+    )
     return (
         doc.unionByName(para)
         .unionByName(rebuilt)
         .unionByName(incr)
         .unionByName(bloom)
+        .unionByName(mh_incr)
     )
 
 
@@ -2595,6 +2619,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) NOT IN (
                 SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
                 FROM documents WHERE doc_id % 3 = 0
+            )
+            UNION ALL
+            -- mh_incr variant: near-dup-against-history — replay the
+            -- banded MinHash for history (%3 slice) and the new pass,
+            -- anti-join on any-band collision
+            SELECT 'mh_incr', NULL::VARCHAR, doc_id,
+                   NULL::BIGINT, NULL::BIGINT, NULL::VARCHAR
+            FROM ({_DOCS_WITH_DUPES_SQL}) nd
+            WHERE doc_id % 3 != 0 AND doc_id NOT IN (
+                WITH dd AS ({_DOCS_WITH_DUPES_SQL}),
+                sh2 AS (SELECT doc_id AS id, doc_id % 3 = 0 AS is_hist,
+                               list_distinct(list_transform({shingles}, s -> substr(md5(s), 1, 8))) AS sh
+                        FROM dd),
+                sig2 AS (SELECT id, is_hist, [{minhash}] AS mh FROM sh2),
+                banded2 AS (SELECT id, is_hist, unnest([{bands}]) AS bucket FROM sig2)
+                SELECT DISTINCT n.id
+                FROM banded2 n JOIN (SELECT DISTINCT bucket FROM banded2 WHERE is_hist) h
+                  ON n.bucket = h.bucket
+                WHERE NOT n.is_hist
             )
         """,
         "dedup_ngram_jaccard": f"""

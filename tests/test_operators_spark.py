@@ -1646,3 +1646,32 @@ def test_pagerank_ring_uniform_and_dangling_mass(spark):
     dup = star.unionByName(star)
     pr2 = {r["node"]: r["rank"] for r in pagerank(dup, iterations=3).collect()}
     assert pr2 == pr
+
+
+def test_near_dupes_against_history(spark, docs):
+    """Band-table history gate: exact/near copies of history docs are
+    dropped; novel docs survive; output ⊆ input with no dupes added."""
+    from textractssmlprocessor_spark.operators.dedup import (
+        minhash_band_table,
+        near_dupes_against_history,
+    )
+
+    d = docs.select("doc_id", "text").limit(60)
+    history_docs = d.filter(F.col("doc_id") % 2 == 0)
+    hist = minhash_band_table(history_docs)
+    new = d.filter(F.col("doc_id") % 2 == 1).unionByName(
+        # near-copies of history docs (tiny suffix: shingle overlap stays
+        # high enough that at least one of 4 bands collides for most docs)
+        history_docs.select(
+            (F.col("doc_id") + 50000).alias("doc_id"),
+            F.concat(F.lit("  "), F.upper("text")).alias("text"),  # exact-normalized copy
+        )
+    )
+    kept = {r["doc_id"] for r in near_dupes_against_history(new, hist).collect()}
+    # normalized exact copies share ALL shingles -> all bands collide -> all dropped
+    assert not any(k >= 50000 for k in kept)
+    # genuinely novel docs (odd slice, not in history) survive unless they
+    # near-duplicate an even doc; on this corpus the odd docs are distinct
+    odd = {r["doc_id"] for r in d.filter(F.col("doc_id") % 2 == 1).collect()}
+    assert kept <= odd
+    assert len(kept) > 0

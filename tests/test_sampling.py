@@ -131,3 +131,25 @@ def test_bloom_bitmap_is_set_function(spark):
         for r in bloom_bitmap(dup_shuffled, 1 << 10, 3).collect()
     }
     assert a == b
+
+
+def test_split_assign_on_fingerprint_is_leakage_safe(spark):
+    """Keying the split on the content fingerprint co-locates exact
+    duplicates in one split; keying on row id does not (for some pair)."""
+    from textractssmlprocessor_spark.operators.sampling import split_assign
+    from textractssmlprocessor_spark.operators.textstats import fingerprint
+
+    docs = spark.createDataFrame(
+        [(i, f"shared body {i % 25}") for i in range(200)],
+        "doc_id bigint, text string",
+    ).withColumn("fp", fingerprint(F.col("text")))
+    by_fp = split_assign(docs, id_col="fp").collect()
+    groups = {}
+    for r in by_fp:
+        groups.setdefault(r["fp"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in groups.values())
+    by_id = split_assign(docs, id_col="doc_id").collect()
+    id_groups = {}
+    for r in by_id:
+        id_groups.setdefault(r["fp"], set()).add(r["split"])
+    assert any(len(s) > 1 for s in id_groups.values())

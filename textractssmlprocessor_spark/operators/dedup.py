@@ -249,6 +249,111 @@ def minhash_signature_from_hashed(sh_col, num_hashes: int = 16,
     )
 
 
+def _band_explode(num_hashes: int, bands: int, hash_fn: str):
+    """Exploded band-bucket column over a materialized ``mh`` signature
+    array: bucket = hash(band_idx | the band's signature rows). Shared by
+    minhash_lsh_pairs and the band-table/history path so both produce
+    IDENTICAL buckets (a history table written by one is probeable by the
+    other across passes)."""
+    rows_per_band = num_hashes // bands
+    return F.explode(
+        F.array(
+            *[
+                (
+                    F.xxhash64(
+                        F.lit(b),
+                        *[F.col("mh")[b * rows_per_band + r]
+                          for r in range(rows_per_band)],
+                    )
+                    if hash_fn == "xxhash64"
+                    else F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit(str(b)),
+                            *[F.col("mh")[b * rows_per_band + r]
+                              for r in range(rows_per_band)],
+                        )
+                    )
+                )
+                for b in range(bands)
+            ]
+        )
+    ).alias("bucket")
+
+
+def minhash_band_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(id, bucket) banded-MinHash table — ``bands`` rows per document,
+    buckets identical to minhash_lsh_pairs' candidate keys. This is the
+    artifact an incremental pipeline PERSISTS between passes: narrow
+    (two hashes per row), content-free (no text leaves the pass), and
+    append-only — exactly what near_dupes_against_history probes."""
+    return (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            hashed_shingles(F.col(text_col), n, hash_fn).alias("sh"),
+        )
+        .withColumn(
+            "mh", minhash_signature_from_hashed(F.col("sh"), num_hashes, hash_fn)
+        )
+        .select("id", _band_explode(num_hashes, bands, hash_fn))
+    )
+
+
+def near_dupes_against_history(
+    new: DataFrame,
+    history_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Rows of ``new`` that do NOT collide with the accumulated history
+    band table in any MinHash band — the near-duplicate analogue of
+    delta.new_against_history, and the reason an incremental crawl can
+    near-dedup pass N against passes 1..N-1 without retokenizing them.
+
+    Semantics are CANDIDATE-level (the LSH recall gate): a band collision
+    drops the document without an exact-Jaccard verify, because the
+    history table stores bands only — the standard incremental design
+    (Dolma/FineWeb keep sketch tables between passes, not text). Within-
+    pass pairs still go through minhash_lsh_pairs' verified path; this
+    gate only guards against RE-ADMITTING content near-duplicating an
+    earlier pass. Band parameters must match the history table's (same
+    num_hashes/bands/hash_fn — enforced by construction when history
+    was written by minhash_band_table).
+
+    Scale shape: the new pass computes its band table map-side (after
+    _spread); the collision test is one left_semi join on the band
+    bucket — co-partitioned on an Iceberg layout bucketed by the band
+    key — then one left_anti of ids. The corpus text never shuffles.
+    """
+    new_bands = minhash_band_table(
+        new, id_col, text_col, n=n, num_hashes=num_hashes,
+        bands=bands, hash_fn=hash_fn,
+    )
+    hit_ids = (
+        new_bands.join(
+            history_bands.select("bucket").distinct(), "bucket", "left_semi"
+        )
+        .select("id")
+        .distinct()
+    )
+    return new.join(
+        hit_ids.withColumnRenamed("id", id_col), id_col, "left_anti"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -286,7 +391,6 @@ def minhash_lsh_pairs(
     (e.g. the all-identical-boilerplate cluster), accepting that pairs
     inside skipped buckets are NOT reported.
     """
-    rows_per_band = num_hashes // bands
     sig = _spread(df, id_col).select(
         F.col(id_col).alias("id"),
         hashed_shingles(F.col(text_col), n, hash_fn).alias("sh"),
@@ -301,32 +405,7 @@ def minhash_lsh_pairs(
         sig = sig.localCheckpoint(eager=False)
 
     shingle_tbl = sig.select("id", "sh")
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    (
-                        F.xxhash64(
-                            F.lit(b),
-                            *[F.col("mh")[b * rows_per_band + r]
-                              for r in range(rows_per_band)],
-                        )
-                        if hash_fn == "xxhash64"
-                        else F.md5(
-                            F.concat_ws(
-                                "|",
-                                F.lit(str(b)),
-                                *[F.col("mh")[b * rows_per_band + r]
-                                  for r in range(rows_per_band)],
-                            )
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bucket"),
-    )
+    banded = sig.select("id", _band_explode(num_hashes, bands, hash_fn))
     cand = (
         _cooccurrence_member_pairs(banded, "bucket", F.col("id"), max_group=max_bucket)
         .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))

@@ -43,7 +43,17 @@ def split_assign(
     """Add a split-label column with the given fractions (insertion order
     fixes the bucket layout — document the dict order with the salt when
     publishing a split). Fractions are quantized to 1/10000; the LAST
-    split absorbs rounding remainder so assignment is total."""
+    split absorbs rounding remainder so assignment is total.
+
+    LEAKAGE-SAFE SPLITS: ``id_col`` is the unit of co-location, not
+    necessarily the row id. Keying on the content fingerprint
+    (textstats.fingerprint) puts every exact duplicate in the same
+    split; keying on a near-dup cluster representative
+    (graph.dedup_clusters' cluster_rep) puts whole near-dup clusters in
+    the same split — the guard against train/test contamination that a
+    row-id split silently lacks. Either way the assignment stays one
+    map-side expression (the cluster_rep case pays dedup_clusters'
+    join, which the caller already ran to get the column)."""
     if splits is None:
         splits = {"train": 0.9, "val": 0.05, "test": 0.05}
     if not splits or any(w < 0 for w in splits.values()):

@@ -1491,7 +1491,35 @@ def q_extract_links(spark, sf_dir):
         nul_b.alias("n"),
         F.col("rank").alias("score"),
     )
-    return lk.unionByName(an).unionByName(pr)
+    # (4) hits — hubs/authorities over the same host graph (graph.hits,
+    # Kleinberg 1999; sum-normalized, per-half-step round-6 lockstep)
+    from textractssmlprocessor_spark.operators.graph import hits
+
+    hs = hits(edges, iterations=3)
+    hub_rows = hs.select(
+        F.lit("hits_hub").alias("variant"),
+        F.col("node").alias("url"),
+        nul_b.alias("link_no"),
+        nul_s.alias("href"),
+        nul_s.alias("anchor"),
+        nul_b.alias("n"),
+        F.col("hub").alias("score"),
+    )
+    auth_rows = hs.select(
+        F.lit("hits_auth").alias("variant"),
+        F.col("node").alias("url"),
+        nul_b.alias("link_no"),
+        nul_s.alias("href"),
+        nul_s.alias("anchor"),
+        nul_b.alias("n"),
+        F.col("auth").alias("score"),
+    )
+    return (
+        lk.unionByName(an)
+        .unionByName(pr)
+        .unionByName(hub_rows)
+        .unionByName(auth_rows)
+    )
 
 
 # main_content page chrome, shared verbatim between the Spark query and the
@@ -1727,6 +1755,40 @@ def _pagerank_sql(iterations: int = 3, damping: float = 0.85) -> str:
             f"r{t} AS (SELECT nodes.node, "
             f"round({1.0 - d} / nn.n + {d} * (coalesce(c.in_sum, 0.0) + d.dang / nn.n), 6) AS rank "
             f"FROM nodes LEFT JOIN c{t} c ON nodes.node = c.node, nn, d{t} d)"
+        )
+    return ",\n            ".join(parts)
+
+
+def _hits_sql(iterations: int = 3) -> str:
+    """CTE chain replaying graph.hits' exact trajectory in DuckDB over an
+    ``e(s, t)`` distinct-edge CTE (and a ``nodes`` CTE from _pagerank_sql's
+    chain): hub0 = 1; per iteration auth = round(sum_in hub / total, 6)
+    then hub = round(sum_out auth / total, 6) — the per-half-step rounding
+    that keeps both engines in lockstep. Yields CTEs a{iterations} =
+    (node, auth) and h{iterations} = (node, hub)."""
+    parts = [
+        "h0 AS (SELECT node, 1.0 AS hub FROM nodes)",
+    ]
+    for t in range(1, iterations + 1):
+        parts.append(
+            f"ar{t} AS (SELECT e.t AS node, sum(h.hub) AS raw "
+            f"FROM e JOIN h{t-1} h ON e.s = h.node GROUP BY 1)"
+        )
+        parts.append(f"at{t} AS (SELECT sum(raw) AS tot FROM ar{t})")
+        parts.append(
+            f"a{t} AS (SELECT nodes.node, "
+            f"round(coalesce(ar.raw, 0.0) / at.tot, 6) AS auth "
+            f"FROM nodes LEFT JOIN ar{t} ar ON nodes.node = ar.node, at{t} at)"
+        )
+        parts.append(
+            f"hr{t} AS (SELECT e.s AS node, sum(a.auth) AS raw "
+            f"FROM e JOIN a{t} a ON e.t = a.node GROUP BY 1)"
+        )
+        parts.append(f"ht{t} AS (SELECT sum(raw) AS tot FROM hr{t})")
+        parts.append(
+            f"h{t} AS (SELECT nodes.node, "
+            f"round(coalesce(hr.raw, 0.0) / ht.tot, 6) AS hub "
+            f"FROM nodes LEFT JOIN hr{t} hr ON nodes.node = hr.node, ht{t} ht)"
         )
     return ",\n            ".join(parts)
 
@@ -2503,7 +2565,8 @@ def oracle_sql() -> dict[str, str]:
                                 'h' || (doc_id % 23)::VARCHAR AS t
                 FROM documents
             ),
-            {_pagerank_sql(iterations=3, damping=0.85)}
+            {_pagerank_sql(iterations=3, damping=0.85)},
+            {_hits_sql(iterations=3)}
             SELECT 'links' AS variant, url, link_no, href, anchor,
                    NULL::BIGINT AS n, NULL::DOUBLE AS score
             FROM links
@@ -2515,6 +2578,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'pagerank', node, NULL::BIGINT, NULL::VARCHAR, NULL::VARCHAR,
                    NULL::BIGINT, rank
             FROM r3
+            UNION ALL
+            SELECT 'hits_hub', node, NULL::BIGINT, NULL::VARCHAR, NULL::VARCHAR,
+                   NULL::BIGINT, hub
+            FROM h3
+            UNION ALL
+            SELECT 'hits_auth', node, NULL::BIGINT, NULL::VARCHAR, NULL::VARCHAR,
+                   NULL::BIGINT, auth
+            FROM a3
         """,
         "main_content": f"""
             WITH pages AS (

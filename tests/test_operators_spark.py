@@ -1675,3 +1675,31 @@ def test_near_dupes_against_history(spark, docs):
     odd = {r["doc_id"] for r in d.filter(F.col("doc_id") % 2 == 1).collect()}
     assert kept <= odd
     assert len(kept) > 0
+
+
+def test_hits_known_graph(spark):
+    """HITS on the classic 2-hub/2-authority graph, checked against a
+    pure-Python replay of the same sum-normalized round-6 iteration."""
+    from textractssmlprocessor_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [("u1", "a1"), ("u1", "a2"), ("u2", "a1"), ("u2", "a2"), ("a1", "x")],
+        "src string, dst string",
+    )
+    got = {r["node"]: (r["hub"], r["auth"]) for r in hits(edges, iterations=3).collect()}
+
+    e = [("u1", "a1"), ("u1", "a2"), ("u2", "a1"), ("u2", "a2"), ("a1", "x")]
+    nodes = sorted({n for p in e for n in p})
+    hub = {n: 1.0 for n in nodes}
+    for _ in range(3):
+        raw_a = {n: sum(hub[s] for s, t in e if t == n) for n in nodes}
+        tot = sum(raw_a.values())
+        auth = {n: round(raw_a[n] / tot, 6) for n in nodes}
+        raw_h = {n: sum(auth[t] for s, t in e if s == n) for n in nodes}
+        tot = sum(raw_h.values())
+        hub = {n: round(raw_h[n] / tot, 6) for n in nodes}
+    for n in nodes:
+        assert got[n][0] == pytest.approx(hub[n], abs=2e-6), n
+        assert got[n][1] == pytest.approx(auth[n], abs=2e-6), n
+    # hubs are the pure out-linkers, authorities the pure targets
+    assert got["u1"][0] > got["a1"][0] and got["a2"][1] > got["u1"][1]

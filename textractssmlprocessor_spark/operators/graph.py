@@ -359,3 +359,92 @@ def pagerank(
             _unpersist_rdds(spark, prev_round_ids)
             prev_round_ids = this_round_ids
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    materialize=True,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) by unrolled synchronous
+    iteration — the complement to pagerank for link-graph curation: good
+    HUBS are directories/link farms (downweight for training data), good
+    AUTHORITIES are canonical sources (upweight). Returns
+    (node, hub, auth) after ``iterations`` rounds of
+
+        auth = normalize(sum_in hub);   hub = normalize(sum_out auth)
+
+    with sum-normalization and per-half-step rounding to 6 decimals (the
+    repo's lockstep convention — kmeans/pagerank precedent — so the
+    DuckDB CTE replay tracks bit-for-bit through the rounding).
+
+    Scale shape per half-step: one edge⋈score join on the node key, one
+    groupBy sum with map-side partials, one 1-row broadcast total via
+    crossJoin. Plan discipline as in pagerank: the raw-score table is
+    referenced twice per half-step (the total + the normalize), so the
+    uncut plan doubles per half-step; under ``materialize`` the static
+    edge/node tables are cut once and the carried score table per
+    iteration, with deterministic unpersist of the superseded round."""
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).distinct()
+    if materialize:
+        e = _truncate(e, materialize)
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("t").alias("node")))
+        .distinct()
+    )
+    if materialize:
+        nodes = _truncate(nodes, materialize)
+    scores = nodes.select(
+        "node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
+    )
+    prev_round_ids: set = set()
+    for it in range(iterations):
+        a_raw = (
+            e.join(
+                scores.select(F.col("node").alias("s"), "hub"), "s"
+            )
+            .groupBy("t")
+            .agg(F.sum("hub").alias("raw"))
+        )
+        a_tot = a_raw.agg(F.sum("raw").alias("tot"))
+        auth = (
+            nodes.join(a_raw, nodes["node"] == a_raw["t"], "left")
+            .crossJoin(F.broadcast(a_tot))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("tot"), 6
+                ).alias("auth"),
+            )
+        )
+        h_raw = (
+            e.join(
+                auth.select(F.col("node").alias("t"), "auth"), "t"
+            )
+            .groupBy("s")
+            .agg(F.sum("auth").alias("raw"))
+        )
+        h_tot = h_raw.agg(F.sum("raw").alias("tot"))
+        hub = (
+            nodes.join(h_raw, nodes["node"] == h_raw["s"], "left")
+            .crossJoin(F.broadcast(h_tot))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("tot"), 6
+                ).alias("hub"),
+            )
+        )
+        scores = hub.join(auth, "node").select("node", "hub", "auth")
+        if materialize and it < iterations - 1:
+            pre_ids = _round_rdd_ids(spark)
+            scores = _truncate(scores, materialize)
+            scores.count()
+            this_round_ids = _round_rdd_ids(spark) - pre_ids
+            _unpersist_rdds(spark, prev_round_ids)
+            prev_round_ids = this_round_ids
+    return scores

@@ -467,9 +467,54 @@ def q_url_normalize(spark, sf_dir):
         nulls["n2"],
         F.col("matched_path").alias("matched"),
     )
+    # (8) canonical-aware dedup (weburl.canonical_url_dedup): the %2 slice
+    # declares <link rel=canonical> (href-first attr order on %4 == 2 to
+    # exercise both patterns) pointing at doc_id %21 families; the %5
+    # slice declares only og:url; everyone else falls back to the crawl
+    # url. Canonical families collapse across DIFFERENT crawl urls —
+    # exactly what normalize-only dedup can't do.
+    from textractssmlprocessor_spark.operators.weburl import canonical_url_dedup
+
+    canon_target = F.concat(
+        F.lit("https://canon.example.org/c/"),
+        (F.col("doc_id") % 21).cast("string"),
+    )
+    page_html = (
+        F.when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit('<head><link href="'), canon_target,
+                F.lit('" rel="canonical"></head><p>b</p>'),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit('<head><link rel="canonical" href="'), canon_target,
+                F.lit('"></head><p>b</p>'),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit('<head><meta property="og:url" content="'),
+                canon_target, F.lit('"></head><p>b</p>'),
+            ),
+        )
+        .otherwise(F.lit("<p>no canonical declared</p>"))
+    )
+    cpages = docs.select("doc_id", page_url.alias("url"), page_html.alias("html"))
+    cn = canonical_url_dedup(cpages).select(
+        F.lit("canonical").alias("variant"),
+        F.col("keep_id").alias("doc_id"),
+        "canonical_url",
+        nulls["host"],
+        F.col("n_dupes").alias("n"),
+        nulls["n2"], nulls["matched"],
+    )
     return (
         norm.unionByName(dd).unionByName(ds).unionByName(bl)
-        .unionByName(hc).unionByName(cd).unionByName(rb)
+        .unionByName(hc).unionByName(cd).unionByName(rb).unionByName(cn)
     )
 
 
@@ -2333,6 +2378,25 @@ def oracle_sql() -> dict[str, str]:
                             WHEN o.old_fp = n.new_fp THEN 'unchanged'
                             ELSE 'changed' END AS status
                 FROM o FULL OUTER JOIN n ON o.url = n.url
+            )
+            UNION ALL
+            -- canonical variant: pages declaring <link rel=canonical> (%2)
+            -- or og:url (%5) group on the declared target (normalize_url
+            -- is an identity on these already-clean seeds); the rest fall
+            -- back to the crawl url
+            SELECT 'canonical', keep_id, canonical_url, NULL::VARCHAR,
+                   n_dupes, NULL::BIGINT, NULL::VARCHAR
+            FROM (
+                SELECT min(doc_id)::BIGINT AS keep_id, canon AS canonical_url,
+                       count(*)::BIGINT AS n_dupes
+                FROM (
+                    SELECT doc_id,
+                           CASE WHEN doc_id % 2 = 0 OR doc_id % 5 = 0
+                                THEN 'https://canon.example.org/c/' || (doc_id % 21)::VARCHAR
+                                ELSE 'https://host-' || source || '.example.org/p/' || doc_id::VARCHAR
+                           END AS canon
+                    FROM documents
+                ) GROUP BY canon
             )
         """,
         "gopher_quality": """

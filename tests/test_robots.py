@@ -69,3 +69,54 @@ def test_verdicts_longest_match_allow_wins(spark):
     assert not out[4]["allowed"] and out[4]["matched_path"] == "/"
     assert out[5]["allowed"]
     assert out[6]["allowed"] and out[6]["path"] == "/"
+
+
+# --- canonical-link extraction (operators/weburl.py) -------------------------
+
+
+def test_extract_canonical_signals(spark):
+    from textractssmlprocessor_spark.operators.weburl import extract_canonical
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", '<link rel="canonical" href="https://c.org/a">'),
+            ("u2", "<link href='https://c.org/b' rel='canonical'>"),
+            ("u3", '<meta property="og:url" content="https://c.org/c">'),
+            # link outranks og:url
+            ("u4", '<link rel="canonical" href="https://c.org/d">'
+                   '<meta property="og:url" content="https://c.org/WRONG">'),
+            ("u5", "<p>nothing declared</p>"),
+            ("u6", None),
+        ],
+        "url string, html string",
+    )
+    got = {r["url"]: (r["canonical_href"], r["canonical_source"])
+           for r in extract_canonical(pages).collect()}
+    assert got["u1"] == ("https://c.org/a", "link_rel")
+    assert got["u2"] == ("https://c.org/b", "link_rel")
+    assert got["u3"] == ("https://c.org/c", "og_url")
+    assert got["u4"] == ("https://c.org/d", "link_rel")
+    assert got["u5"] == (None, None)
+    assert got["u6"] == (None, None)
+
+
+def test_canonical_url_dedup_collapses_families(spark):
+    from textractssmlprocessor_spark.operators.weburl import canonical_url_dedup
+
+    pages = spark.createDataFrame(
+        [
+            (1, "https://m.ex.org/p?utm_source=x", '<link rel="canonical" href="https://ex.org/p">'),
+            (2, "https://ex.org/p", '<link rel="canonical" href="https://ex.org/p">'),
+            (3, "https://cdn.ex.org/p", '<meta property="og:url" content="https://ex.org/p">'),
+            (4, "https://ex.org/Other?b=2&a=1", "<p>none</p>"),
+            (5, "https://ex.org/Other?a=1&b=2#frag", "<p>none</p>"),
+        ],
+        "doc_id bigint, url string, html string",
+    )
+    got = {r["canonical_url"]: (r["keep_id"], r["n_dupes"])
+           for r in canonical_url_dedup(pages).collect()}
+    # the canonical family collapses across three DIFFERENT crawl hosts
+    assert got["https://ex.org/p"] == (1, 3)
+    # the no-canonical rows still get plain URL normalization (query sort,
+    # fragment strip)
+    assert got["https://ex.org/Other?a=1&b=2"] == (4, 2)

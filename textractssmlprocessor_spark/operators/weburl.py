@@ -243,3 +243,79 @@ def cap_per_host(
         .filter(F.col("host_rank") <= max_docs)
     )
     return under.unionByName(capped)
+
+
+# rel=canonical can precede or follow href inside the <link>; both orders
+# are matched with their own pattern (RE2 has no lookaround). og:url is the
+# fallback signal. All three are RE2/Java-portable single-pass regexps.
+CANONICAL_REL_FIRST_RE = (
+    r"""(?is)<link\s[^>]*?rel\s*=\s*["']canonical["'][^>]*?href\s*=\s*["']([^"']*)["']"""
+)
+CANONICAL_HREF_FIRST_RE = (
+    r"""(?is)<link\s[^>]*?href\s*=\s*["']([^"']*)["'][^>]*?rel\s*=\s*["']canonical["']"""
+)
+OG_URL_RE = (
+    r"""(?is)<meta\s[^>]*?property\s*=\s*["']og:url["'][^>]*?content\s*=\s*["']([^"']*)["']"""
+)
+
+
+def extract_canonical(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, canonical_href, canonical_source): the page's self-declared
+    canonical URL — <link rel=canonical> (either attribute order), falling
+    back to the og:url meta property; NULLs when the page declares
+    neither. The signal canonical-aware URL dedup consumes: CDN mirrors,
+    tracking-parameter variants, and mobile subdomains all declare the
+    same canonical, so grouping on coalesce(canonical, normalized url)
+    collapses families that pure URL normalization cannot.
+
+    Map-side only — three regexp_extracts over the JVM-resident html (no
+    Python, no shuffle); first match wins per signal, link tag outranks
+    og:url. Empty extracts are normalized to NULL (Spark returns '' on
+    no-match; the DuckDB oracle mirrors with nullif)."""
+    h = F.col(html_col).cast("string")
+    link = F.coalesce(
+        F.nullif(F.regexp_extract(h, CANONICAL_REL_FIRST_RE, 1), F.lit("")),
+        F.nullif(F.regexp_extract(h, CANONICAL_HREF_FIRST_RE, 1), F.lit("")),
+    )
+    og = F.nullif(F.regexp_extract(h, OG_URL_RE, 1), F.lit(""))
+    return df.select(
+        F.col(url_col).alias("url"),
+        F.coalesce(link, og).alias("canonical_href"),
+        F.when(link.isNotNull(), F.lit("link_rel"))
+        .when(og.isNotNull(), F.lit("og_url"))
+        .alias("canonical_source"),
+    )
+
+
+def canonical_url_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """URL dedup where a page's self-declared canonical outranks its crawl
+    URL: group key = normalize_url(coalesce(canonical_href, url)). Same
+    single narrow groupBy as url_dedup (min-id survivor, group size); the
+    canonical extraction rides the same map-side projection, so the only
+    shuffle is the final aggregation on the canonical key."""
+    h = F.col(html_col).cast("string")
+    link = F.coalesce(
+        F.nullif(F.regexp_extract(h, CANONICAL_REL_FIRST_RE, 1), F.lit("")),
+        F.nullif(F.regexp_extract(h, CANONICAL_HREF_FIRST_RE, 1), F.lit("")),
+    )
+    og = F.nullif(F.regexp_extract(h, OG_URL_RE, 1), F.lit(""))
+    return (
+        df.select(
+            F.col(id_col),
+            normalize_url(
+                F.coalesce(link, og, F.col(url_col))
+            ).alias("canonical_url"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dupes"),
+        )
+    )

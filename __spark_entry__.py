@@ -127,6 +127,23 @@ def q_text_profile(spark, sf_dir):
     words = F.size(F.regexp_extract_all("text", F.lit(WORD_RE), F.lit(0)))
     alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
     punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
+    # unicode-script detection (textstats.script_columns) over a seeded
+    # mixed-script column: %4 slices carry Cyrillic/CJK/Arabic samples
+    # (module constants — the oracle re-emits them via _sql_str) ahead of
+    # an ASCII tail, so every fraction branch and the argmax are live
+    from textractssmlprocessor_spark.operators.textstats import (
+        SCRIPT_SAMPLES,
+        script_columns,
+    )
+
+    script_seed = F.concat(
+        F.when(F.col("doc_id") % 4 == 1, F.lit(SCRIPT_SAMPLES["cyrillic"] + " "))
+        .when(F.col("doc_id") % 4 == 2, F.lit(SCRIPT_SAMPLES["cjk"] + " "))
+        .when(F.col("doc_id") % 4 == 3, F.lit(SCRIPT_SAMPLES["arabic"] + " "))
+        .otherwise(F.lit("")),
+        F.substring("text", 1, 12),
+    )
+    sc_cols = script_columns(script_seed)
     return d.select(
         "doc_id",
         F.round(alpha / n, 6).alias("alpha_ratio"),
@@ -140,6 +157,7 @@ def q_text_profile(spark, sf_dir):
         "nfc_text",
         mojibake_artifacts(F.col("_moji")).cast("bigint").alias("moji_hits"),
         "moji_fixed",
+        *[c.alias(name) for name, c in sc_cols.items()],
     )
 
 
@@ -1978,6 +1996,33 @@ def oracle_sql() -> dict[str, str]:
                 WHERE {jac} >= 0.5
             )"""
 
+    # unicode-script replay (textstats.script_columns): patterns and seed
+    # samples come from the SAME module constants as the Spark side, the
+    # non-ASCII rendered with _sql_str per the CLAUDE.md convention
+    from textractssmlprocessor_spark.operators.textstats import (
+        SCRIPT_RANGES,
+        SCRIPT_SAMPLES,
+        script_class,
+    )
+
+    script_pat = {
+        s: _sql_str("[^" + script_class(s) + "]") for s in sorted(SCRIPT_RANGES)
+    }
+    script_seed_sql = (
+        "(CASE WHEN doc_id % 4 = 1 THEN " + _sql_str(SCRIPT_SAMPLES["cyrillic"] + " ")
+        + " WHEN doc_id % 4 = 2 THEN " + _sql_str(SCRIPT_SAMPLES["cjk"] + " ")
+        + " WHEN doc_id % 4 = 3 THEN " + _sql_str(SCRIPT_SAMPLES["arabic"] + " ")
+        + " ELSE '' END) || substr(text, 1, 12)"
+    )
+    script_frac_sql = ",\n                   ".join(
+        f"round(length(regexp_replace(st, {script_pat[s]}, '', 'g')) / length(st)::DOUBLE, 6) AS {s}_frac"
+        for s in sorted(SCRIPT_RANGES)
+    )
+    script_keys_sql = ", ".join(
+        f"lpad((10000000 - length(regexp_replace(st, {script_pat[s]}, '', 'g')))::VARCHAR, 8, '0') || '{s}'"
+        for s in sorted(SCRIPT_RANGES)
+    )
+
     simhash_bits = " + ".join(
         "(CASE WHEN list_sum(list_transform(ws, w -> CASE WHEN upper(substr(md5(w), %d, 1)) IN ('8','9','A','B','C','D','E','F') THEN 1 ELSE -1 END)) > 0 THEN %d ELSE 0 END)"
         % (i, 2 ** (16 - i))
@@ -2011,6 +2056,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "text_profile": f"""
+            WITH sdocs AS (
+                SELECT doc_id, text, {script_seed_sql} AS st FROM documents
+            )
             SELECT doc_id,
                    round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text)::DOUBLE, 6) AS alpha_ratio,
                    round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text)::DOUBLE, 6) AS punct_ratio,
@@ -2025,8 +2073,11 @@ def oracle_sql() -> dict[str, str]:
                          ELSE len(regexp_extract_all(substr(text, 1, 8), {_moji_re_sql}))
                     END)::BIGINT AS moji_hits,
                    CASE WHEN doc_id % 3 = 0 THEN {_moji_fixed_sql}
-                        ELSE substr(text, 1, 8) END AS moji_fixed
-            FROM documents
+                        ELSE substr(text, 1, 8) END AS moji_fixed,
+                   {script_frac_sql},
+                   CASE WHEN length(st) > 0
+                        THEN substr(least({script_keys_sql}), 9, 16) END AS script_pred
+            FROM sdocs
         """,
 
         "pack_shards": """

@@ -100,3 +100,37 @@ def test_spark_nfc_and_gated_repair(spark):
     }
     assert nfc[0] == NFD_SAMPLE_NFC
     assert nfc[1] == "ascii"
+
+
+# --- unicode script detection (textstats.script_columns) ---------------------
+
+
+def test_script_columns_detects_scripts(spark):
+    from textractssmlprocessor_spark.operators.textstats import (
+        SCRIPT_SAMPLES,
+        script_columns,
+    )
+
+    rows = [
+        (1, "plain english text only"),
+        (2, SCRIPT_SAMPLES["cyrillic"]),
+        (3, SCRIPT_SAMPLES["cjk"]),
+        (4, SCRIPT_SAMPLES["arabic"]),
+        (5, SCRIPT_SAMPLES["greek"]),
+        (6, SCRIPT_SAMPLES["cyrillic"] + " mixed with latin tail words"),
+        (7, ""),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, t string")
+    cols = script_columns(F.col("t"))
+    got = {
+        r["id"]: r
+        for r in df.select("id", *[c.alias(k) for k, c in cols.items()]).collect()
+    }
+    assert got[1]["script_pred"] == "latin" and got[1]["latin_frac"] > 0.7
+    assert got[2]["script_pred"] == "cyrillic" and got[2]["cyrillic_frac"] > 0.8
+    assert got[3]["script_pred"] == "cjk"
+    assert got[4]["script_pred"] == "arabic"
+    assert got[5]["script_pred"] == "greek"
+    # mixed: latin tail outweighs the short cyrillic sample
+    assert got[6]["script_pred"] == "latin" and got[6]["cyrillic_frac"] > 0.2
+    assert got[7]["script_pred"] is None

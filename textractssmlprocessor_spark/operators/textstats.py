@@ -329,3 +329,70 @@ def top_ngrams(
         F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
     )
     return counted.orderBy(F.col("n_occurrences").desc(), F.col("gram")).limit(k)
+
+
+# --- Unicode script detection ----------------------------------------------
+# Script classes as explicit codepoint ranges, shared between the Spark
+# pattern and the DuckDB oracle pattern so both engines count the EXACT
+# same characters (Java regex spells a range \uXXXX, RE2 spells it
+# \x{XXXX} — building both from these integer pairs removes the dialect
+# risk). Ranges are the dominant blocks per script, not exhaustive
+# Unicode-property sets — documented approximation, same spirit as the
+# stopword lang_id.
+
+SCRIPT_RANGES: dict[str, list[tuple[int, int]]] = {
+    "latin": [(0x41, 0x5A), (0x61, 0x7A), (0xC0, 0x24F)],
+    "cyrillic": [(0x400, 0x4FF)],
+    "greek": [(0x370, 0x3FF)],
+    "cjk": [(0x3040, 0x30FF), (0x4E00, 0x9FFF), (0xAC00, 0xD7AF)],
+    "arabic": [(0x600, 0x6FF)],
+}
+
+# deterministic non-ASCII samples for contract/test seeding (module
+# constants per the CLAUDE.md shared-literal convention; the oracle side
+# re-emits them with _sql_str)
+SCRIPT_SAMPLES = {
+    "cyrillic": "Привет мир",
+    "cjk": "你好世界 こんにちは",
+    "arabic": "مرحبا بالعالم",
+    "greek": "Γεια σου",
+}
+
+
+def script_class(script: str) -> str:
+    """Character-class body (raw characters, no escapes) for a script —
+    identical bytes in a Java regex and an RE2 regex because the range
+    endpoints are embedded as literal characters."""
+    return "".join(
+        chr(lo) + "-" + chr(hi) for lo, hi in SCRIPT_RANGES[script]
+    )
+
+
+def script_columns(col: Column) -> dict[str, Column]:
+    """Per-script character fractions + dominant script: the writing-
+    system signal multilingual curation routes on (FineWeb-2/MADLAD
+    bucket by script before language). Fractions are per-script char
+    count / total char count, rounded to 6; ``script_pred`` is the
+    argmax with the lang_id zeropad-min tie-break (alphabetical on
+    ties), or NULL for empty text. Pure map-side regexp_replace counts —
+    no shuffle, no Python."""
+    n = F.length(col)
+    nz = F.when(n > 0, n.cast("double"))  # NULL divisor on empty text (totality under ANSI)
+    fracs: dict[str, Column] = {}
+    counts: dict[str, Column] = {}
+    for script in sorted(SCRIPT_RANGES):
+        cls = script_class(script)
+        cnt = F.length(F.regexp_replace(col, f"[^{cls}]", ""))
+        counts[script] = cnt
+        fracs[f"{script}_frac"] = F.round(cnt / nz, 6)
+    keys = [
+        F.concat(
+            F.lpad((F.lit(10000000) - counts[s]).cast("string"), 8, "0"),
+            F.lit(s),
+        )
+        for s in sorted(SCRIPT_RANGES)
+    ]
+    fracs["script_pred"] = F.when(
+        n > 0, F.substring(F.array_min(F.array(*keys)), 9, 16)
+    )
+    return fracs

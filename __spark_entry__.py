@@ -2608,11 +2608,21 @@ def oracle_sql() -> dict[str, str]:
             ),
             ex AS (SELECT doc_id, unnest(bigrams) AS bg FROM b),
             c AS (SELECT doc_id, bg, count(*) AS c FROM ex GROUP BY 1, 2),
-            agg AS (SELECT doc_id, max(c) AS top, sum(c) AS total FROM c GROUP BY 1)
+            agg AS (SELECT doc_id, max(c) AS top, sum(c) AS total FROM c GROUP BY 1),
+            -- char entropy: same (?s). char tokenization as Spark
+            chx AS (SELECT doc_id, unnest(regexp_extract_all(t, '(?s).')) AS ch FROM d),
+            chc AS (SELECT doc_id, ch, count(*)::DOUBLE AS c FROM chx GROUP BY 1, 2),
+            ent AS (
+                SELECT doc_id,
+                       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS char_entropy
+                FROM chc GROUP BY doc_id
+            )
             SELECT b.doc_id, b.dup_line_frac, b.dup_para_frac,
                    CASE WHEN coalesce(agg.total, 0) > 0 THEN round(agg.top / agg.total::DOUBLE, 6) END AS top_bigram_frac,
-                   coalesce(agg.total, 0)::BIGINT AS n_bigrams
+                   coalesce(agg.total, 0)::BIGINT AS n_bigrams,
+                   ent.char_entropy
             FROM b LEFT JOIN agg ON b.doc_id = agg.doc_id
+                   LEFT JOIN ent ON b.doc_id = ent.doc_id
         """,
         "boilerplate_lines": """
             WITH d AS (

@@ -134,3 +134,38 @@ def test_script_columns_detects_scripts(spark):
     # mixed: latin tail outweighs the short cyrillic sample
     assert got[6]["script_pred"] == "latin" and got[6]["cyrillic_frac"] > 0.2
     assert got[7]["script_pred"] is None
+
+
+def test_char_entropy_and_compression_ratio(spark):
+    import math
+
+    from textractssmlprocessor_spark.operators.textstats import (
+        repetition_stats,
+        with_compression_ratio,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaaaaaaaaaaaaaa"),              # 1 symbol -> H = 0
+            (2, "abababababababab"),              # 2 equiprobable -> H = ln 2
+            (3, "the quick brown fox jumps over the lazy dog"),
+            (4, "xyxy " * 200),                   # templated: compresses hard
+        ],
+        "doc_id bigint, text string",
+    )
+    ent = {r["id"]: r["char_entropy"] for r in repetition_stats(docs).collect()}
+    assert ent[1] == 0.0
+    assert ent[2] == round(math.log(2), 6)
+    # natural text: entropy between ln 2 and ln(alphabet)
+    assert 2.0 < ent[3] < 5.0
+    cr = {
+        r["doc_id"]: r["compression_ratio"]
+        for r in with_compression_ratio(docs).collect()
+    }
+    assert cr[4] < 0.1 < cr[3]
+    # deterministic across calls
+    cr2 = {
+        r["doc_id"]: r["compression_ratio"]
+        for r in with_compression_ratio(docs).collect()
+    }
+    assert cr == cr2

@@ -231,9 +231,33 @@ def repetition_stats(
             F.sum(F.when(F.col("bg").isNotNull(), F.col("c")).otherwise(F.lit(0))).alias("total"),
         )
     )
+    # char-distribution Shannon entropy (nats): H = ln N - (1/N) sum c*ln c
+    # over exact integer per-char counts — the classic gibberish/keyboard-
+    # mash detector (low H = repeated chars, high H near ln|alphabet| =
+    # random bytes). (?s). tokenizes IDENTICALLY in Java regex and RE2, so
+    # the oracle replays the same chars. One explode + one (id, ch) count
+    # with map-side partials (reduces to <= alphabet rows per doc).
+    ent = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.regexp_extract_all(col, F.lit(r"(?s)."), F.lit(0))
+            ).alias("ch"),
+        )
+        .groupBy("id", "ch")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .groupBy("id")
+        .agg(
+            F.round(
+                F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"),
+                6,
+            ).alias("char_entropy")
+        )
+    )
     return (
         base.select("id", "dup_line_frac", "dup_para_frac")
         .join(counts, "id")
+        .join(ent, "id", "left")
         .select(
             "id",
             "dup_line_frac",
@@ -243,6 +267,7 @@ def repetition_stats(
                 F.round(F.col("top") / F.col("total").cast("double"), 6),
             ).alias("top_bigram_frac"),
             F.col("total").cast("bigint").alias("n_bigrams"),
+            "char_entropy",
         )
     )
 
@@ -396,3 +421,38 @@ def script_columns(col: Column) -> dict[str, Column]:
         n > 0, F.substring(F.array_min(F.array(*keys)), 9, 16)
     )
     return fracs
+
+
+# --- compression-ratio quality signal -----------------------------------------
+
+
+def with_compression_ratio(
+    df: DataFrame, text_col: str = "text", out_col: str = "compression_ratio"
+) -> DataFrame:
+    """DEFLATE compression ratio (compressed bytes / raw UTF-8 bytes) —
+    the RefinedWeb/Gopher-adjacent redundancy signal: templated or
+    repeated text compresses far below ~0.4, random gibberish sits near
+    1.0. Empty/NULL text gets NULL.
+
+    zlib level 6 with a FIXED strategy, so the value is deterministic for
+    a given zlib version (documented caveat: not oracle-checked — DuckDB
+    has no DEFLATE — so this column is pytest-locked instead, the
+    repo's convention for engine-unportable values). Arrow-batched
+    pandas UDF — the Python cost is one C call per document."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(s):
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            b = t.encode("utf-8")
+            if not b:
+                return None
+            return round(len(zlib.compress(b, 6)) / len(b), 6)
+
+        return s.map(one)
+
+    return df.withColumn(out_col, _ratio(F.col(text_col)))

@@ -1469,12 +1469,20 @@ def q_resize_media(spark, sf_dir):
 
 
 def q_boilerplate_lines(spark, sf_dir):
-    # CCNet-style host-frequency boilerplate removal: nav/footer lines
-    # seeded onto every page of a host (3/4 of pages carry them, over the
-    # 0.5 threshold; body text is unique and survives). Hosts come from
-    # the source column so each has ~25 pages.
+    # Host-level suite, variant-labeled: (1) clean — CCNet-style
+    # host-frequency boilerplate removal: nav/footer lines seeded onto
+    # every page of a host (3/4 of pages carry them, over the 0.5
+    # threshold; body text is unique and survives); hosts come from the
+    # source column so each has ~25 pages. (2) host_quality — RefinedWeb-
+    # style domain curation (weburl.host_quality_rollup): per-doc alpha
+    # ratio + a words>=30 pass flag rolled up to one verdict row per host
+    # (one groupBy(host), map-side partials).
     from textractssmlprocessor_spark.operators.boilerplate import (
         remove_boilerplate_lines,
+    )
+    from textractssmlprocessor_spark.operators.weburl import (
+        host_quality_rollup,
+        url_host,
     )
 
     d = _docs(spark, sf_dir).select(
@@ -1492,7 +1500,35 @@ def q_boilerplate_lines(spark, sf_dir):
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    return remove_boilerplate_lines(d, min_docs=2, min_frac=0.5)
+    nul_d = F.lit(None).cast("double")
+    clean = remove_boilerplate_lines(d, min_docs=2, min_frac=0.5).select(
+        F.lit("clean").alias("variant"),
+        F.col("url").alias("key"),
+        F.col("cleaned_text").alias("text"),
+        F.col("n_dropped").cast("bigint").alias("n"),
+        nul_d.alias("score"),
+        nul_d.alias("frac"),
+        F.lit(None).cast("bigint").alias("flag"),
+    )
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    words = F.size(F.regexp_extract_all("text", F.lit(WORD_RE), F.lit(0)))
+    perdoc = d.select(
+        url_host(F.col("url")).alias("host"),
+        F.round(alpha / F.length("text").cast("double"), 6).alias("q"),
+        (words >= 30).alias("ok"),
+    )
+    hq = host_quality_rollup(
+        perdoc, "q", pass_col="ok", min_mean=0.7, min_pass_frac=0.5
+    ).select(
+        F.lit("host_quality").alias("variant"),
+        F.col("host").alias("key"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("n_docs").alias("n"),
+        F.col("mean_score").alias("score"),
+        F.col("pass_frac").alias("frac"),
+        F.col("host_verdict").cast("bigint").alias("flag"),
+    )
+    return clean.unionByName(hq)
 
 
 def q_extract_links(spark, sf_dir):
@@ -2660,10 +2696,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM kept GROUP BY url
             ),
             totals AS (SELECT url, count(*) AS n_lines FROM lines GROUP BY url)
-            SELECT t.url,
-                   coalesce(r.cleaned_text, '') AS cleaned_text,
-                   (t.n_lines - coalesce(r.n_kept, 0))::BIGINT AS n_dropped
+            SELECT 'clean' AS variant, t.url AS key,
+                   coalesce(r.cleaned_text, '') AS text,
+                   (t.n_lines - coalesce(r.n_kept, 0))::BIGINT AS n,
+                   NULL::DOUBLE AS score, NULL::DOUBLE AS frac,
+                   NULL::BIGINT AS flag
             FROM totals t LEFT JOIN rebuilt r ON t.url = r.url
+            UNION ALL
+            -- host_quality variant (weburl.host_quality_rollup): per-doc
+            -- alpha ratio rounded 6, words>=30 pass flag, one row per host
+            SELECT 'host_quality', host || '.example.org', NULL::VARCHAR,
+                   n_docs, mean_score, pass_frac,
+                   (mean_score >= 0.7 AND pass_frac >= 0.5)::BIGINT
+            FROM (
+                SELECT host, count(*)::BIGINT AS n_docs,
+                       round(avg(round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                                       / length(text)::DOUBLE, 6)), 6) AS mean_score,
+                       round(avg((len(regexp_extract_all(text, '\\b[\\w-]+\\b')) >= 30)::INT::DOUBLE), 6) AS pass_frac
+                FROM d GROUP BY host
+            )
         """,
         "extract_links": f"""
             WITH d AS (

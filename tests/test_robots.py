@@ -120,3 +120,33 @@ def test_canonical_url_dedup_collapses_families(spark):
     # the no-canonical rows still get plain URL normalization (query sort,
     # fragment strip)
     assert got["https://ex.org/Other?a=1&b=2"] == (4, 2)
+
+
+def test_host_quality_rollup(spark):
+    from textractssmlprocessor_spark.operators.weburl import host_quality_rollup
+
+    docs = spark.createDataFrame(
+        [
+            ("good.org", 0.9, True), ("good.org", 0.8, True),
+            ("good.org", 0.7, False),
+            ("spam.biz", 0.2, False), ("spam.biz", 0.3, False),
+            # high mean but low pass-frac: verdict must fail on the AND
+            ("mixed.net", 0.9, False), ("mixed.net", 0.95, False),
+        ],
+        "host string, q double, ok boolean",
+    )
+    got = {r["host"]: r for r in host_quality_rollup(
+        docs, "q", pass_col="ok", min_mean=0.5, min_pass_frac=0.5
+    ).collect()}
+    assert got["good.org"]["n_docs"] == 3
+    assert got["good.org"]["mean_score"] == 0.8
+    assert got["good.org"]["pass_frac"] == round(2 / 3, 6)
+    assert got["good.org"]["host_verdict"] is True
+    assert got["spam.biz"]["host_verdict"] is False       # fails mean
+    assert got["mixed.net"]["host_verdict"] is False      # fails pass_frac
+    # no pass_col: verdict rests on the mean alone, pass_frac NULL
+    nop = {r["host"]: r for r in host_quality_rollup(
+        docs, "q", min_mean=0.5
+    ).collect()}
+    assert nop["mixed.net"]["host_verdict"] is True
+    assert nop["mixed.net"]["pass_frac"] is None

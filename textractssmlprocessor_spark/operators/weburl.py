@@ -319,3 +319,50 @@ def canonical_url_dedup(
             F.count(F.lit(1)).cast("bigint").alias("n_dupes"),
         )
     )
+
+
+def host_quality_rollup(
+    df: DataFrame,
+    score_col: str,
+    host_col: str = "host",
+    pass_col: str | None = None,
+    min_mean: float = 0.5,
+    min_pass_frac: float = 0.5,
+) -> DataFrame:
+    """Domain-level curation (the RefinedWeb/C4 move): aggregate a per-
+    document quality signal to its host and emit a per-host verdict, so
+    systematically low-quality domains are dropped WHOLE instead of
+    page-by-page — cheaper (the verdict table is host-sized, joinable as
+    a broadcast filter on later passes) and more robust (a spam farm's
+    few lucky pages don't survive).
+
+    Input: any per-doc table carrying ``host_col`` and a numeric
+    ``score_col`` (alpha ratio, LM logprob, classifier logit...), plus
+    optionally a boolean ``pass_col`` (e.g. gopher_pass). Output one row
+    per host: n_docs, mean_score (round 6), pass_frac (NULL when no
+    pass_col), and ``host_verdict`` = mean_score >= min_mean AND (no
+    pass_col OR pass_frac >= min_pass_frac).
+
+    Scale shape: ONE groupBy(host) with map-side partials; Zipf-head
+    hosts tree-reduce through partial aggregation, and AQE skew-split
+    handles the residue — never a per-host window."""
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg(score_col), 6).alias("mean_score"),
+    ]
+    if pass_col is not None:
+        aggs.append(
+            F.round(
+                F.avg(F.col(pass_col).cast("int").cast("double")), 6
+            ).alias("pass_frac")
+        )
+    out = df.groupBy(F.col(host_col).alias("host")).agg(*aggs)
+    if pass_col is None:
+        out = out.withColumn("pass_frac", F.lit(None).cast("double"))
+    verdict = F.col("mean_score") >= min_mean
+    if pass_col is not None:
+        verdict = verdict & (F.col("pass_frac") >= min_pass_frac)
+    return out.select(
+        "host", "n_docs", "mean_score", "pass_frac",
+        verdict.alias("host_verdict"),
+    )

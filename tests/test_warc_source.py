@@ -154,3 +154,49 @@ def test_wet_conversion_records_to_text(spark, tmp_path):
     # the WARC reader on the same file still sees only the response record
     warc_rows = read_warc(spark, str(d)).collect()
     assert len(warc_rows) == 1 and warc_rows[0]["text"] is None
+
+
+def test_wat_metadata_records_to_link_table(spark, tmp_path):
+    """WAT scan: CC-layout JSON envelopes parse to (url, title, links);
+    non-metadata records are skipped; a garbage payload yields NULLs
+    instead of failing the segment."""
+    import json
+
+    env = {
+        "Envelope": {
+            "Payload-Metadata": {
+                "HTTP-Response-Metadata": {
+                    "HTML-Metadata": {
+                        "Head": {"Title": "Page One"},
+                        "Links": [
+                            {"path": "A@/href", "url": "https://out.org/a"},
+                            {"path": "IMG@/src", "url": "https://cdn.org/i.png"},
+                            {"path": "A@/href"},  # no url -> skipped
+                        ],
+                    }
+                }
+            }
+        }
+    }
+    data = (
+        _record("warcinfo", b"software: test\r\n")
+        + _record("metadata", json.dumps(env).encode(),
+                  url="https://wat.example.org/1")
+        + _record("response", b"HTTP/1.1 200 OK\r\n\r\n<p>not metadata</p>",
+                  url="https://wat.example.org/skip")
+        + _record("metadata", b"{ not json",
+                  url="https://wat.example.org/2")
+    )
+    p = tmp_path / "seg.wat"
+    p.write_bytes(data)
+
+    from textractssmlprocessor_spark.sources import read_wat
+
+    rows = {r["url"]: r for r in read_wat(spark, str(p)).collect()}
+    assert set(rows) == {"https://wat.example.org/1", "https://wat.example.org/2"}
+    good = rows["https://wat.example.org/1"]
+    assert good["title"] == "Page One"
+    assert good["links"] == ["https://out.org/a", "https://cdn.org/i.png"]
+    assert good["n_links"] == 2
+    bad = rows["https://wat.example.org/2"]
+    assert bad["title"] is None and bad["links"] is None and bad["n_links"] is None

@@ -206,3 +206,97 @@ def write_pages_output(
         chunks.write.mode("overwrite").parquet(target)
     else:
         raise ValueError(f"unsupported output format: {fmt!r}")
+
+
+def read_wat(spark: SparkSession, path: str) -> DataFrame:
+    """WAT scan — the third Common Crawl sibling: 'metadata' records whose
+    payload is a JSON envelope describing the crawled page (headers, title,
+    outlinks). Returns the link-graph staging table
+    (url, warc_ts, title, n_links, links: array<string of href>) — the
+    columnar input extract_links/pagerank-style graph jobs consume when
+    the pipeline starts from CC's own metadata instead of raw html.
+
+    Same streaming record walker and mapInPandas shape as read_warc (one
+    Python pass per segment, one in-flight record); the JSON payload is
+    parsed with the stdlib parser and reduced to the graph-relevant fields
+    IN the task, so only narrow rows reach Arrow — never the raw JSON
+    envelopes. Unparseable payloads yield a row with NULL title/links
+    rather than failing the segment (mirrors the walker's malformed-record
+    policy)."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path)
+
+    schema = (
+        "url string, warc_ts timestamp, title string, "
+        "n_links bigint, links array<string>"
+    )
+
+    def parse(batches):
+        import gzip
+        import io
+        import json
+        from datetime import datetime, timezone
+
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "url": [], "warc_ts": [], "title": [], "n_links": [], "links": [],
+            }
+            for content in pdf["content"]:
+                data = bytes(content)
+                if data[:2] == b"\x1f\x8b":
+                    stream = gzip.GzipFile(fileobj=io.BytesIO(data))
+                else:
+                    stream = io.BytesIO(data)
+                for headers, body in _iter_warc_records(stream):
+                    if headers.get("warc-type") != "metadata":
+                        continue
+                    url = headers.get("warc-target-uri")
+                    if not url:
+                        continue
+                    ts = None
+                    raw_ts = headers.get("warc-date", "")
+                    try:
+                        ts = datetime.strptime(
+                            raw_ts, "%Y-%m-%dT%H:%M:%SZ"
+                        ).replace(tzinfo=timezone.utc)
+                    except ValueError:
+                        try:
+                            ts = datetime.fromisoformat(
+                                raw_ts.replace("Z", "+00:00")
+                            )
+                            if ts.tzinfo is None:
+                                ts = ts.replace(tzinfo=timezone.utc)
+                        except ValueError:
+                            ts = None
+                    title = None
+                    links: list | None = None
+                    try:
+                        env = json.loads(body.decode("utf-8", errors="replace"))
+                        # CC-WAT layout: Envelope -> Payload-Metadata ->
+                        # HTTP-Response-Metadata -> HTML-Metadata
+                        html_md = (
+                            env.get("Envelope", {})
+                            .get("Payload-Metadata", {})
+                            .get("HTTP-Response-Metadata", {})
+                            .get("HTML-Metadata", {})
+                        )
+                        head = html_md.get("Head", {})
+                        title = head.get("Title")
+                        raw_links = html_md.get("Links", [])
+                        links = [
+                            l["url"] for l in raw_links
+                            if isinstance(l, dict) and l.get("url")
+                        ]
+                    except (ValueError, AttributeError, TypeError):
+                        pass
+                    rows["url"].append(url)
+                    rows["warc_ts"].append(ts)
+                    rows["title"].append(title)
+                    rows["n_links"].append(
+                        len(links) if links is not None else None
+                    )
+                    rows["links"].append(links)
+            yield pd.DataFrame(rows)
+
+    return files.select("content").mapInPandas(parse, schema=schema)

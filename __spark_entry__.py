@@ -566,7 +566,15 @@ def q_gopher_quality(spark, sf_dir):
     clf = linear_text_classifier(
         d, weights, buckets=2000, bias=0.25
     ).withColumnRenamed("id", "doc_id")
-    return g.join(lm, "doc_id").join(ds, "doc_id").join(clf, "doc_id")
+    joined = g.join(lm, "doc_id").join(ds, "doc_id").join(clf, "doc_id")
+    # CCNet head/middle/tail routing (lm.perplexity_buckets): tercile
+    # thresholds are rank-based scalars fit on the deterministic 50%
+    # md5-hash sample and inlined as literals (IVF-centroid precedent)
+    from textractssmlprocessor_spark.operators.lm import perplexity_buckets
+
+    return perplexity_buckets(
+        joined, score_col="lm_avg_logprob", id_col="doc_id", sample_frac=0.5
+    )
 
 
 def q_repetition_stats(spark, sf_dir):
@@ -2606,18 +2614,39 @@ def oracle_sql() -> dict[str, str]:
                        round(sum((cell % 7 - 3) * 0.1) + 0.25, 6) AS clf_logit,
                        round(1.0 / (1.0 + exp(-(sum((cell % 7 - 3) * 0.1) + 0.25))), 6) AS clf_prob
                 FROM cells GROUP BY 1
-            )
-            SELECT g.*,
-                   coalesce(per.lm_n_bigrams, 0)::BIGINT AS lm_n_bigrams,
-                   per.lm_avg_logprob, per.lm_oov_frac,
-                   coalesce(dper.dsir_n_grams, 0)::BIGINT AS dsir_n_grams,
-                   dper.dsir_logratio,
-                   coalesce(cper.clf_n_grams, 0)::BIGINT AS clf_n_grams,
-                   cper.clf_logit, cper.clf_prob
-            FROM g
-            LEFT JOIN per ON g.doc_id = per.doc_id
-            LEFT JOIN dper ON g.doc_id = dper.doc_id
-            LEFT JOIN cper ON g.doc_id = cper.doc_id
+            ),
+            joined AS (
+                SELECT g.*,
+                       coalesce(per.lm_n_bigrams, 0)::BIGINT AS lm_n_bigrams,
+                       per.lm_avg_logprob, per.lm_oov_frac,
+                       coalesce(dper.dsir_n_grams, 0)::BIGINT AS dsir_n_grams,
+                       dper.dsir_logratio,
+                       coalesce(cper.clf_n_grams, 0)::BIGINT AS clf_n_grams,
+                       cper.clf_logit, cper.clf_prob
+                FROM g
+                LEFT JOIN per ON g.doc_id = per.doc_id
+                LEFT JOIN dper ON g.doc_id = dper.doc_id
+                LEFT JOIN cper ON g.doc_id = cper.doc_id
+            ),
+            -- CCNet tercile replay (lm.perplexity_buckets): rank-based
+            -- thresholds (min of the top-k multiset — no interpolation)
+            -- over the deterministic 50% md5-hash sample
+            psamp AS (
+                SELECT lm_avg_logprob AS v FROM joined
+                WHERE (('0x' || substr(md5('ppl-v1' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000) < 5000
+            ),
+            pm AS (SELECT count(*) AS n FROM psamp),
+            pt1 AS (SELECT min(v) AS t FROM (
+                SELECT v FROM psamp ORDER BY v DESC
+                LIMIT (SELECT greatest(ceil(n / 3.0)::BIGINT, 1) FROM pm))),
+            pt2 AS (SELECT min(v) AS t FROM (
+                SELECT v FROM psamp ORDER BY v DESC
+                LIMIT (SELECT greatest(ceil(2.0 * n / 3.0)::BIGINT, 1) FROM pm)))
+            SELECT joined.*,
+                   CASE WHEN lm_avg_logprob >= pt1.t THEN 'head'
+                        WHEN lm_avg_logprob >= pt2.t THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM joined CROSS JOIN pt1 CROSS JOIN pt2
         """,
         "repetition_stats": """
             WITH d AS (

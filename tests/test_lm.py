@@ -88,3 +88,29 @@ def test_tokenizer_is_ascii_alnum(spark):
         [("Don't stop—it's 42, café",)], "text string"
     ).select(tokens_column(F.col("text")).alias("t"))
     assert df.collect()[0]["t"] == ["don", "t", "stop", "it", "s", "42", "caf"]
+
+
+def test_perplexity_buckets_terciles(spark):
+    from textractssmlprocessor_spark.operators.lm import perplexity_buckets
+
+    scored = spark.createDataFrame(
+        [(i, float(-i)) for i in range(9)],  # scores 0..-8, higher = better
+        "id bigint, lm_avg_logprob double",
+    )
+    got = {r["id"]: r["ppl_bucket"] for r in perplexity_buckets(scored).collect()}
+    assert [got[i] for i in range(9)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+    # boundary ties take the better bucket
+    tied = spark.createDataFrame(
+        [(0, -1.0), (1, -2.0), (2, -2.0), (3, -2.0), (4, -3.0), (5, -4.0)],
+        "id bigint, lm_avg_logprob double",
+    )
+    g2 = {r["id"]: r["ppl_bucket"] for r in perplexity_buckets(tied).collect()}
+    # k1 = 2 -> t1 = -2.0; k2 = 4 -> t2 = -2.0 too: every -2.0 takes the
+    # better bucket and the middle band collapses (documented tie rule)
+    assert g2[0] == "head" and g2[1] == g2[2] == g2[3] == "head"
+    assert g2[4] == "tail" and g2[5] == "tail"
+    # empty input: NULL labels, no crash
+    empty = spark.createDataFrame([], "id bigint, lm_avg_logprob double")
+    assert perplexity_buckets(empty).count() == 0

@@ -199,3 +199,55 @@ def lm_perplexity(
             "lm_oov_frac",
         )
     )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    score_col: str = "lm_avg_logprob",
+    id_col: str = "id",
+    sample_frac: float = 1.0,
+    salt: str = "ppl-v1",
+    out_col: str = "ppl_bucket",
+) -> DataFrame:
+    """CCNet's head/middle/tail routing (Wenzek et al. 2020 §4.3): rank
+    documents by LM score and cut the corpus into terciles — 'head' (most
+    fluent) trains first-class, 'tail' is usually dropped. Returns
+    ``scored`` plus a label column.
+
+    Thresholds are the k-th highest score at k = ceil(m/3) and
+    ceil(2m/3) over a DETERMINISTIC md5-hash sample (sampling.hash_bucket,
+    so membership replays in any engine) — rank-based, not interpolated
+    percentiles, because engines disagree on quantile interpolation but
+    "min of the top-k multiset" is identical everywhere, ties included
+    (boundary ties all take the better bucket in both engines).
+
+    Scale shape: thresholds are DRIVER-SIDE SCALARS computed at plan-build
+    time (one count + two TakeOrdered jobs over the bounded sample —
+    CCNet itself fits thresholds on a sample) and inlined as literals, the
+    IVF-centroid precedent (similarity.py); labeling the full corpus is
+    then pure map-side. Keep ``sample_frac`` small enough that
+    sample/3 rows fit the driver comfortably (the TakeOrdered merge);
+    at 10^12 docs use ~10^-6."""
+    import math
+
+    from textractssmlprocessor_spark.operators.sampling import hash_bucket
+
+    samp = scored
+    if sample_frac < 1.0:
+        samp = scored.filter(
+            hash_bucket(F.col(id_col), salt) < int(sample_frac * 10000)
+        )
+    samp = samp.select(F.col(score_col).alias("v"))
+    m = samp.count()
+    if m == 0:
+        return scored.withColumn(out_col, F.lit(None).cast("string"))
+    k1 = max(1, math.ceil(m / 3.0))
+    k2 = max(1, math.ceil(2.0 * m / 3.0))
+    t1 = samp.orderBy(F.col("v").desc()).limit(k1).agg(F.min("v")).first()[0]
+    t2 = samp.orderBy(F.col("v").desc()).limit(k2).agg(F.min("v")).first()[0]
+    return scored.withColumn(
+        out_col,
+        F.when(F.col(score_col) >= t1, F.lit("head"))
+        .when(F.col(score_col) >= t2, F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )

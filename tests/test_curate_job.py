@@ -160,3 +160,51 @@ def test_build_manifest_host_cap_and_dsir_stages(spark):
     # the docs kept by the host-cap run now carry dsir_low specifically
     for i in kept_before:
         assert rows2[i]["drop_reason"] == "dsir_low"
+
+
+def test_build_manifest_history_gates(spark):
+    """Incremental pass: docs whose content (exact) or near-content (band
+    collision) appeared in prior passes drop with seen_exact / seen_near
+    before any other optional stage."""
+    from pyspark.sql import functions as F
+
+    from textractssmlprocessor_spark.jobs.curate_job import build_manifest
+    from textractssmlprocessor_spark.operators.dedup import minhash_band_table
+    from textractssmlprocessor_spark.operators.textstats import fingerprint
+
+    base = " The cat and the dog of the house is that with us in there."
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                (" ".join(f"tok{i}x{j}" for j in range(60))) + base,
+                "en",
+            )
+            for i in range(12)
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    # prior pass = docs 0-5; this pass re-crawls 0-2 verbatim (seen_exact),
+    # 3-4 with a tiny suffix (near: shingle overlap keeps all bands equal?
+    # no — appended words change trailing shingles, but 4 bands over 16
+    # minhashes tolerate small edits), and brings 6-11 fresh
+    prior = docs.filter(F.col("doc_id") <= 5)
+    hist_fp = prior.select(fingerprint(F.col("text")).alias("fingerprint"))
+    hist_bands = minhash_band_table(prior)
+    this_pass = docs.filter(F.col("doc_id") >= 6).unionByName(
+        docs.filter(F.col("doc_id") <= 2)
+    ).unionByName(
+        docs.filter(F.col("doc_id").isin(3, 4)).select(
+            "doc_id",
+            F.concat("text", F.lit(" tail")).alias("text"),
+            "lang",
+        )
+    )
+    m = {r["id"]: r for r in build_manifest(
+        this_pass, languages=["en"],
+        history_fingerprints=hist_fp, history_bands=hist_bands,
+    ).collect()}
+    assert all(m[i]["drop_reason"] == "seen_exact" for i in (0, 1, 2))
+    # near-copies: at least one of 4 bands collides -> seen_near
+    assert all(m[i]["drop_reason"] == "seen_near" for i in (3, 4))
+    assert all(m[i]["kept"] for i in range(6, 12))

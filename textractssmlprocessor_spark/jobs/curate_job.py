@@ -60,11 +60,18 @@ def build_manifest(
     dsir_target=None,
     dsir_min=None,
     dsir_buckets: int = 10000,
+    history_fingerprints=None,
+    history_bands=None,
 ):
     """Compose the curation verdicts; importable and unit-testable without
     spark-submit. Returns (id, kept, drop_reason) — total over the input.
-    Stage order (each optional stage sees only prior keepers): language/
-    Gopher/exact-dedup -> per-host cap ('host_cap', needs ``url_col`` +
+    Stage order (each optional stage sees only prior keepers): incremental
+    history gates FIRST (cheapest drops: 'seen_exact' via the Bloom
+    sketch-then-verify against ``history_fingerprints``, a 1-column
+    fingerprint table from prior passes; 'seen_near' via the MinHash band
+    probe against ``history_bands``, the (id, bucket) table
+    dedup.minhash_band_table persists per pass) -> language/Gopher/
+    exact-dedup -> per-host cap ('host_cap', needs ``url_col`` +
     ``max_per_host``) -> near-dup CC ('near_duplicate') -> DSIR
     target-likeness floor ('dsir_low', needs ``dsir_target`` +
     ``dsir_min``).
@@ -106,6 +113,30 @@ def build_manifest(
                 ).alias("drop_reason"),
             )
         )
+
+    if history_fingerprints is not None:
+        from textractssmlprocessor_spark.operators.delta import (
+            new_against_history_bloom,
+        )
+
+        k = keepers()
+        fresh = new_against_history_bloom(
+            k, history_fingerprints, id_col=id_col, text_col=text_col
+        ).select(id_col)
+        seen = k.select(id_col).join(fresh, id_col, "left_anti")
+        manifest = apply_drops(seen, "seen_exact")
+
+    if history_bands is not None:
+        from textractssmlprocessor_spark.operators.dedup import (
+            near_dupes_against_history,
+        )
+
+        k = keepers()
+        fresh = near_dupes_against_history(
+            k, history_bands, id_col=id_col, text_col=text_col
+        ).select(id_col)
+        seen = k.select(id_col).join(fresh, id_col, "left_anti")
+        manifest = apply_drops(seen, "seen_near")
 
     if max_per_host and url_col:
         from textractssmlprocessor_spark.operators.weburl import cap_per_host
@@ -166,6 +197,15 @@ def main() -> None:
                    help="parquet path of the high-quality target corpus")
     p.add_argument("--dsir-min", type=float, default=None,
                    help="drop docs with DSIR log-ratio below this floor")
+    p.add_argument("--history-dir", default=None,
+                   help="dir with fingerprints.parquet / bands.parquet from "
+                        "prior passes; enables the seen_exact / seen_near "
+                        "incremental gates (whichever tables exist)")
+    p.add_argument("--write-history-dir", default=None,
+                   help="write THIS pass's kept docs' fingerprint + MinHash "
+                        "band tables here (the artifacts the next pass's "
+                        "--history-dir consumes; append them to the "
+                        "accumulated history in production)")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -186,6 +226,16 @@ def main() -> None:
 
     docs = spark.read.parquet(args.input)
     langs = args.languages.split(",") if args.languages else None
+    hist_fp = hist_bands = None
+    if args.history_dir:
+        import os
+
+        fp_path = os.path.join(args.history_dir, "fingerprints.parquet")
+        bd_path = os.path.join(args.history_dir, "bands.parquet")
+        if os.path.exists(fp_path):
+            hist_fp = spark.read.parquet(fp_path)
+        if os.path.exists(bd_path):
+            hist_bands = spark.read.parquet(bd_path)
     manifest = build_manifest(
         docs,
         languages=langs,
@@ -201,6 +251,8 @@ def main() -> None:
             spark.read.parquet(args.dsir_target) if args.dsir_target else None
         ),
         dsir_min=args.dsir_min,
+        history_fingerprints=hist_fp,
+        history_bands=hist_bands,
     )
     # the manifest is consumed up to three times (write, kept count, kept
     # join) — write it FIRST, then serve the other consumers from a
@@ -217,6 +269,28 @@ def main() -> None:
             args.id_col,
         )
         kept.write.mode("overwrite").parquet(args.kept_output)
+    if args.write_history_dir:
+        import os
+
+        from textractssmlprocessor_spark.operators.dedup import (
+            minhash_band_table,
+        )
+        from textractssmlprocessor_spark.operators.textstats import fingerprint
+
+        kept_docs = docs.join(
+            written.filter(F.col("kept")).select(F.col("id").alias(args.id_col)),
+            args.id_col,
+        )
+        kept_docs.select(
+            fingerprint(F.col(args.text_col)).alias("fingerprint")
+        ).distinct().write.mode("overwrite").parquet(
+            os.path.join(args.write_history_dir, "fingerprints.parquet")
+        )
+        minhash_band_table(
+            kept_docs, id_col=args.id_col, text_col=args.text_col
+        ).write.mode("overwrite").parquet(
+            os.path.join(args.write_history_dir, "bands.parquet")
+        )
     print(f"manifest rows kept this run: {n_kept}")
     spark.stop()
 

@@ -898,6 +898,11 @@ def q_cleaning_suite(spark, sf_dir):
         F.concat(
             F.lit("<p>Tagged</p>  intro\n\n  \n"), F.col("text"), F.lit("  end  ")
         ).alias("tc"),
+        F.concat(
+            F.lit("Shared nav line\nunique intro\nShared nav line\n\n"),
+            F.substring("text", 1, 30),
+            F.lit("\n  Shared nav line \nThe End"),
+        ).alias("tr"),
     )
     # F1: drop short all-caps lines
     kept = F.filter(
@@ -921,11 +926,17 @@ def q_cleaning_suite(spark, sf_dir):
     tc_lines = F.filter(
         F.transform(F.split(tc, "\n", -1), lambda x: F.trim(x)), lambda x: x != ""
     )
+    # intra-doc repeated-line removal (textnorm.drop_repeated_lines_within)
+    from textractssmlprocessor_spark.operators.textnorm import (
+        drop_repeated_lines_within,
+    )
+
     return d.select(
         "doc_id",
         F.array_join(kept, "\n").alias("no_headers"),
         tn.alias("no_notes"),
         F.array_join(tc_lines, "\n").alias("cleaned"),
+        drop_repeated_lines_within(F.col("tr")).alias("no_repeats"),
     )
 
 
@@ -3160,8 +3171,15 @@ def oracle_sql() -> dict[str, str]:
                        'THE VERY LONG RUNNING HEAD OF PAGES' || chr(10) || 'last line.' AS th,
                        'intro [Note: drop [nested [deep]]] ' || text ||
                        ' mid [stray] <p> </p> tail<br> <small> </small>.' AS tn,
-                       '<p>Tagged</p>  intro' || chr(10) || chr(10) || '  ' || chr(10) || text || '  end  ' AS tc
+                       '<p>Tagged</p>  intro' || chr(10) || chr(10) || '  ' || chr(10) || text || '  end  ' AS tc,
+                       'Shared nav line' || chr(10) || 'unique intro' || chr(10) || 'Shared nav line' || chr(10) || chr(10)
+                       || substr(text, 1, 30) || chr(10) || '  Shared nav line ' || chr(10) || 'The End' AS tr
                 FROM documents
+            ),
+            rl AS (
+                SELECT doc_id, string_split(tr, chr(10)) AS ls,
+                       list_transform(string_split(tr, chr(10)), x -> trim(x)) AS ks
+                FROM d
             )
             SELECT doc_id,
                    array_to_string(
@@ -3185,7 +3203,11 @@ def oracle_sql() -> dict[str, str]:
                                string_split(regexp_replace(regexp_replace(tc, '<[^>]+>', '', 'g'), ' +', ' ', 'g'), chr(10)),
                                x -> trim(x)),
                            x -> x != ''),
-                       chr(10)) AS cleaned
+                       chr(10)) AS cleaned,
+                   (SELECT array_to_string(
+                        list_filter(rl.ls, (x, i) -> trim(x) = '' OR list_position(rl.ks, trim(x)) = i),
+                        chr(10))
+                    FROM rl WHERE rl.doc_id = d.doc_id) AS no_repeats
             FROM d
         """,
         "split_sections": """

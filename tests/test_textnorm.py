@@ -169,3 +169,26 @@ def test_char_entropy_and_compression_ratio(spark):
         for r in with_compression_ratio(docs).collect()
     }
     assert cr == cr2
+
+
+def test_drop_repeated_lines_within(spark):
+    from textractssmlprocessor_spark.operators.textnorm import (
+        drop_repeated_lines_within,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "nav\nbody one\nnav\n\nbody two\n  nav \nnav"),
+            (2, "only\nunique\nlines"),
+            (3, ""),
+        ],
+        "id bigint, t string",
+    )
+    got = {r["id"]: r["out"] for r in docs.select(
+        "id", drop_repeated_lines_within(F.col("t")).alias("out")
+    ).collect()}
+    # repeats of the trimmed form drop (incl. the padded '  nav '); the
+    # whitespace-only line survives
+    assert got[1] == "nav\nbody one\n\nbody two"
+    assert got[2] == "only\nunique\nlines"
+    assert got[3] == ""

@@ -131,3 +131,33 @@ MOJIBAKE_SAMPLE = "caf\u00c3\u00a9 \u00e2\u20ac\u201c \u00e2\u20ac\u0153ok\u00e2
 MOJIBAKE_SAMPLE_FIXED = "caf\u00e9 \u2013 \u201cok\u201d \u00a9"
 NFD_SAMPLE = "Cafe\u0301 nai\u0308ve "
 NFD_SAMPLE_NFC = "Caf\u00e9 na\u00efve "
+
+
+def drop_repeated_lines_within(col):
+    """First-occurrence-wins removal of repeated lines WITHIN one document
+    (the intra-doc half of repetition handling — the corpus-wide half is
+    dedup.drop_duplicate_sentences): a line whose trimmed form already
+    appeared earlier in the same document is dropped; whitespace-only
+    lines always survive (they are structure, not content). Returns the
+    rebuilt text (newline-joined).
+
+    Pure map-side array expression — no shuffle, no Python. The keys
+    array is MATERIALIZED via a single transform before the filter so the
+    positional lookup reads a bound value (the higher-order re-evaluation
+    discipline); array_position makes the filter O(lines^2) per document,
+    bounded by per-doc line counts (host_suffixes' documented trade —
+    fine at hundreds of lines, wrong for megline documents)."""
+    from pyspark.sql import functions as F
+
+    lines = F.split(col, "\n", -1)
+    keys = F.transform(lines, lambda x: F.trim(x))
+    kept = F.zip_with(
+        lines,
+        F.transform(
+            F.sequence(F.lit(1), F.size(lines)),
+            lambda i: (F.element_at(keys, i) == "")
+            | (F.array_position(keys, F.element_at(keys, i)) == i.cast("long")),
+        ),
+        lambda line, keep: F.when(keep, line),
+    )
+    return F.array_join(F.filter(kept, lambda x: x.isNotNull()), "\n")

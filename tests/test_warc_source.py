@@ -200,3 +200,26 @@ def test_wat_metadata_records_to_link_table(spark, tmp_path):
     assert good["n_links"] == 2
     bad = rows["https://wat.example.org/2"]
     assert bad["title"] is None and bad["links"] is None and bad["n_links"] is None
+
+
+def test_jsonl_sink_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from textractssmlprocessor_spark.sources import read_jsonl, write_jsonl
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} body", ["a", "b"][: i % 3]) for i in range(20)],
+        "doc_id bigint, text string, tags array<string>",
+    )
+    target = str(tmp_path / "corpus.jsonl")
+    write_jsonl(docs, target, compression="gzip")
+    import glob
+
+    assert glob.glob(f"{target}/*.json.gz")  # compressed shard files
+    back = read_jsonl(
+        spark, target, schema="doc_id bigint, text string, tags array<string>"
+    )
+    assert back.count() == 20
+    orig = {r["doc_id"]: (r["text"], r["tags"]) for r in docs.collect()}
+    got = {r["doc_id"]: (r["text"], r["tags"]) for r in back.collect()}
+    assert got == orig

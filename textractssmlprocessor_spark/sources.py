@@ -300,3 +300,28 @@ def read_wat(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return files.select("content").mapInPandas(parse, schema=schema)
+
+
+def write_jsonl(
+    df: DataFrame, target: str, compression: str = "gzip"
+) -> None:
+    """Training-data export sink: newline-delimited JSON, compressed —
+    the interchange format LLM data pipelines emit (Dolma/RedPajama ship
+    jsonl.gz/zst shards; every tokenizer/trainer stack reads it).
+
+    Thin by design: Spark's native JSON datasource already does the right
+    distributed thing (one file per partition, records are the rows,
+    codec applied per file) — size shards UPSTREAM with repartition()
+    to the target docs-per-shard (shards.pack_shards computes
+    token-budgeted assignments when budgets matter more than counts).
+    Complex columns (arrays/structs) serialize as nested JSON natively."""
+    df.write.mode("overwrite").option("compression", compression).json(target)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Read the sink's output back (schema optional but ALWAYS pass one in
+    production — schema inference scans the data twice and types drift)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

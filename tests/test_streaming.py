@@ -388,3 +388,84 @@ def test_dedup_stream_arrival_order_and_restart(spark, tmp_path):
 
     assert run() == {5, 9}  # id 5 arrived first; the later id 3 is a repeat
     assert run() == {5, 9}  # restart, no new files: nothing re-emitted
+
+
+# --- streaming near-dup gate (streaming/dedup_near_stream.py) ---------------
+
+
+def _near_corpus(spark, lo, hi, copies_of=()):
+    from pyspark.sql import functions as F
+
+    base = spark.range(lo, hi).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[F.concat(F.lit(f"w{j}tok"), F.col("id").cast("string")) for j in range(40)],
+        ).alias("text"),
+    )
+    if copies_of:
+        near = spark.createDataFrame(
+            [(src + 1000, src) for src in copies_of], "doc_id bigint, src bigint"
+        )
+        copies = (
+            base.select(F.col("doc_id").alias("src"), "text")
+            .join(near, "src")
+            .select("doc_id", F.concat("text", F.lit(" tail")).alias("text"))
+        )
+        return copies
+    return base
+
+
+def test_near_dedup_batches_gate_against_history(spark, tmp_path):
+    from textractssmlprocessor_spark.streaming.dedup_near_stream import (
+        process_near_dedup_batch,
+    )
+
+    hist = str(tmp_path / "hist")
+    surv = str(tmp_path / "surv")
+    b0 = _near_corpus(spark, 0, 10)
+    # batch 1: near-copies of docs 0-2 (ids 1000-1002), fresh 13/14, and an
+    # intra-batch near pair (15 and its copy 1015)
+    b1 = (
+        _near_corpus(spark, 13, 16)
+        .unionByName(_near_corpus(spark, 0, 10, copies_of=(0, 1, 2)))
+        .unionByName(_near_corpus(spark, 0, 16, copies_of=(15,)))
+    )
+    process_near_dedup_batch(b0, 0, hist, surv)
+    process_near_dedup_batch(b1, 1, hist, surv)
+    got0 = {r["doc_id"] for r in spark.read.parquet(f"{surv}/batch-0").collect()}
+    got1 = {r["doc_id"] for r in spark.read.parquet(f"{surv}/batch-1").collect()}
+    assert got0 == set(range(10))
+    # history near-copies die; fresh 13/14 live; intra-batch pair keeps min
+    assert got1 == {13, 14, 15}
+    # replaying batch 1 (crash-recovery path) is idempotent
+    process_near_dedup_batch(b1, 1, hist, surv)
+    again = {r["doc_id"] for r in spark.read.parquet(f"{surv}/batch-1").collect()}
+    assert again == got1
+
+
+def test_near_dedup_streaming_query_runs(spark, tmp_path):
+    import glob
+
+    from textractssmlprocessor_spark.streaming.dedup_near_stream import (
+        dedup_near_stream,
+    )
+
+    src = str(tmp_path / "in")
+    _near_corpus(spark, 0, 8).unionByName(
+        _near_corpus(spark, 0, 8, copies_of=(3,))
+    ).write.parquet(src)
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    q = dedup_near_stream(
+        stream,
+        history_dir=str(tmp_path / "hist"),
+        survivors_dir=str(tmp_path / "surv"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = set()
+    for p in glob.glob(str(tmp_path / "surv" / "batch-*")):
+        out |= {r["doc_id"] for r in spark.read.parquet(p).collect()}
+    assert out == set(range(8))  # the near-copy of 3 (id 1003) is gone
+    assert glob.glob(str(tmp_path / "hist" / "batch-*"))

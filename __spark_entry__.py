@@ -530,9 +530,29 @@ def q_url_normalize(spark, sf_dir):
         F.col("n_dupes").alias("n"),
         nulls["n2"], nulls["matched"],
     )
+    # (9) frontier — politeness-aware crawl ordering (weburl.
+    # crawl_frontier_order): round-robin across hosts via host-partitioned
+    # rank + blocked global row_number (bit-identical to a global window,
+    # none used)
+    from textractssmlprocessor_spark.operators.weburl import (
+        crawl_frontier_order,
+    )
+
+    fr = crawl_frontier_order(
+        d.select("doc_id", F.col("u3").alias("url"))
+    ).select(
+        F.lit("frontier").alias("variant"),
+        F.col("id").alias("doc_id"),
+        nulls["canonical_url"],
+        "host",
+        F.col("frontier_pos").alias("n"),
+        F.col("host_rank").alias("n2"),
+        nulls["matched"],
+    )
     return (
         norm.unionByName(dd).unionByName(ds).unionByName(bl)
         .unionByName(hc).unionByName(cd).unionByName(rb).unionByName(cn)
+        .unionByName(fr)
     )
 
 
@@ -2503,6 +2523,27 @@ def oracle_sql() -> dict[str, str]:
                            END AS canon
                     FROM documents
                 ) GROUP BY canon
+            )
+            UNION ALL
+            -- frontier variant: round-robin politeness interleave — the
+            -- oracle USES the global window the Spark side provably avoids
+            SELECT 'frontier', doc_id, NULL::VARCHAR, host,
+                   frontier_pos, host_rank, NULL::VARCHAR
+            FROM (
+                WITH fu AS (
+                    SELECT doc_id,
+                           (CASE WHEN doc_id % 4 = 0 THEN 'deep.sub.' ELSE '' END)
+                           || 'host-' || source || '.example.org' AS host
+                    FROM documents
+                ),
+                fr AS (
+                    SELECT doc_id, host,
+                           row_number() OVER (PARTITION BY host ORDER BY doc_id)::BIGINT AS host_rank
+                    FROM fu
+                )
+                SELECT doc_id, host, host_rank,
+                       row_number() OVER (ORDER BY host_rank, host, doc_id)::BIGINT AS frontier_pos
+                FROM fr
             )
         """,
         "gopher_quality": """

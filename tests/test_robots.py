@@ -150,3 +150,22 @@ def test_host_quality_rollup(spark):
     ).collect()}
     assert nop["mixed.net"]["host_verdict"] is True
     assert nop["mixed.net"]["pass_frac"] is None
+
+
+def test_crawl_frontier_round_robin(spark):
+    from textractssmlprocessor_spark.operators.weburl import crawl_frontier_order
+
+    pages = spark.createDataFrame(
+        [(i, f"https://h{i % 5}.org/p/{i}") for i in range(40)],
+        "doc_id bigint, url string",
+    )
+    got = sorted(
+        crawl_frontier_order(pages).collect(), key=lambda r: r["frontier_pos"]
+    )
+    assert [r["frontier_pos"] for r in got] == list(range(1, 41))
+    # round-robin: every consecutive window of 5 dispatches hits 5 DISTINCT
+    # hosts, and ranks are non-decreasing along the frontier
+    for w in range(0, 40, 5):
+        assert len({r["host"] for r in got[w : w + 5]}) == 5
+    ranks = [r["host_rank"] for r in got]
+    assert ranks == sorted(ranks)

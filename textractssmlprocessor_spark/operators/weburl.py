@@ -366,3 +366,41 @@ def host_quality_rollup(
         "host", "n_docs", "mean_score", "pass_frac",
         verdict.alias("host_verdict"),
     )
+
+
+def crawl_frontier_order(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Politeness-aware frontier ordering: interleave urls round-robin
+    across hosts so consecutive fetches never hammer one host — rank 1 of
+    every host first (ordered by host), then rank 2 of every host, and so
+    on. Returns (id, host, host_rank, frontier_pos) with frontier_pos a
+    total order starting at 1 — the dispatch sequence a crawl scheduler
+    walks.
+
+    Scale shape: host_rank is a HOST-partitioned window (parallel;
+    deterministic by ascending id); the global interleave position is
+    ordering.blocked_row_number with host_rank as the block key — a
+    monotone coarsening of the (host_rank, host) sort, so the result is
+    bit-identical to row_number() over the corpus-global ordering WITHOUT
+    a single-task global window (ordering.py's construction; the only
+    single-task scan is over #blocks = max pages per host)."""
+    from pyspark.sql import Window
+
+    from textractssmlprocessor_spark.operators.ordering import (
+        blocked_row_number,
+    )
+
+    keyed = df.select(
+        F.col(id_col).alias("id"), url_host(F.col(url_col)).alias("host")
+    )
+    w = Window.partitionBy("host").orderBy("id")
+    ranked = keyed.withColumn(
+        "host_rank", F.row_number().over(w).cast("bigint")
+    )
+    return blocked_row_number(
+        ranked, block=F.col("host_rank"), within=[F.col("host"), F.col("id")],
+        out="frontier_pos",
+    )

@@ -141,3 +141,30 @@ def test_top_ngrams_heavy_hitters(corpus):
     # on ascending gram, so 'lazy dog' leads
     bi = [(r["gram"], r["n_occurrences"]) for r in top_ngrams(corpus, n=2, k=2).collect()]
     assert bi == [("lazy dog", 2), ("the quick", 2)]
+
+
+# --- property: BM25 vs the pure-Python reference on random corpora ----------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_words = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"])
+_doc = st.lists(_words, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=12, deadline=None)  # each example runs a Spark job
+@given(
+    texts=st.lists(_doc, min_size=2, max_size=8),
+    query=st.lists(_words, min_size=1, max_size=3).map(" ".join),
+)
+def test_bm25_property_matches_reference(spark, texts, query):
+    from textractssmlprocessor_spark.operators.retrieval import bm25_topk
+
+    corpus = list(enumerate(texts))
+    df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    got = [(r["doc_id"], r["score"]) for r in bm25_topk(df, query, k=20).collect()]
+    ref = _bm25_py(corpus, query)
+    expect = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [i for i, _ in got] == [i for i, _ in expect]
+    for (_, a), (_, b) in zip(got, expect):
+        assert a == pytest.approx(b, abs=2e-6)

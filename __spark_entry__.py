@@ -69,6 +69,11 @@ def q_doc_stats(spark, sf_dir):
         subsample_by_group,
     )
 
+    # url-shape quality signals (weburl.url_quality_columns) over seeded
+    # messy urls: %3 slice gains a spammy token + numeric path, %5 slice a
+    # deep tracking-parameter url — every column branch is live
+    from textractssmlprocessor_spark.operators.weburl import url_quality_columns
+
     n = F.length("text")
     words = F.regexp_extract_all("text", F.lit(WORD_RE), F.lit(0))
     d = subsample_by_group(
@@ -76,6 +81,23 @@ def q_doc_stats(spark, sf_dir):
         {"src0": 0.25, "src1": 0.5, "src2": 0.75},
         out_col="mix_keep",
     )
+    seeded_url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("ads.")).otherwise(F.lit("www.")),
+        F.lit("site-"), F.col("source"), F.lit(".example.org"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("/p/1234/567/"), F.col("doc_id").cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("/a/b/c/d?x=1&y=2&utm_source=feed#frag"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("/page/"), F.col("doc_id").cast("string"))),
+    )
+    uq = url_quality_columns(seeded_url)
     return split_assign(d, id_col="doc_id").select(
         "doc_id",
         n.cast("bigint").alias("character_count"),
@@ -92,6 +114,7 @@ def q_doc_stats(spark, sf_dir):
         ).alias("preview"),
         "split",
         "mix_keep",
+        *[c.alias(name) for name, c in uq.items()],
     )
 
 
@@ -2112,6 +2135,20 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "doc_stats": f"""
+            WITH du AS (
+                SELECT *,
+                       'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'ads.' ELSE 'www.' END)
+                       || 'site-' || source || '.example.org'
+                       || (CASE WHEN doc_id % 3 = 0 THEN '/p/1234/567/' || doc_id::VARCHAR
+                                WHEN doc_id % 5 = 0 THEN '/a/b/c/d?x=1&y=2&utm_source=feed#frag'
+                                ELSE '/page/' || doc_id::VARCHAR END) AS u
+                FROM documents
+            ),
+            dq AS (
+                SELECT *,
+                       substr(u, length(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*)', 1)) + 1) AS rest
+                FROM du
+            )
             SELECT doc_id,
                    length(text)::BIGINT AS character_count,
                    round(length(text)/1000000.0*20, 6) AS gpt_cost,
@@ -2127,8 +2164,15 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split,
                    (('0x' || substr(md5('mix-v1' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000)
                    < (CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 5000
-                                  WHEN 'src2' THEN 7500 ELSE 10000 END) AS mix_keep
-            FROM documents
+                                  WHEN 'src2' THEN 7500 ELSE 10000 END) AS mix_keep,
+                   length(u)::BIGINT AS url_len,
+                   len(list_filter(string_split(string_split(string_split(rest, '?')[1], '#')[1], '/'), p -> p != ''))::BIGINT AS path_depth,
+                   round(length(regexp_replace(u, '[^0-9]', '', 'g')) / length(u)::DOUBLE, 6) AS url_digit_ratio,
+                   (CASE WHEN strpos(rest, '?') > 0
+                         THEN len(list_filter(string_split(string_split(string_split(rest, '?')[-1], '#')[1], '&'), p -> p != ''))
+                         ELSE 0 END)::BIGINT AS query_param_count,
+                   nullif(lower(regexp_extract(lower(u), '(ads|tracker|clickbait|redirect|popup)', 1)), '') AS url_suspect
+            FROM dq
         """,
         "text_profile": f"""
             WITH sdocs AS (

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from textractssmlprocessor_spark.operators.robots import _parse_robots_txt
 
 POLICY = """# crawl policy
@@ -169,3 +171,28 @@ def test_crawl_frontier_round_robin(spark):
         assert len({r["host"] for r in got[w : w + 5]}) == 5
     ranks = [r["host_rank"] for r in got]
     assert ranks == sorted(ranks)
+
+
+def test_url_quality_columns(spark):
+    from textractssmlprocessor_spark.operators.weburl import url_quality_columns
+
+    urls = spark.createDataFrame(
+        [
+            (1, "https://ads.site.org/p/1234/567/89"),
+            (2, "https://www.site.org/a/b/c/d?x=1&y=2&z=3#frag"),
+            (3, "https://clean.org/"),
+            (4, "https://www.site.org/page"),
+        ],
+        "id bigint, u string",
+    )
+    cols = url_quality_columns(F.col("u"))
+    got = {r["id"]: r for r in urls.select(
+        "id", *[c.alias(k) for k, c in cols.items()]
+    ).collect()}
+    assert got[1]["url_suspect"] == "ads"
+    assert got[1]["path_depth"] == 4 and got[1]["query_param_count"] == 0
+    assert got[1]["url_digit_ratio"] == round(9 / len("https://ads.site.org/p/1234/567/89"), 6)
+    assert got[2]["path_depth"] == 4 and got[2]["query_param_count"] == 3
+    assert got[2]["url_suspect"] is None
+    assert got[3]["path_depth"] == 0 and got[3]["query_param_count"] == 0
+    assert got[4]["url_suspect"] is None and got[4]["path_depth"] == 1

@@ -404,3 +404,43 @@ def crawl_frontier_order(
         ranked, block=F.col("host_rank"), within=[F.col("host"), F.col("id")],
         out="frontier_pos",
     )
+
+
+# spam-ish url tokens (generic placeholder list — swap for a curated one in
+# production); shared with the DuckDB oracle via this constant
+URL_SUSPECT_TOKENS = ("ads", "tracker", "clickbait", "redirect", "popup")
+
+
+def url_quality_columns(col: Column) -> dict[str, Column]:
+    """URL-shape quality signals (the FineWeb/UT1-adjacent pre-content
+    filter — a url can disqualify a page before its bytes are fetched):
+    total length, path depth, digit fraction, query-parameter count, and
+    the first matched spam-ish token (NULL when clean). All map-side
+    native expressions; thresholds belong to the caller (they are
+    corpus-policy, not operator semantics)."""
+    sh = F.regexp_extract(col, _SCHEME_HOST_RE, 1)
+    rest = F.substring(col, F.length(sh) + 1, 1 << 30)
+    path = F.substring_index(F.substring_index(rest, "?", 1), "#", 1)
+    query = F.when(
+        F.instr(rest, "?") > 0,
+        F.substring_index(F.substring_index(rest, "?", -1), "#", 1),
+    ).otherwise(F.lit(""))
+    n = F.length(col)
+    digits = F.length(F.regexp_replace(col, "[^0-9]", ""))
+    nz = F.when(n > 0, n.cast("double"))
+    suspect = F.lower(
+        F.regexp_extract(
+            F.lower(col), "(" + "|".join(URL_SUSPECT_TOKENS) + ")", 1
+        )
+    )
+    return {
+        "url_len": n.cast("bigint"),
+        "path_depth": F.size(
+            F.filter(F.split(path, "/"), lambda p: p != "")
+        ).cast("bigint"),
+        "url_digit_ratio": F.round(digits / nz, 6),
+        "query_param_count": F.size(
+            F.filter(F.split(query, "&"), lambda p: p != "")
+        ).cast("bigint"),
+        "url_suspect": F.nullif(suspect, F.lit("")),
+    }

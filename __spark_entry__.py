@@ -211,7 +211,22 @@ def q_pack_shards(spark, sf_dir):
         nul.alias("n_tokens"), nul.alias("shard_id"),
         "seq_id", "frag_start", "frag_len", "seq_offset",
     )
-    return ps.unionByName(sq)
+    # (3) manifest — per-shard totals (shards.shard_manifest), the table
+    # the trainer's loader plans epochs from; first/last ids ride the
+    # seq_id/frag_start slots
+    from textractssmlprocessor_spark.operators.shards import shard_manifest
+
+    mf = shard_manifest(pack_shards(d, tokens_per_shard=2000)).select(
+        F.lit("manifest").alias("variant"),
+        nul.alias("doc_id"),
+        F.col("n_tokens"),
+        "shard_id",
+        F.col("n_docs").alias("seq_id"),
+        F.col("first_id").alias("frag_start"),
+        F.col("last_id").alias("frag_len"),
+        nul.alias("seq_offset"),
+    )
+    return ps.unionByName(sq).unionByName(mf)
 
 
 def q_corpus_report(spark, sf_dir):
@@ -2226,6 +2241,14 @@ def oracle_sql() -> dict[str, str]:
                        unnest(generate_series((s // 512)::BIGINT, ((s + n_tokens - 1) // 512)::BIGINT)) AS seq_id
                 FROM r WHERE n_tokens > 0
             )
+            UNION ALL
+            -- manifest variant (shards.shard_manifest): per-shard totals;
+            -- first/last ids ride the seq_id-adjacent slots
+            SELECT 'manifest', NULL::BIGINT, sum(n_tokens)::BIGINT,
+                   (s // 2000)::BIGINT AS shard_id,
+                   count(*)::BIGINT, min(doc_id)::BIGINT, max(doc_id)::BIGINT,
+                   NULL::BIGINT
+            FROM r GROUP BY (s // 2000)
         """,
         "corpus_report": """
             WITH tk AS (

@@ -121,3 +121,20 @@ def make_training_sequences(
         (hi - lo).cast("bigint").alias("frag_len"),
         (lo - F.col("seq_id") * L).cast("bigint").alias("seq_offset"),
     )
+
+
+def shard_manifest(assignments: DataFrame) -> DataFrame:
+    """Per-shard manifest over pack_shards' output — the table a trainer's
+    data loader reads to plan epochs without scanning the corpus:
+    (shard_id, n_docs, n_tokens, first_id, last_id). One groupBy(shard_id)
+    with map-side partials; shard count = corpus_tokens / budget, so the
+    manifest itself is small enough to broadcast or collect."""
+    return (
+        assignments.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.min("id").alias("first_id"),
+            F.max("id").alias("last_id"),
+        )
+    )

@@ -53,3 +53,20 @@ def test_bench_queries_exist():
     assert listed, "bench_queries list not found in bench.py"
     missing = set(listed) - set(e.queries())
     assert not missing, f"bench.py lists unknown queries: {sorted(missing)}"
+
+
+def test_registry_is_exactly_at_the_driver_cap():
+    """The driver records only the FIRST 50 queries() entries (observed
+    round 2: 61 entries, indices 0-49 recorded — CLAUDE.md invariant).
+    Staying EXACTLY at 50 means every entry is swept; dropping below
+    wastes slots, exceeding silently blinds the gate for the overflow."""
+    import __spark_entry__ as e
+
+    qs = list(e.queries())
+    assert len(qs) == 50, (
+        f"queries() has {len(qs)} entries; the driver sweeps exactly the "
+        "first 50 — merge new operators into an existing suite instead"
+    )
+    # the flagship/golden-backed queries must sit inside the swept prefix
+    for must in ("extract_chunks", "extract_documents", "validate_corpus"):
+        assert qs.index(must) < 50

@@ -159,6 +159,19 @@ def q_text_profile(spark, sf_dir):
         script_columns,
     )
 
+    # invisible-char hygiene (textnorm.strip_invisible) on a %2-seeded
+    # slice carrying ZWSP / soft hyphen / BOM / LRM / BEL
+    from textractssmlprocessor_spark.operators.textnorm import (
+        INVISIBLE_SAMPLE,
+        strip_invisible,
+    )
+
+    inv_seed = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit(INVISIBLE_SAMPLE)).otherwise(
+            F.lit("")
+        ),
+        F.substring("text", 1, 6),
+    )
     script_seed = F.concat(
         F.when(F.col("doc_id") % 4 == 1, F.lit(SCRIPT_SAMPLES["cyrillic"] + " "))
         .when(F.col("doc_id") % 4 == 2, F.lit(SCRIPT_SAMPLES["cjk"] + " "))
@@ -181,6 +194,7 @@ def q_text_profile(spark, sf_dir):
         mojibake_artifacts(F.col("_moji")).cast("bigint").alias("moji_hits"),
         "moji_fixed",
         *[c.alias(name) for name, c in sc_cols.items()],
+        strip_invisible(inv_seed).alias("inv_clean"),
     )
 
 
@@ -2136,6 +2150,14 @@ def oracle_sql() -> dict[str, str]:
         for s in sorted(SCRIPT_RANGES)
     )
 
+    from textractssmlprocessor_spark.operators.textnorm import (
+        INVISIBLE_CLASS,
+        INVISIBLE_SAMPLE,
+    )
+
+    inv_pat_sql = _sql_str("[" + INVISIBLE_CLASS + "]")
+    inv_sample_sql = _sql_str(INVISIBLE_SAMPLE)
+
     simhash_bits = " + ".join(
         "(CASE WHEN list_sum(list_transform(ws, w -> CASE WHEN upper(substr(md5(w), %d, 1)) IN ('8','9','A','B','C','D','E','F') THEN 1 ELSE -1 END)) > 0 THEN %d ELSE 0 END)"
         % (i, 2 ** (16 - i))
@@ -2210,7 +2232,10 @@ def oracle_sql() -> dict[str, str]:
                         ELSE substr(text, 1, 8) END AS moji_fixed,
                    {script_frac_sql},
                    CASE WHEN length(st) > 0
-                        THEN substr(least({script_keys_sql}), 9, 16) END AS script_pred
+                        THEN substr(least({script_keys_sql}), 9, 16) END AS script_pred,
+                   regexp_replace(
+                       (CASE WHEN doc_id % 2 = 0 THEN {inv_sample_sql} ELSE '' END) || substr(text, 1, 6),
+                       {inv_pat_sql}, '', 'g') AS inv_clean
             FROM sdocs
         """,
 

@@ -192,3 +192,26 @@ def test_drop_repeated_lines_within(spark):
     assert got[1] == "nav\nbody one\n\nbody two"
     assert got[2] == "only\nunique\nlines"
     assert got[3] == ""
+
+
+def test_strip_invisible(spark):
+    from textractssmlprocessor_spark.operators.textnorm import (
+        INVISIBLE_SAMPLE,
+        INVISIBLE_SAMPLE_CLEAN,
+        strip_invisible,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, INVISIBLE_SAMPLE),
+            (2, "tab\tand\nnewline survive"),
+            (3, "plain"),
+        ],
+        "id bigint, t string",
+    )
+    got = {r["id"]: r["c"] for r in docs.select(
+        "id", strip_invisible(F.col("t")).alias("c")
+    ).collect()}
+    assert got[1] == INVISIBLE_SAMPLE_CLEAN
+    assert got[2] == "tab\tand\nnewline survive"  # structure preserved
+    assert got[3] == "plain"

@@ -161,3 +161,37 @@ def drop_repeated_lines_within(col):
         lambda line, keep: F.when(keep, line),
     )
     return F.array_join(F.filter(kept, lambda x: x.isNotNull()), "\n")
+
+
+# Invisible codepoints web text drags in (Dolma/C4-style hygiene): zero-width
+# space/joiners, word-joiner, BOM-as-ZWNBSP, soft hyphen, directional marks,
+# plus C0/C1 controls EXCEPT tab/newline/CR (document structure). The class
+# and samples are built from integer codepoints (never raw literals) so the
+# DuckDB oracle re-derives character-identical patterns (SCRIPT_RANGES'
+# escape-dialect discipline).
+INVISIBLE_CODEPOINTS = (
+    0x200B, 0x200C, 0x200D, 0x2060, 0xFEFF, 0x00AD, 0x200E, 0x200F,
+)
+INVISIBLE_CONTROL_RANGES = ((0x00, 0x08), (0x0B, 0x0C), (0x0E, 0x1F), (0x7F, 0x7F))
+INVISIBLE_CLASS = "".join(chr(c) for c in INVISIBLE_CODEPOINTS) + "".join(
+    chr(lo) + "-" + chr(hi) for lo, hi in INVISIBLE_CONTROL_RANGES
+)
+# deterministic seeding sample for contract/test use: letters interleaved
+# with ZWSP, soft hyphen, BOM, LRM, and a BEL control
+INVISIBLE_SAMPLE = (
+    "a" + chr(0x200B) + "b" + chr(0x00AD) + "c" + chr(0xFEFF)
+    + "d" + chr(0x200E) + "e" + chr(0x07) + "f"
+)
+INVISIBLE_SAMPLE_CLEAN = "abcdef"
+
+
+def strip_invisible(col):
+    """Remove zero-width/invisible codepoints and non-structural control
+    characters -- the characters that break tokenizers, inflate dedup
+    fingerprints (cafe with an embedded ZWSP != cafe), and smuggle through
+    content filters. Tab/newline/CR survive (they are document structure).
+    One map-side regexp_replace; the class is built from shared integer
+    codepoints so the oracle RE2 pattern is character-identical."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(col, "[" + INVISIBLE_CLASS + "]", "")

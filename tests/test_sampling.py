@@ -153,3 +153,32 @@ def test_split_assign_on_fingerprint_is_leakage_safe(spark):
     for r in by_id:
         id_groups.setdefault(r["fp"], set()).add(r["split"])
     assert any(len(s) > 1 for s in id_groups.values())
+
+
+def test_temperature_mixture_rates(spark):
+    from textractssmlprocessor_spark.operators.sampling import (
+        subsample_by_group,
+        temperature_mixture_rates,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)],
+        "doc_id bigint, source string",
+    )
+    # alpha=0.5: small source keeps everything (cap), big source downsamples
+    rates = temperature_mixture_rates(docs, alpha=0.5)
+    assert rates["small"] == 1.0 and 0.0 < rates["big"] < 1.0
+    # kept proportions approach the w_g/wsum targets
+    import math
+
+    w_big, w_small = math.sqrt(900), math.sqrt(100)
+    expect_big_share = w_big / (w_big + w_small)
+    kept_big = 900 * rates["big"]
+    kept_small = 100 * rates["small"]
+    assert abs(kept_big / (kept_big + kept_small) - expect_big_share) < 1e-9
+    # alpha=1.0 is natural proportions: every rate identical (and capped 1.0)
+    nat = temperature_mixture_rates(docs, alpha=1.0)
+    assert nat["big"] == nat["small"] == 1.0
+    # rates feed subsample_by_group directly; kept counts land near target
+    kept = subsample_by_group(docs, rates, group_col="source").filter("keep").count()
+    assert abs(kept - (kept_big + kept_small)) < 60

@@ -121,3 +121,40 @@ def subsample_by_group(
         else thresh.otherwise(F.lit(int(round(default * _BUCKETS))))
     )
     return df.withColumn(out_col, b < thresh)
+
+
+def temperature_mixture_rates(
+    df: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.5,
+    target_total: float | None = None,
+) -> dict[str, float]:
+    """Temperature-based source mixing (the mT5/Pile rule): sample source
+    g proportionally to count(g)^alpha — alpha 1.0 keeps natural
+    proportions, 0.0 uniformizes, the usual 0.2-0.7 lifts small
+    high-quality sources without drowning in the big crawl. Returns
+    {group: keep_fraction} ready for subsample_by_group; fractions are
+    capped at 1.0 (sampling can only downsample — oversampling small
+    sources is an epoch-repetition decision, not a filter).
+
+    ``target_total`` is the desired fraction of the TOTAL corpus to keep
+    (defaults to the largest value that needs no >1.0 rate). Driver-side
+    by design: one groupBy(group) count lands #sources rows on the
+    driver — the IVF-centroid/ppl-threshold precedent for inlining
+    corpus-derived scalars into the plan."""
+    rows = df.groupBy(group_col).count().collect()
+    counts = {r[group_col]: r["count"] for r in rows}
+    n = sum(counts.values())
+    if n == 0:
+        return {}
+    weights = {g: c ** alpha for g, c in counts.items()}
+    wsum = sum(weights.values())
+    # keep_frac(g) = kept_total * (w_g / wsum) / count_g; the no-oversample
+    # cap binds at the group with the largest w_g/count_g ratio
+    max_ratio = max(weights[g] / counts[g] for g in counts)
+    max_total = wsum / max_ratio / n
+    total = min(target_total, max_total) if target_total else max_total
+    return {
+        g: min(1.0, total * n * (weights[g] / wsum) / counts[g])
+        for g in counts
+    }

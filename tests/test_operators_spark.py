@@ -1703,3 +1703,25 @@ def test_hits_known_graph(spark):
         assert got[n][1] == pytest.approx(auth[n], abs=2e-6), n
     # hubs are the pure out-linkers, authorities the pure targets
     assert got["u1"][0] > got["a1"][0] and got["a2"][1] > got["u1"][1]
+
+
+@pytest.mark.parametrize("materialize", [True, False])
+def test_pagerank_and_hits_materialize_modes_identical(spark, materialize):
+    """The per-iteration checkpoint (materialize=True) must be a pure plan
+    optimization: scores bit-identical to the uncut plan (False)."""
+    from textractssmlprocessor_spark.operators.graph import hits, pagerank
+
+    edges = spark.createDataFrame(
+        [(f"h{i % 7}", f"h{i % 11}") for i in range(60)],
+        "src string, dst string",
+    )
+    pr = {r["node"]: r["rank"] for r in
+          pagerank(edges, iterations=3, materialize=materialize).collect()}
+    hs = {r["node"]: (r["hub"], r["auth"]) for r in
+          hits(edges, iterations=3, materialize=materialize).collect()}
+    if not hasattr(test_pagerank_and_hits_materialize_modes_identical, "_ref"):
+        test_pagerank_and_hits_materialize_modes_identical._ref = (pr, hs)
+    else:
+        ref_pr, ref_hs = test_pagerank_and_hits_materialize_modes_identical._ref
+        assert pr == ref_pr
+        assert hs == ref_hs

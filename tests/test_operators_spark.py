@@ -1725,3 +1725,92 @@ def test_pagerank_and_hits_materialize_modes_identical(spark, materialize):
         ref_pr, ref_hs = test_pagerank_and_hits_materialize_modes_identical._ref
         assert pr == ref_pr
         assert hs == ref_hs
+
+
+def _build_flat_jpeg(width, height, gray=160):
+    """Hand-assembled baseline JPEG: one grayscale component, unit quant
+    table, custom canonical Huffman tables, flat DC-only blocks — exact
+    expected output = every pixel == gray (spec-level ground truth with no
+    encoder library)."""
+    import struct
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", height, width)
+              + bytes([1, 0x01, 0x11, 0x00]))
+    # DC table: symbols 0..11 at code length 4; AC table: EOB at length 2
+    dc_counts = bytes([0, 0, 0, 12] + [0] * 12)
+    dht_dc = seg(0xC4, bytes([0x00]) + dc_counts + bytes(range(12)))
+    ac_counts = bytes([0, 1] + [0] * 14)
+    dht_ac = seg(0xC4, bytes([0x10]) + ac_counts + bytes([0x00]))
+    sos = seg(0xDA, bytes([1, 0x01, 0x00, 0, 63, 0]))
+
+    bits = []
+
+    def put(value, n):
+        for k in range(n - 1, -1, -1):
+            bits.append((value >> k) & 1)
+
+    d = (gray - 128) * 8  # DC coefficient for a flat level-shifted block
+    s = d.bit_length()
+    n_blocks = ((width + 7) // 8) * ((height + 7) // 8)
+    # canonical codes: symbol k of 0..11 at length 4 gets code k
+    for blk in range(n_blocks):
+        if blk == 0:
+            put(s, 4)           # huffman code for DC size symbol s == s
+            put(d, s)           # positive magnitude: raw bits
+        else:
+            put(0, 4)           # diff 0: symbol 0, no magnitude bits
+        put(0b00, 2)            # AC EOB
+    while len(bits) % 8:
+        bits.append(1)
+    payload = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for bt in bits[i : i + 8]:
+            byte = (byte << 1) | bt
+        payload.append(byte)
+        if byte == 0xFF:
+            payload.append(0x00)  # byte stuffing
+    return (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos
+            + bytes(payload) + b"\xff\xd9")
+
+
+def test_decode_jpeg_flat_exact():
+    from textractssmlprocessor_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        image_dimensions,
+    )
+
+    for w, h in [(8, 8), (16, 8), (8, 24)]:
+        data = _build_flat_jpeg(w, h, gray=160)
+        assert image_dimensions(data) == ("jpeg", w, h)
+        got = decode_jpeg_pixels(data)
+        assert got is not None
+        gw, gh, ch, px = got
+        assert (gw, gh, ch) == (w, h, 1)
+        assert set(px) == {160}, f"expected flat 160, got {set(px)}"
+
+
+def test_decode_jpeg_real_fixture():
+    """Real-world smoke: a color JPEG from the Python stdlib test data
+    decodes to the right shape, deterministically."""
+    import os
+
+    p = ("/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
+         "python3.11/test/imghdrdata/python.jpg")
+    if not os.path.exists(p):
+        import pytest as _pytest
+
+        _pytest.skip("system JPEG fixture not present")
+    from textractssmlprocessor_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+    )
+
+    data = open(p, "rb").read()
+    a = decode_jpeg_pixels(data)
+    b2 = decode_jpeg_pixels(data)
+    assert a is not None and a[:3] == (16, 16, 3) and len(a[3]) == 16 * 16 * 3
+    assert a == b2

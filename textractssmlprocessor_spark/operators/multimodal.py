@@ -8,7 +8,9 @@ audio parser (``audio_metadata``) covering WAV and MP3 (full MPEG
 frame walk — exact VBR durations) — no media library needed — and are
 NULL for unrecognized payloads, never fabricated. PIXEL decode is REAL
 for PNG (``decode_png_pixels``: zlib inflate + all five scanline filters +
-palette expansion, exposed distributed as ``image_pixels``); JPEG/GIF
+palette expansion) and baseline JPEG (marker walk, canonical Huffman,
+dequant + numpy IDCT, YCbCr->RGB), both exposed distributed as
+``image_pixels``; GIF
 pixels still need a codec library absent from this container, so
 ``decode_image_stub(fake=False)`` raises NotImplementedError for those.
 Everything Spark-side — schema, Arrow batch shape, mapInPandas
@@ -60,16 +62,17 @@ FRAME_SCHEMA = StructType(
 def decode_image_stub(payload: bytes, fake: bool = True) -> tuple[int, int]:
     """With ``fake=True`` (the oracle-stable path) returns deterministic
     pseudo-dimensions from the content hash. With ``fake=False`` decodes
-    REAL pixels for PNG payloads (``decode_png_pixels`` — pure stdlib) and
-    returns the true dimensions; non-PNG formats (JPEG needs an entropy/DCT
-    codec) still raise NotImplementedError until a codec library exists in
-    the container."""
+    REAL pixels — PNG via ``decode_png_pixels`` (pure stdlib) and baseline
+    JPEG via ``decode_jpeg_pixels`` (stdlib + numpy) — and returns the
+    true dimensions; remaining formats (GIF frames, progressive JPEG)
+    raise NotImplementedError."""
     if not fake:
-        decoded = decode_png_pixels(payload)
+        decoded = decode_png_pixels(payload) or decode_jpeg_pixels(payload)
         if decoded is None:
             raise NotImplementedError(
-                "real pixel decode implemented for PNG only; JPEG/GIF need "
-                "a codec library not present in this container"
+                "real pixel decode implemented for PNG and baseline JPEG; "
+                "GIF/progressive-JPEG need a codec library not present in "
+                "this container"
             )
         return decoded[0], decoded[1]
     h = hashlib.md5(payload or b"").digest()
@@ -182,16 +185,23 @@ PIXELS_SCHEMA = StructType(
 def image_pixels(
     df: DataFrame, url_col: str = "url", bin_col: str = "payload",
 ) -> DataFrame:
-    """Distributed REAL pixel decode: binary PNG column -> (width, height,
-    channels, row-major samples) via mapInPandas. Non-PNG/undecodable rows
-    get NULLs (total function — one bad payload never kills a 100 TB job).
-    The pixel bytes feed ``byte_histogram_features`` or any downstream
-    embedding UDF without leaving the Arrow batch path."""
+    """Distributed REAL pixel decode: binary PNG / baseline-JPEG column ->
+    (width, height, channels, row-major samples) via mapInPandas.
+    Undecodable rows get NULLs (total function — one bad payload never
+    kills a 100 TB job). The pixel bytes feed ``byte_histogram_features``
+    or any downstream embedding UDF without leaving the Arrow batch
+    path."""
+
+    def _decode_any(p):
+        try:
+            return decode_png_pixels(p) or decode_jpeg_pixels(p)
+        except Exception:
+            return None  # truncated/corrupt stream: NULL row, not a dead job
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [
-                decode_png_pixels(bytes(p)) if p is not None else None
+                _decode_any(bytes(p)) if p is not None else None
                 for p in pdf[bin_col]
             ]
             yield pd.DataFrame(
@@ -626,3 +636,227 @@ def dhash_near_dupes(
         .distinct()
     )
     return verified
+
+
+# JPEG zigzag order (ITU T.81 Figure A.6): index in the entropy stream ->
+# (row*8 + col) position in the 8x8 block.
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+class _JpegBitReader:
+    """Entropy-stream bit reader: un-stuffs 0xFF00, surfaces restart
+    markers (RST0-7) via align_to_marker, stops cleanly at other markers."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.d, self.pos, self.bit = data, pos, 0
+
+    def read_bit(self) -> int:
+        d = self.d
+        if self.d[self.pos] == 0xFF and d[self.pos + 1] != 0x00:
+            raise EOFError("marker reached")
+        b = (d[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 2 if d[self.pos] == 0xFF else 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Byte-align and consume an RSTn marker."""
+        if self.bit:
+            self.bit = 0
+            self.pos += 2 if self.d[self.pos] == 0xFF else 1
+        if self.d[self.pos] == 0xFF and 0xD0 <= self.d[self.pos + 1] <= 0xD7:
+            self.pos += 2
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 EXTEND: map an s-bit magnitude to the signed coefficient."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_huff_decode(reader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes] | None:
+    """REAL baseline JPEG decode, stdlib + numpy: marker walk (DQT/SOF0/
+    DHT/DRI/SOS) -> canonical-Huffman entropy decode with byte-unstuffing
+    and restart-marker resync -> dequantize -> de-zigzag -> 8x8 IDCT-II
+    (numpy basis product) -> per-component nearest-neighbor chroma
+    upsample -> BT.601 YCbCr->RGB. Returns (width, height, channels,
+    row-major 8-bit samples) or None for non-JPEG / non-baseline shapes
+    (progressive SOF2, arithmetic coding, precision != 8). Correctness
+    path like decode_png_pixels: per-symbol Python is fine for the test
+    tier; production swaps a C codec inside the same image_pixels
+    plumbing. Spec: ITU T.81 sections B.2, F.2."""
+    import math
+    import struct
+
+    import numpy as np
+
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if b[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None  # (h, w, [(comp_id, hs, vs, tq)])
+    restart = 0
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                      0xCD, 0xCE, 0xCF):
+            return None  # non-baseline frame
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", b[i + 2 : i + 4])
+        seg = b[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 15
+                if pq != 0:
+                    return None  # 16-bit quant: not baseline-8
+                qt[tq] = list(seg[j + 1 : j + 65])
+                j += 65
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline huffman)
+            if seg[0] != 8:
+                return None
+            h, w = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq_ = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq_))
+            frame = (h, w, comps)
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 15
+                counts = seg[j + 1 : j + 17]
+                syms = seg[j + 17 : j + 17 + sum(counts)]
+                table: dict[tuple[int, int], int] = {}
+                code, k = 0, 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = syms[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                j += 17 + sum(counts)
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            ncomp_s = seg[0]
+            scan = []  # (comp index in frame, dc table, ac table)
+            for c in range(ncomp_s):
+                cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                idx = next(
+                    k for k, fc in enumerate(frame[2]) if fc[0] == cid
+                )
+                scan.append((idx, tabs >> 4, tabs & 15))
+            i = i + 2 + seglen  # entropy data starts here
+            break
+        i += 2 + seglen
+    else:
+        return None
+    if frame is None:
+        return None
+
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # IDCT basis: A[u, x] = c(u)/2 * cos((2x+1) u pi / 16)
+    A = np.array(
+        [
+            [
+                (math.sqrt(0.5) if u == 0 else 1.0) / 2.0
+                * math.cos((2 * x + 1) * u * math.pi / 16.0)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    )
+    planes = [
+        np.zeros((mcus_y * 8 * c[2], mcus_x * 8 * c[1])) for c in comps
+    ]
+    reader = _JpegBitReader(b, i)
+    dc_pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu_count and mcu_count % restart == 0:
+                reader.sync_restart()
+                dc_pred = [0] * len(comps)
+            for ci, tdc, tac in scan:
+                _, hs, vs, tq_ = comps[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        coef = np.zeros(64)
+                        s = _jpeg_huff_decode(reader, huff[(0, tdc)])
+                        dc_pred[ci] += _jpeg_extend(reader.read_bits(s), s)
+                        coef[0] = dc_pred[ci] * qt[tq_][0]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_huff_decode(reader, huff[(1, tac)])
+                            if rs == 0:
+                                break
+                            if rs == 0xF0:
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            s = rs & 15
+                            coef[_JPEG_ZIGZAG[k]] = (
+                                _jpeg_extend(reader.read_bits(s), s)
+                                * qt[tq_][k]
+                            )
+                            k += 1
+                        block = A.T @ coef.reshape(8, 8) @ A + 128.0
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu_count += 1
+
+    # upsample every component to full resolution (nearest), crop to (h, w)
+    full = []
+    for (cid, hs, vs, _tq), plane in zip(comps, planes):
+        up = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(up[:h, :w])
+    if len(full) == 1:
+        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return (w, h, 1, out.tobytes())
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    bch = y + 1.772 * cb
+    rgb = np.stack(
+        [np.clip(np.round(p), 0, 255) for p in (r, g, bch)], axis=-1
+    ).astype(np.uint8)
+    return (w, h, 3, rgb.tobytes())

@@ -521,14 +521,18 @@ def sample_frames(
 
 
 def dhash64(payload: bytes) -> int | None:
-    """64-bit perceptual difference hash (dHash) over the REAL PNG decode:
-    grayscale -> nearest-neighbor 9x8 grid -> bit (r, c) = grid[r][c] >
-    grid[r][c+1]. Resolution/re-encode-stable for identical content,
-    locality-preserving for small edits (crops/brightness shift a few
-    bits). Returns a SIGNED 64-bit int (Spark LongType-safe two's
-    complement) or None for undecodable payloads. Pure integer
-    arithmetic — deterministic across platforms."""
-    decoded = decode_png_pixels(payload)
+    """64-bit perceptual difference hash (dHash) over the REAL decode
+    (PNG or baseline JPEG): grayscale -> nearest-neighbor 9x8 grid ->
+    bit (r, c) = grid[r][c] > grid[r][c+1]. Resolution/re-encode-stable
+    for identical content, locality-preserving for small edits
+    (crops/brightness shift a few bits) — and format-bridging: a PNG and
+    a JPEG re-encode of the same picture land within the Hamming
+    near-dup radius. Returns a SIGNED 64-bit int (Spark LongType-safe
+    two's complement) or None for undecodable payloads."""
+    try:
+        decoded = decode_png_pixels(payload) or decode_jpeg_pixels(payload)
+    except Exception:
+        return None  # truncated/corrupt stream: NULL, not a dead job
     if decoded is None:
         return None
     w, h, ch, pix = decoded

@@ -1814,3 +1814,75 @@ def test_decode_jpeg_real_fixture():
     b2 = decode_jpeg_pixels(data)
     assert a is not None and a[:3] == (16, 16, 3) and len(a[3]) == 16 * 16 * 3
     assert a == b2
+
+
+def _build_flat_jpeg_color_420(ycbcr=(120, 140, 100)):
+    """16x16 baseline JPEG, 3 components with 4:2:0 subsampling (Y 2x2,
+    Cb/Cr 1x1 — one interleaved MCU of 4 Y blocks + Cb + Cr), every
+    component flat: exact expected RGB from the same BT.601 arithmetic."""
+    import struct
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    y0, cb0, cr0 = ycbcr
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", 16, 16)
+              + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    dc_counts = bytes([0, 0, 0, 12] + [0] * 12)
+    dht_dc = seg(0xC4, bytes([0x00]) + dc_counts + bytes(range(12)))
+    ac_counts = bytes([0, 1] + [0] * 14)
+    dht_ac = seg(0xC4, bytes([0x10]) + ac_counts + bytes([0x00]))
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+
+    bits = []
+
+    def put(value, n):
+        for k in range(n - 1, -1, -1):
+            bits.append((value >> k) & 1)
+
+    def put_block(diff):
+        s = abs(diff).bit_length()
+        put(s, 4)
+        if s:
+            # T.81 signed magnitude: negatives as ones'-complement bits
+            put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        put(0b00, 2)  # EOB
+
+    # MCU: Y blocks (first carries the DC, rest diff 0), then Cb, then Cr
+    for blk in range(4):
+        put_block((y0 - 128) * 8 if blk == 0 else 0)
+    put_block((cb0 - 128) * 8)
+    put_block((cr0 - 128) * 8)
+    while len(bits) % 8:
+        bits.append(1)
+    payload = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for bt in bits[i : i + 8]:
+            byte = (byte << 1) | bt
+        payload.append(byte)
+        if byte == 0xFF:
+            payload.append(0x00)
+    return (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos
+            + bytes(payload) + b"\xff\xd9")
+
+
+def test_decode_jpeg_color_420_exact():
+    import numpy as np
+
+    from textractssmlprocessor_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+    )
+
+    y0, cb0, cr0 = 120, 140, 100
+    data = _build_flat_jpeg_color_420((y0, cb0, cr0))
+    got = decode_jpeg_pixels(data)
+    assert got is not None and got[:3] == (16, 16, 3)
+    px = np.frombuffer(got[3], dtype=np.uint8).reshape(16, 16, 3)
+    exp_r = int(np.round(y0 + 1.402 * (cr0 - 128)))
+    exp_g = int(np.round(y0 - 0.344136 * (cb0 - 128) - 0.714136 * (cr0 - 128)))
+    exp_b = int(np.round(y0 + 1.772 * (cb0 - 128)))
+    assert (px[:, :, 0] == exp_r).all()
+    assert (px[:, :, 1] == exp_g).all()
+    assert (px[:, :, 2] == exp_b).all()

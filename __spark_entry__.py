@@ -2337,7 +2337,7 @@ def oracle_sql() -> dict[str, str]:
                        list_transform(
                            generate_series(1, greatest(len(ws) - 7, 0)),
                            i -> {'pos': i - 1,
-                                 'h': substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 8)}
+                                 'h': md5(array_to_string(ws[i:i+7], ' '))}
                        ) AS grams
                 FROM es_ws
             ),

@@ -208,3 +208,47 @@ def test_build_manifest_history_gates(spark):
     # near-copies: at least one of 4 bands collides -> seen_near
     assert all(m[i]["drop_reason"] == "seen_near" for i in (3, 4))
     assert all(m[i]["kept"] for i in range(6, 12))
+
+
+def test_build_manifest_plan_truncated_across_stages(spark):
+    """All five optional stages enabled: the carried manifest is
+    referenced twice per stage (keepers join + apply_drops join), so an
+    uncut logical plan grows ~2^stages. The per-stage _truncate must keep
+    the final analyzed plan LINEAR — a leaf (checkpointed RDD) plus one
+    stage's worth of joins — and the composed verdicts total."""
+    from pyspark.sql import functions as F
+
+    from textractssmlprocessor_spark.jobs.curate_job import build_manifest
+    from textractssmlprocessor_spark.operators.dedup import minhash_band_table
+    from textractssmlprocessor_spark.operators.textstats import fingerprint
+
+    base = " The cat and the dog of the house is that with us in there."
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                (" ".join(f"tok{i}x{j}" for j in range(60))) + base,
+                "en",
+                f"https://h{i % 3}.example.org/p/{i}",
+            )
+            for i in range(10)
+        ],
+        "doc_id bigint, text string, lang string, url string",
+    )
+    prior = docs.filter(F.col("doc_id") == 0)
+    m = build_manifest(
+        docs, languages=["en"], near_dup=True, threshold=0.5,
+        url_col="url", max_per_host=50,
+        dsir_target=docs.select("doc_id", "text"), dsir_min=-1e9,
+        history_fingerprints=prior.select(
+            fingerprint(F.col("text")).alias("fingerprint")
+        ),
+        history_bands=minhash_band_table(prior),
+    )
+    plan = m._jdf.queryExecution().analyzed().toString()
+    # uncut, this plan is tens of thousands of lines (observed class of
+    # failure in graph.py's history); cut, it's the last stage only
+    assert plan.count("Join") <= 4, plan.count("Join")
+    rows = {r["id"]: r for r in m.collect()}
+    assert len(rows) == 10
+    assert rows[0]["drop_reason"] == "seen_exact"

@@ -50,7 +50,11 @@ def test_verdicts_longest_match_allow_wins(spark):
     )
 
     robots = spark.createDataFrame(
-        [("a.org", POLICY), ("b.org", "User-agent: *\nDisallow: /\n")],
+        [
+            ("a.org", POLICY),
+            ("b.org", "User-agent: *\nDisallow: /\n"),
+            ("q.org", "User-agent: *\nDisallow: /search?q=\n"),
+        ],
         "host string, robots_txt string",
     )
     urls = spark.createDataFrame(
@@ -61,6 +65,11 @@ def test_verdicts_longest_match_allow_wins(spark):
             (4, "https://b.org/anything"),         # blanket disallow
             (5, "https://c.org/whatever"),         # no robots row -> allowed
             (6, "https://a.org"),                  # bare host -> path '/'
+            # RFC 9309 matches path + QUERY (fragment stripped):
+            (7, "https://q.org/search?q=cats"),    # query rule matches
+            (8, "https://q.org/search"),           # no query -> no match
+            (9, "https://a.org/admin/public/y#f"), # fragment stripped
+            (10, "https://q.org?x=1"),             # query, no path -> '/?x=1'
         ],
         "doc_id long, url string",
     )
@@ -71,6 +80,11 @@ def test_verdicts_longest_match_allow_wins(spark):
     assert not out[4]["allowed"] and out[4]["matched_path"] == "/"
     assert out[5]["allowed"]
     assert out[6]["allowed"] and out[6]["path"] == "/"
+    assert not out[7]["allowed"] and out[7]["matched_path"] == "/search?q="
+    assert out[7]["path"] == "/search?q=cats"
+    assert out[8]["allowed"] and out[8]["matched_path"] is None
+    assert out[9]["allowed"] and out[9]["path"] == "/admin/public/y"
+    assert out[10]["allowed"] and out[10]["path"] == "/?x=1"
 
 
 # --- canonical-link extraction (operators/weburl.py) -------------------------

@@ -90,6 +90,17 @@ def test_spark_nfc_and_gated_repair(spark):
     assert out[1]["fixed"] == "clean text" and out[1]["hits"] == 0
     assert out[2]["fixed"] == "déjà"
 
+    # the UDF branch must be FILTER-gated, not CASE-WHEN-gated: Spark
+    # hoists pandas UDFs out of a projection's CASE WHEN into an
+    # ArrowEvalPython node that runs on every row, so the only way clean
+    # rows skip Arrow is a plan where the Python node sits above a Filter.
+    # The union shape shows up as exactly one ArrowEvalPython in the
+    # analyzed plan, with a Filter between it and the scan.
+    plan = repair_mojibake(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+    dirty_branch = plan[plan.index("ArrowEvalPython"):]
+    assert "Filter" in dirty_branch, plan
+
     nfc = {
         r["id"]: r["nfc_text"]
         for r in with_nfc_text(
@@ -192,6 +203,34 @@ def test_drop_repeated_lines_within(spark):
     assert got[1] == "nav\nbody one\n\nbody two"
     assert got[2] == "only\nunique\nlines"
     assert got[3] == ""
+
+
+def test_drop_repeated_lines_megline_bypass(spark):
+    """Crawl-spam guard: a 10^5-line document bypasses the O(lines^2)
+    array expression (text returned unchanged) and completes in bounded
+    time; a doc under the cap still dedupes; max_lines=None restores the
+    unguarded behavior on small docs."""
+    import time
+
+    from textractssmlprocessor_spark.operators.textnorm import (
+        drop_repeated_lines_within,
+    )
+
+    mega = "\n".join(f"line {i % 50000}" for i in range(100000))
+    docs = spark.createDataFrame(
+        [(1, mega), (2, "a\nb\na")], "id bigint, t string"
+    )
+    t0 = time.monotonic()
+    got = {r["id"]: r["out"] for r in docs.select(
+        "id", drop_repeated_lines_within(F.col("t")).alias("out")
+    ).collect()}
+    assert time.monotonic() - t0 < 60  # bypass, not 5*10^9 comparisons
+    assert got[1] == mega          # keep-as-is verdict above the cap
+    assert got[2] == "a\nb"        # under the cap: still dedupes
+    small = {r["id"]: r["out"] for r in docs.filter("id = 2").select(
+        "id", drop_repeated_lines_within(F.col("t"), max_lines=None).alias("out")
+    ).collect()}
+    assert small[2] == "a\nb"
 
 
 def test_strip_invisible(spark):

@@ -84,13 +84,28 @@ def build_manifest(
     from pyspark.sql import functions as F
 
     from textractssmlprocessor_spark.operators.curate import curate_corpus
-    from textractssmlprocessor_spark.operators.graph import dedup_clusters
+    from textractssmlprocessor_spark.operators.graph import _truncate, dedup_clusters
 
     mat = "persist" if materialize == "persist" else True
     manifest = curate_corpus(
         docs, id_col=id_col, text_col=text_col, lang_col=lang_col,
         languages=languages,
     )
+    # Per-stage plan truncation (graph.py's per-round discipline): every
+    # optional stage below references the carried manifest twice (the
+    # keepers() join feeding the stage + the apply_drops join updating the
+    # verdicts), so an uncut logical plan doubles per enabled stage —
+    # ~2^6 with all six on. Cutting AFTER each enabled stage keeps the
+    # analyzed plan linear in stage count; 'persist' routes the cut
+    # through the reliable checkpoint dir (executor-loss-safe).
+    n_stages = sum(
+        1 for on in (history_fingerprints is not None, history_bands is not None,
+                     bool(max_per_host and url_col), near_dup,
+                     dsir_target is not None and dsir_min is not None) if on
+    )
+
+    def cut(df):
+        return _truncate(df, mat) if n_stages > 1 else df
 
     def keepers():
         return docs.join(
@@ -124,7 +139,7 @@ def build_manifest(
             k, history_fingerprints, id_col=id_col, text_col=text_col
         ).select(id_col)
         seen = k.select(id_col).join(fresh, id_col, "left_anti")
-        manifest = apply_drops(seen, "seen_exact")
+        manifest = cut(apply_drops(seen, "seen_exact"))
 
     if history_bands is not None:
         from textractssmlprocessor_spark.operators.dedup import (
@@ -136,7 +151,7 @@ def build_manifest(
             k, history_bands, id_col=id_col, text_col=text_col
         ).select(id_col)
         seen = k.select(id_col).join(fresh, id_col, "left_anti")
-        manifest = apply_drops(seen, "seen_near")
+        manifest = cut(apply_drops(seen, "seen_near"))
 
     if max_per_host and url_col:
         from textractssmlprocessor_spark.operators.weburl import cap_per_host
@@ -146,7 +161,7 @@ def build_manifest(
             k, max_per_host, url_col=url_col, id_col=id_col
         ).select(id_col)
         over = k.select(id_col).join(survivors, id_col, "left_anti")
-        manifest = apply_drops(over, "host_cap")
+        manifest = cut(apply_drops(over, "host_cap"))
 
     if near_dup:
         near_drops = (
@@ -155,7 +170,7 @@ def build_manifest(
             .filter(~F.col("is_survivor"))
             .select(F.col("doc_id").alias(id_col))
         )
-        manifest = apply_drops(near_drops, "near_duplicate")
+        manifest = cut(apply_drops(near_drops, "near_duplicate"))
 
     if dsir_target is not None and dsir_min is not None:
         from textractssmlprocessor_spark.operators.dsir import dsir_scores
@@ -166,7 +181,7 @@ def build_manifest(
             .filter(F.col("dsir_logratio") < dsir_min)
             .select(F.col("id").alias(id_col))
         )
-        manifest = apply_drops(low, "dsir_low")
+        manifest = cut(apply_drops(low, "dsir_low"))
 
     return manifest
 

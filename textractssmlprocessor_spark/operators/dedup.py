@@ -219,6 +219,24 @@ def shingle_hash(col, hash_fn: str = "md5"):
     raise ValueError(f"unsupported hash_fn: {hash_fn!r}")
 
 
+def gram_hash(col, hash_fn: str = "md5"):
+    """FULL-width hash for exact-membership keys (the exact-substring
+    path). The 32-bit ``shingle_hash`` prefix is fine where collisions
+    only perturb a Jaccard estimate, but 'this k-gram occurs more than
+    once' is a set-membership decision: at web scale, birthday collisions
+    (~n^2 / 2^33 false pairs) would mark unique k-grams as duplicated and
+    the removal side would silently delete unique text. Full md5
+    (128-bit) for the oracle-portable default; xxhash64 (64-bit,
+    JVM-intrinsic, fixed-width shuffle key) for the production path —
+    at 10^12 grams xxhash64 still expects ~10^4 collisions, so md5 is
+    the right default where deletion is irreversible."""
+    if hash_fn == "md5":
+        return F.md5(col)
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col)
+    raise ValueError(f"unsupported hash_fn: {hash_fn!r}")
+
+
 def hashed_shingles(text_col, n: int = 3, hash_fn: str = "md5"):
     """Shingles compressed to token hashes (shingle_hash): 3-10x smaller
     arrays in every shuffle, identical Jaccard (collisions negligible)."""
@@ -577,7 +595,10 @@ def exact_substring_spans(
             "id", "pos", gram.alias("gram"), F.count("w").over(whole).alias("_n")
         )
         .filter(F.col("pos") <= F.col("_n") - k)  # full k-grams only
-        .select("id", "pos", shingle_hash(F.col("gram"), hash_fn).alias("h"))
+        # FULL-width gram key (gram_hash, not the 8-hex shingle_hash
+        # prefix): 'occurs more than once' is exact membership — a 32-bit
+        # key's birthday collisions would delete unique text at web scale
+        .select("id", "pos", gram_hash(F.col("gram"), hash_fn).alias("h"))
     )
     dup = (
         grams.groupBy("h")

@@ -12,7 +12,9 @@ opt-out-respecting filter in every modern corpus pipeline). Two pieces:
 - ``robots_verdicts``: urls x rules -> per-url allowed/blocked under the
   RFC precedence: the longest matching path wins; on a length tie,
   ``allow`` wins. No matching rule (or no robots row for the host) means
-  allowed. Matching is literal path-prefix (the RFC's ``*``/``$``
+  allowed. Per RFC 9309 §2.2.2 the matched string is the URL's path PLUS
+  query (only the fragment is stripped) — rules like ``Disallow:
+  /search?q=`` match. Matching is literal prefix (the RFC's ``*``/``$``
   wildcards are NOT interpreted — rules containing them only match their
   literal-prefix part up to the first ``*``; documented subset).
 
@@ -115,16 +117,22 @@ def robots_verdicts(
 ) -> DataFrame:
     """Per-url crawl verdict under the parsed rule table: (id, host, path,
     allowed, matched_path). Longest matching literal prefix wins; allow
-    beats disallow on ties; no match -> allowed with NULL matched_path."""
+    beats disallow on ties; no match -> allowed with NULL matched_path.
+    ``path`` is the RFC 9309 match target: path + query, fragment
+    stripped (``/search?q=x`` — so query-anchored rules can match)."""
+    # match target = everything after the authority, minus the fragment;
+    # a query with no path ("http://h?q=x") normalizes to "/?q=x"
+    rest = F.regexp_extract(
+        F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([/?][^#]*)", 1
+    )
     base = urls.select(
         F.col(id_col).alias("id"),
         url_host(F.col(url_col)).alias("host"),
-        # path = everything from the first '/' after the authority
-        F.coalesce(
-            F.regexp_extract(F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*(/[^#?]*)", 1),
-            F.lit("/"),
-        ).alias("path"),
-    ).withColumn("path", F.when(F.col("path") == "", "/").otherwise(F.col("path")))
+        F.when(F.coalesce(rest, F.lit("")) == "", F.lit("/"))
+        .when(rest.startswith("?"), F.concat(F.lit("/"), rest))
+        .otherwise(rest)
+        .alias("path"),
+    )
     # literal-prefix subset: a rule's effective prefix stops at its first '*'
     eff = rules.select(
         "host",

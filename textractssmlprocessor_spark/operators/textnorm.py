@@ -112,16 +112,28 @@ def repair_mojibake(
     df: DataFrame, text_col: str = "text", out_col: str | None = None
 ) -> DataFrame:
     """Repair mojibake in ``text_col`` (in place unless ``out_col`` given).
-    The native artifact flag gates the pandas UDF so clean rows never
-    leave the JVM."""
+
+    The native artifact flag gates the pandas UDF with a FILTER + UNION,
+    not ``F.when``: Spark hoists every pandas UDF referenced in a
+    projection into its own ArrowEvalPython node and evaluates it on EVERY
+    row regardless of the surrounding CASE WHEN (verified in the executed
+    plan), so a when-gated UDF still pays the Arrow transfer and the
+    per-row codec round-trip for the whole corpus. Splitting the rows
+    first means clean rows (the overwhelming majority on a web corpus)
+    never leave the JVM; only the flagged tail crosses Arrow. The filter
+    predicate is a native regex, evaluated twice (once per branch) —
+    microscopic next to one Arrow round trip of the full corpus."""
     out = out_col or text_col
-    flag = mojibake_artifacts(F.col(text_col)) > 0
-    return df.withColumn(
-        out,
-        F.when(flag, fix_mojibake_udf()(F.col(text_col))).otherwise(
-            F.col(text_col)
-        ),
+    # coalesce: size() of a NULL array is conf-dependent (-1 or NULL) —
+    # pin NULL text to the clean branch on every config
+    dirty_flag = F.coalesce(
+        mojibake_artifacts(F.col(text_col)) > 0, F.lit(False)
     )
+    dirty = df.filter(dirty_flag).withColumn(
+        out, fix_mojibake_udf()(F.col(text_col))
+    )
+    clean = df.filter(~dirty_flag).withColumn(out, F.col(text_col))
+    return clean.unionByName(dirty)
 
 
 # Canonical test vectors (WHATWG-cp1252 mangling of MOJIBAKE_SAMPLE_FIXED):
@@ -133,7 +145,7 @@ NFD_SAMPLE = "Cafe\u0301 nai\u0308ve "
 NFD_SAMPLE_NFC = "Caf\u00e9 na\u00efve "
 
 
-def drop_repeated_lines_within(col):
+def drop_repeated_lines_within(col, max_lines: int = 20000):
     """First-occurrence-wins removal of repeated lines WITHIN one document
     (the intra-doc half of repetition handling — the corpus-wide half is
     dedup.drop_duplicate_sentences): a line whose trimmed form already
@@ -144,12 +156,20 @@ def drop_repeated_lines_within(col):
     Pure map-side array expression — no shuffle, no Python. The keys
     array is MATERIALIZED via a single transform before the filter so the
     positional lookup reads a bound value (the higher-order re-evaluation
-    discipline); array_position makes the filter O(lines^2) per document,
-    bounded by per-doc line counts (host_suffixes' documented trade —
-    fine at hundreds of lines, wrong for megline documents)."""
+    discipline); array_position makes the filter O(lines^2) per document —
+    fine at the hundreds-to-thousands of lines real pages have, quadratic
+    on crawl-spam megline documents. Docs above ``max_lines`` therefore
+    BYPASS the expression (text returned unchanged — the keep-as-is
+    verdict, mirroring dedup_paragraphs' min_chars bypass): at 20k lines
+    the worst case is ~4*10^8 comparisons in one task; past that the task
+    would stall the stage. Set ``max_lines=None`` to disable the guard."""
     from pyspark.sql import functions as F
 
     lines = F.split(col, "\n", -1)
+    if max_lines is not None:
+        return F.when(
+            F.size(lines) > F.lit(max_lines), col
+        ).otherwise(drop_repeated_lines_within(col, max_lines=None))
     keys = F.transform(lines, lambda x: F.trim(x))
     kept = F.zip_with(
         lines,

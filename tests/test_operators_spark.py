@@ -1886,3 +1886,191 @@ def test_decode_jpeg_color_420_exact():
     assert (px[:, :, 0] == exp_r).all()
     assert (px[:, :, 1] == exp_g).all()
     assert (px[:, :, 2] == exp_b).all()
+
+
+# --- GIF pixel decode (multimodal.decode_gif_pixels) -------------------------
+
+
+def _gif_lzw_encode(indices, min_code):
+    """Textbook GIF LZW encoder (GIF89a Appendix F): emits CLEAR, then
+    greedy longest-match codes with the table growing per emit, code
+    width bumping when the largest assigned code no longer fits."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    code_size = min_code + 1
+    out = [(clear, code_size)]
+    w = bytes([indices[0]])
+    for k in indices[1:]:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        out.append((table[w], code_size))
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
+        w = bytes([k])
+    out.append((table[w], code_size))
+    out.append((end, code_size))
+    return _gif_pack_codes(out)
+
+
+def _gif_pack_codes(codes):
+    acc = nacc = 0
+    data = bytearray()
+    for c, s in codes:
+        acc |= c << nacc
+        nacc += s
+        while nacc >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    if nacc:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def _build_gif(w, h, indices, palette, min_code=2, interlace=False,
+               extension=False, local_ct=False, spam_clear=False):
+    """Hand-assembled GIF89a: logical screen + color table (global or
+    local), optional Graphic Control Extension, image descriptor
+    (optionally interlaced — rows emitted in the 8/8/4/2 pass order),
+    LZW data in 255-byte sub-blocks, trailer."""
+    n = len(palette) // 3
+    ct_bits = max(1, (n - 1).bit_length())
+    ct = bytes(palette) + b"\x00" * (3 * ((1 << ct_bits) - n))
+    hdr = b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    if local_ct:
+        hdr += bytes([0x00, 0, 0])
+    else:
+        hdr += bytes([0x80 | (ct_bits - 1), 0, 0]) + ct
+    body = b""
+    if extension:  # GCE with transparency flag: must be walked over
+        body += bytes([0x21, 0xF9, 4, 0x01, 0, 0, 0, 0])
+    rows = [indices[r * w:(r + 1) * w] for r in range(h)]
+    if interlace:
+        order = (list(range(0, h, 8)) + list(range(4, h, 8))
+                 + list(range(2, h, 4)) + list(range(1, h, 2)))
+        stream = [i for r in order for i in rows[r]]
+    else:
+        stream = list(indices)
+    ipacked = 0x40 if interlace else 0
+    idesc = (bytes([0x2C]) + b"\x00\x00\x00\x00"
+             + w.to_bytes(2, "little") + h.to_bytes(2, "little"))
+    if local_ct:
+        idesc += bytes([0x80 | (ct_bits - 1) | ipacked]) + ct
+    else:
+        idesc += bytes([ipacked])
+    if spam_clear:
+        # alternate encoding: CLEAR before every literal (table never
+        # grows) — a second, independently-correct stream for the same
+        # pixels, cross-checking the decoder's clear-code path
+        cs = min_code + 1
+        codes = [(1 << min_code, cs)]
+        for i in stream:
+            codes += [(i, cs), (1 << min_code, cs)]
+        codes[-1] = ((1 << min_code) + 1, cs)
+        lzw = _gif_pack_codes(codes)
+    else:
+        lzw = _gif_lzw_encode(stream, min_code)
+    sub = b"".join(
+        bytes([len(lzw[i:i + 255])]) + lzw[i:i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    return hdr + body + idesc + bytes([min_code]) + sub + b"\x00" + b"\x3B"
+
+
+def test_decode_gif_exact():
+    from textractssmlprocessor_spark.operators.multimodal import (
+        decode_gif_pixels,
+        image_dimensions,
+    )
+
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+    # 16x16 varied pattern: LZW table grows past 8 entries, so the code
+    # width bumps 3 -> 4 -> 5 bits mid-stream (the growth path)
+    idx = bytes([(r * 7 + c * 3) % 4 for r in range(16) for c in range(16)])
+    expected = b"".join(palette[i * 3:i * 3 + 3] for i in idx)
+
+    data = _build_gif(16, 16, idx, palette)
+    assert image_dimensions(data) == ("gif", 16, 16)
+    assert decode_gif_pixels(data) == (16, 16, 3, expected)
+
+    # same pixels through four container variants
+    assert decode_gif_pixels(
+        _build_gif(16, 16, idx, palette, spam_clear=True)
+    ) == (16, 16, 3, expected)
+    assert decode_gif_pixels(
+        _build_gif(16, 16, idx, palette, interlace=True)
+    ) == (16, 16, 3, expected)
+    assert decode_gif_pixels(
+        _build_gif(16, 16, idx, palette, local_ct=True)
+    ) == (16, 16, 3, expected)
+    assert decode_gif_pixels(
+        _build_gif(16, 16, idx, palette, extension=True)
+    ) == (16, 16, 3, expected)
+
+    # degenerate / corrupt inputs: None, never an exception
+    assert decode_gif_pixels(b"not a gif") is None
+    assert decode_gif_pixels(data[:20]) is None
+    assert decode_gif_pixels(b"GIF89a" + b"\x00" * 7 + b"\x3B") is None
+    truncated = data[:len(data) - len(data) // 3]
+    assert decode_gif_pixels(truncated) is None
+
+
+def test_decode_gif_real_fixtures():
+    """Ground truth from a real encoder: the stdlib test-suite GIF is the
+    same 16x16 logo as its PNG sibling — pixels must agree except for the
+    palettization/transparency tail, and the cross-format dHash must land
+    within the near-dup radius (the property dhash_near_dupes sells)."""
+    import os
+
+    base = ("/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
+            "python3.11/test/imghdrdata/")
+    if not os.path.exists(base + "python.gif"):
+        import pytest as _pytest
+
+        _pytest.skip("system GIF fixture not present")
+    import numpy as np
+
+    from textractssmlprocessor_spark.operators.multimodal import (
+        decode_gif_pixels,
+        decode_png_pixels,
+        dhash64,
+    )
+
+    g = open(base + "python.gif", "rb").read()
+    p = open(base + "python.png", "rb").read()
+    dg = decode_gif_pixels(g)
+    dp = decode_png_pixels(p)
+    assert dg is not None and dg[:3] == (16, 16, 3)
+    assert dg == decode_gif_pixels(g)  # deterministic
+    a = np.frombuffer(dg[3], dtype=np.uint8).reshape(16, 16, 3).astype(int)
+    b = np.frombuffer(dp[3], dtype=np.uint8).reshape(16, 16, 3).astype(int)
+    exact = (np.abs(a - b).max(axis=2) == 0).sum()
+    assert exact >= 150, exact  # measured 177/256 (palette + transparency)
+    ham = bin((dhash64(g) ^ dhash64(p)) & ((1 << 64) - 1)).count("1")
+    assert ham <= 6, ham  # measured 2
+
+
+def test_gif_rides_image_pixels_and_dhash(spark):
+    from textractssmlprocessor_spark.operators.multimodal import (
+        image_dhash,
+        image_pixels,
+    )
+
+    palette = bytes([0, 0, 0, 255, 255, 255])
+    idx = bytes([(r + c) % 2 for r in range(8) for c in range(8)])
+    gif = _build_gif(8, 8, idx, palette)
+    df = spark.createDataFrame(
+        [("g1", bytearray(gif)), ("bad", bytearray(b"JUNK"))],
+        "url string, payload binary",
+    )
+    px = {r["url"]: r for r in image_pixels(df).collect()}
+    assert (px["g1"]["width"], px["g1"]["height"], px["g1"]["channels"]) == (8, 8, 3)
+    assert len(px["g1"]["pixels"]) == 8 * 8 * 3
+    assert px["bad"]["width"] is None and px["bad"]["pixels"] is None
+    dh = {r["url"]: r["dhash"] for r in image_dhash(df).collect()}
+    assert dh["g1"] is not None and dh["bad"] is None

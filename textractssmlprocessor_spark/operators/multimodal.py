@@ -10,9 +10,10 @@ NULL for unrecognized payloads, never fabricated. PIXEL decode is REAL
 for PNG (``decode_png_pixels``: zlib inflate + all five scanline filters +
 palette expansion) and baseline JPEG (marker walk, canonical Huffman,
 dequant + numpy IDCT, YCbCr->RGB), both exposed distributed as
-``image_pixels``; GIF
-pixels still need a codec library absent from this container, so
-``decode_image_stub(fake=False)`` raises NotImplementedError for those.
+``image_pixels``, and GIF (``decode_gif_pixels``: LZW expansion +
+interlace reorder + palette, first frame). Progressive JPEG is the one
+remaining undecoded shape, so ``decode_image_stub(fake=False)`` raises
+NotImplementedError for it.
 Everything Spark-side — schema, Arrow batch shape, mapInPandas
 partitioning — is real and tested.
 """
@@ -62,17 +63,22 @@ FRAME_SCHEMA = StructType(
 def decode_image_stub(payload: bytes, fake: bool = True) -> tuple[int, int]:
     """With ``fake=True`` (the oracle-stable path) returns deterministic
     pseudo-dimensions from the content hash. With ``fake=False`` decodes
-    REAL pixels — PNG via ``decode_png_pixels`` (pure stdlib) and baseline
-    JPEG via ``decode_jpeg_pixels`` (stdlib + numpy) — and returns the
-    true dimensions; remaining formats (GIF frames, progressive JPEG)
-    raise NotImplementedError."""
+    REAL pixels — PNG via ``decode_png_pixels`` (pure stdlib), baseline
+    JPEG via ``decode_jpeg_pixels`` (stdlib + numpy), GIF via
+    ``decode_gif_pixels`` (pure stdlib) — and returns the true
+    dimensions; the remaining format (progressive JPEG) raises
+    NotImplementedError."""
     if not fake:
-        decoded = decode_png_pixels(payload) or decode_jpeg_pixels(payload)
+        decoded = (
+            decode_png_pixels(payload)
+            or decode_jpeg_pixels(payload)
+            or decode_gif_pixels(payload)
+        )
         if decoded is None:
             raise NotImplementedError(
-                "real pixel decode implemented for PNG and baseline JPEG; "
-                "GIF/progressive-JPEG need a codec library not present in "
-                "this container"
+                "real pixel decode implemented for PNG, baseline JPEG and "
+                "GIF; progressive JPEG needs a codec library not present "
+                "in this container"
             )
         return decoded[0], decoded[1]
     h = hashlib.md5(payload or b"").digest()
@@ -171,6 +177,147 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes] | None:
     return (width, height, bpp, bytes(out))
 
 
+def _gif_lzw_decode(
+    min_code_size: int, data: bytes, max_pixels: int
+) -> bytes | None:
+    """GIF-variant LZW decode (GIF89a spec Appendix F): variable code
+    width starting at ``min_code_size + 1`` bits, LSB-first packing,
+    CLEAR resets the table, code width grows when the next assignable
+    code no longer fits (capped at 12 bits — the deferred-clear quirk:
+    past 4096 entries the table freezes until the encoder sends CLEAR).
+    Returns the decoded color-index stream or None on a corrupt code."""
+    clear = 1 << min_code_size
+    end = clear + 1
+
+    def fresh():
+        return (
+            {i: bytes([i]) for i in range(clear)},
+            min_code_size + 1,
+            clear + 2,
+        )
+
+    table, code_size, next_code = fresh()
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos, nbits = 0, len(data) * 8
+    while bitpos + code_size <= nbits:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table, code_size, next_code = fresh()
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                return None  # first code after clear must be a literal
+        elif code in table:
+            entry = table[code]
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+        elif code == next_code:
+            entry = prev + prev[:1]  # the KwKwK case
+            table[next_code] = entry
+            next_code += 1
+        else:
+            return None  # corrupt: code beyond the table
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+        out += entry
+        prev = entry
+        if len(out) >= max_pixels:
+            break
+    return bytes(out[:max_pixels])
+
+
+def decode_gif_pixels(payload: bytes) -> tuple[int, int, int, bytes] | None:
+    """REAL GIF pixel decode, pure stdlib: header + logical screen
+    descriptor walk, global/local color table, sub-block reassembly,
+    LZW expansion (``_gif_lzw_decode``), interlace row reordering
+    (the four-pass 8/8/4/2 scheme), palette -> RGB. Decodes the FIRST
+    image frame at its own (width, height) — the still that perceptual
+    hashing and feature extraction want; animation compositing
+    (disposal methods, frame offsets onto the logical screen) is out of
+    scope and transparency resolves to the palette color (no alpha
+    channel emitted). Returns (width, height, 3, row-major RGB bytes)
+    or None for non-GIF / truncated / corrupt payloads."""
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        return None
+    packed = b[10]
+    pos, gct = 13, None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = b[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            return None
+        pos += 3 * n
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x3B:  # trailer before any image descriptor
+            return None
+        if block == 0x21:  # extension: label byte + data sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if block != 0x2C:  # unknown block type: corrupt
+            return None
+        if pos + 10 > len(b):
+            return None
+        w = int.from_bytes(b[pos + 5 : pos + 7], "little")
+        h = int.from_bytes(b[pos + 7 : pos + 9], "little")
+        ipacked = b[pos + 9]
+        pos += 10
+        ct = gct
+        if ipacked & 0x80:  # local color table overrides
+            n = 2 << (ipacked & 7)
+            ct = b[pos : pos + 3 * n]
+            if len(ct) < 3 * n:
+                return None
+            pos += 3 * n
+        if ct is None or not w or not h or pos >= len(b):
+            return None
+        min_code = b[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            return None
+        data = bytearray()
+        while pos < len(b) and b[pos] != 0:
+            size = b[pos]
+            data += b[pos + 1 : pos + 1 + size]
+            pos += 1 + size
+        idx = _gif_lzw_decode(min_code, bytes(data), w * h)
+        if idx is None or len(idx) < w * h:
+            return None
+        if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+            rows = [idx[r * w : (r + 1) * w] for r in range(h)]
+            order = (
+                list(range(0, h, 8)) + list(range(4, h, 8))
+                + list(range(2, h, 4)) + list(range(1, h, 2))
+            )
+            de: list[bytes | None] = [None] * h
+            for src, dst in enumerate(order):
+                de[dst] = rows[src]
+            idx = b"".join(r for r in de if r is not None)
+        n_colors = len(ct) // 3
+        rgb = bytearray(w * h * 3)
+        for j in range(w * h):
+            ci = idx[j]
+            if ci >= n_colors:
+                return None
+            rgb[j * 3 : j * 3 + 3] = ct[ci * 3 : ci * 3 + 3]
+        return (w, h, 3, bytes(rgb))
+    return None
+
+
 PIXELS_SCHEMA = StructType(
     [
         StructField("url", StringType(), False),
@@ -185,7 +332,8 @@ PIXELS_SCHEMA = StructType(
 def image_pixels(
     df: DataFrame, url_col: str = "url", bin_col: str = "payload",
 ) -> DataFrame:
-    """Distributed REAL pixel decode: binary PNG / baseline-JPEG column ->
+    """Distributed REAL pixel decode: binary PNG / baseline-JPEG / GIF
+    column ->
     (width, height, channels, row-major samples) via mapInPandas.
     Undecodable rows get NULLs (total function — one bad payload never
     kills a 100 TB job). The pixel bytes feed ``byte_histogram_features``
@@ -194,7 +342,11 @@ def image_pixels(
 
     def _decode_any(p):
         try:
-            return decode_png_pixels(p) or decode_jpeg_pixels(p)
+            return (
+                decode_png_pixels(p)
+                or decode_jpeg_pixels(p)
+                or decode_gif_pixels(p)
+            )
         except Exception:
             return None  # truncated/corrupt stream: NULL row, not a dead job
 
@@ -522,7 +674,7 @@ def sample_frames(
 
 def dhash64(payload: bytes) -> int | None:
     """64-bit perceptual difference hash (dHash) over the REAL decode
-    (PNG or baseline JPEG): grayscale -> nearest-neighbor 9x8 grid ->
+    (PNG, baseline JPEG or GIF): grayscale -> nearest-neighbor 9x8 grid ->
     bit (r, c) = grid[r][c] > grid[r][c+1]. Resolution/re-encode-stable
     for identical content, locality-preserving for small edits
     (crops/brightness shift a few bits) — and format-bridging: a PNG and
@@ -530,7 +682,11 @@ def dhash64(payload: bytes) -> int | None:
     near-dup radius. Returns a SIGNED 64-bit int (Spark LongType-safe
     two's complement) or None for undecodable payloads."""
     try:
-        decoded = decode_png_pixels(payload) or decode_jpeg_pixels(payload)
+        decoded = (
+            decode_png_pixels(payload)
+            or decode_jpeg_pixels(payload)
+            or decode_gif_pixels(payload)
+        )
     except Exception:
         return None  # truncated/corrupt stream: NULL, not a dead job
     if decoded is None:

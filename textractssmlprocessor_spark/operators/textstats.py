@@ -22,9 +22,12 @@ from pyspark.sql import functions as F
 
 WORD_RE = r"\b[\w-]+\b"
 
-# BPE-ish tokenizer: word pieces, numbers, or single non-space symbols —
-# identical semantics in Java regex (Spark) and RE2 (DuckDB oracle).
-BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# PRE-tokenizer (GPT-2-style match classes): letter runs, digit runs, or
+# single non-space symbols — identical semantics in Java regex (Spark)
+# and RE2 (DuckDB oracle). This is the split BEFORE any BPE merge; see
+# count_tokens_bpe for the real merges-table count.
+PRETOK_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+BPE_TOKEN_RE = PRETOK_RE  # historical alias (pre-rename callers)
 
 _WORD_PY = re.compile(r"\b[\w-]+\b")
 
@@ -38,8 +41,167 @@ def count_words(col: Column) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(WORD_RE), F.lit(0)))
 
 
-def count_tokens_bpe(col: Column) -> Column:
-    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), F.lit(0)))
+def count_tokens_pretok(col: Column) -> Column:
+    """PRE-tokenizer match count (letter runs / digit runs / single
+    symbols) — a fast native UPPER BOUND proxy for BPE token counts, NOT
+    a merges-table BPE (every alpha word counts 1 regardless of how many
+    pieces a real tokenizer would split it into). Shard budgets sized
+    from this undercount long-word-heavy corpora; use the real
+    ``count_tokens_bpe`` (distinct-word merges application) where the
+    budget must match a trained tokenizer."""
+    return F.size(F.regexp_extract_all(col, F.lit(PRETOK_RE), F.lit(0)))
+
+
+# pre-rename alias: the honest name is count_tokens_pretok (this was never
+# a BPE — it counts pre-tokenizer matches)
+count_tokens_bpe_approx = count_tokens_pretok
+
+
+def train_bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 200,
+    max_vocab_words: int = 50000,
+) -> list[tuple[str, str]]:
+    """Deterministic in-corpus BPE merge training (Sennrich et al. 2016):
+    the corpus reduces DISTRIBUTED to a (word, count) frequency table
+    (one shuffle, map-side partials), the top ``max_vocab_words`` rows
+    come to the driver (BOUNDED — the kmeans-centroid collect pattern;
+    word frequency is Zipfian, so a 50k head covers the mass), and the
+    classic merge loop runs driver-side on that table. Ties break by
+    (count desc, pair lexical) so the merges list is reproducible across
+    runs and cluster sizes. Returns [(left, right)] in merge order —
+    kilobytes, broadcastable."""
+    rows = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit("[A-Za-z]+"), F.lit(0))
+            ).alias("w")
+        )
+        .select(F.lower("w").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(max_vocab_words)
+        .collect()
+    )
+    # word -> symbol tuple (char-level start, </w> marker closes the word
+    # so end-of-word pieces differ from mid-word pieces, per the paper)
+    vocab = {tuple(r["w"]) + ("</w>",): r["c"] for r in rows}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        joined = best[0] + best[1]
+        nv: dict[tuple[str, ...], int] = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + c
+        vocab = nv
+    return merges
+
+
+def bpe_piece_count(word: str, ranks: dict[tuple[str, str], int]) -> int:
+    """Number of BPE pieces for one lowercased alpha word under a trained
+    merges table: greedy lowest-rank-first merging (the standard apply
+    algorithm), char-level + ``</w>`` start symbols."""
+    pieces = list(word) + ["</w>"]
+    while len(pieces) > 1:
+        best_rank, best_pair = None, None
+        for i in range(len(pieces) - 1):
+            r = ranks.get((pieces[i], pieces[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (pieces[i], pieces[i + 1])
+        if best_pair is None:
+            break
+        joined = best_pair[0] + best_pair[1]
+        out, i = [], 0
+        while i < len(pieces):
+            if i + 1 < len(pieces) and (pieces[i], pieces[i + 1]) == best_pair:
+                out.append(joined)
+                i += 2
+            else:
+                out.append(pieces[i])
+                i += 1
+        pieces = out
+    # the </w> marker is part of the last piece, not a token of its own —
+    # unless nothing merged into it (then it contributed no extra piece)
+    return len(pieces) - (1 if pieces and pieces[-1] == "</w>" else 0)
+
+
+def count_tokens_bpe(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "n_tokens_bpe",
+) -> DataFrame:
+    """REAL merges-table BPE token count -> (id, out_col).
+
+    Scale shape: BPE(word) is a pure function of the word, so the Python
+    merge application runs over the DISTINCT lowercased word table only
+    (vocabulary-sized — Heaps' law puts that at ~10^6-10^7 types even at
+    100 TB, against 10^13+ running words), via one Arrow-batched pandas
+    UDF. Per-document counts are then all-native: explode -> join on word
+    (the piece-count side is vocabulary-sized; AQE broadcasts it when it
+    fits) -> per-doc sum, plus a map-side regex count for the non-alpha
+    pretokens (digit runs / symbols count 1 piece each, matching the
+    GPT-2-style pre-tokenizer split in ``PRETOK_RE``). The merges table
+    itself is kilobytes and ships inside the UDF closure."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    @pandas_udf("int")
+    def _pieces(s):
+        return s.map(lambda w: bpe_piece_count(w, ranks))
+
+    ids = df.select(F.col(id_col).alias("id"))
+    text = F.coalesce(F.col(text_col), F.lit(""))  # NULL text -> 0 tokens
+    nonalpha = df.select(
+        F.col(id_col).alias("id"),
+        F.size(
+            F.regexp_extract_all(text, F.lit(r"[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
+        ).cast("bigint").alias("_n_other"),
+    )
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.regexp_extract_all(text, F.lit("[A-Za-z]+"), F.lit(0))
+        ).alias("w"),
+    ).select("id", F.lower("w").alias("w"))
+    vocab_pieces = (
+        words.select("w").distinct().withColumn("_p", _pieces(F.col("w")))
+    )
+    alpha = (
+        words.join(vocab_pieces, "w")
+        .groupBy("id")
+        .agg(F.sum("_p").cast("bigint").alias("_n_alpha"))
+    )
+    return (
+        ids.join(nonalpha, "id")
+        .join(alpha, "id", "left")
+        .select(
+            "id",
+            (F.coalesce(F.col("_n_alpha"), F.lit(0)) + F.col("_n_other"))
+            .cast("bigint")
+            .alias(out_col),
+        )
+    )
 
 
 # --- language ID heuristic ----------------------------------------------------

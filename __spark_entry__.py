@@ -628,12 +628,19 @@ def q_gopher_quality(spark, sf_dir):
         d, d.filter(F.col("doc_id") % 5 == 0), buckets=2000
     ).withColumnRenamed("id", "doc_id")
     # fastText-style linear classifier scoring (dsir.linear_text_classifier)
-    # with deterministic seeded weights: cell c -> (c % 7 - 3) * 0.1
-    from textractssmlprocessor_spark.operators.dsir import linear_text_classifier
+    # with REAL trained weights: dsir.train_nb_weights fits naive-Bayes
+    # log-count-ratio weights (NBSVM r vector) on the %5 slice as the
+    # positive class vs the rest — a deterministic closed-form trained
+    # model, same broadcast scoring plan as any offline fastText table
+    from textractssmlprocessor_spark.operators.dsir import (
+        linear_text_classifier,
+        train_nb_weights,
+    )
 
-    weights = spark.range(2000).select(
-        F.col("id").cast("bigint").alias("cell"),
-        ((F.pmod(F.col("id"), F.lit(7)) - 3) * 0.1).alias("weight"),
+    weights = train_nb_weights(
+        d.filter(F.col("doc_id") % 5 == 0),
+        d.filter(F.col("doc_id") % 5 != 0),
+        buckets=2000,
     )
     clf = linear_text_classifier(
         d, weights, buckets=2000, bias=0.25
@@ -2750,14 +2757,32 @@ def oracle_sql() -> dict[str, str]:
                        round(sum(lr) / count(*), 6) AS dsir_logratio
                 FROM dsc GROUP BY 1
             ),
-            -- linear classifier replay (dsir.linear_text_classifier):
-            -- seeded weights cell -> (cell % 7 - 3) * 0.1, bias 0.25
+            -- linear classifier replay (dsir.linear_text_classifier) with
+            -- TRAINED weights (dsir.train_nb_weights): naive-Bayes
+            -- log-count-ratios, %5 slice positive vs rest, Laplace(1),
+            -- weights rounded to 6 (the cross-engine float discipline),
+            -- bias 0.25
+            cneg AS (SELECT cell, count(*)::BIGINT AS c_neg FROM cells
+                     WHERE doc_id % 5 != 0 GROUP BY 1),
+            wmodel AS (
+                SELECT coalesce(ctgt.cell, cneg.cell) AS cell,
+                       coalesce(ctgt.c_tgt, 0)::DOUBLE AS c_pos,
+                       coalesce(cneg.c_neg, 0)::DOUBLE AS c_neg
+                FROM ctgt FULL OUTER JOIN cneg ON ctgt.cell = cneg.cell
+            ),
+            wtot AS (SELECT sum(c_pos) AS n_pos, sum(c_neg) AS n_neg FROM wmodel),
+            wts AS (
+                SELECT cell,
+                       round(ln((c_pos + 1.0) / (t.n_pos + 2000.0))
+                             - ln((c_neg + 1.0) / (t.n_neg + 2000.0)), 6) AS weight
+                FROM wmodel CROSS JOIN wtot t
+            ),
             cper AS (
                 SELECT doc_id,
                        count(*)::BIGINT AS clf_n_grams,
-                       round(sum((cell % 7 - 3) * 0.1) + 0.25, 6) AS clf_logit,
-                       round(1.0 / (1.0 + exp(-(sum((cell % 7 - 3) * 0.1) + 0.25))), 6) AS clf_prob
-                FROM cells GROUP BY 1
+                       round(sum(coalesce(weight, 0.0)) + 0.25, 6) AS clf_logit,
+                       round(1.0 / (1.0 + exp(-(sum(coalesce(weight, 0.0)) + 0.25))), 6) AS clf_prob
+                FROM cells LEFT JOIN wts USING (cell) GROUP BY 1
             ),
             joined AS (
                 SELECT g.*,

@@ -67,3 +67,40 @@ def test_linear_classifier_scores_and_totality(spark):
     assert out[1]["clf_logit"] == 2.0          # 3*1.0 - 1.0
     assert abs(out[1]["clf_prob"] - 1 / (1 + 2.718281828 ** -2.0)) < 1e-6
     assert out[2]["clf_n_grams"] == 0 and out[2]["clf_prob"] is None
+
+
+def test_train_nb_weights_separates_classes(spark):
+    from textractssmlprocessor_spark.operators.dsir import (
+        linear_text_classifier,
+        train_nb_weights,
+    )
+
+    pos_texts = [f"fine literature essay chapter prose {i}" for i in range(8)]
+    neg_texts = [f"click here buy cheap pills now {i}" for i in range(8)]
+    rows = [(i, t) for i, t in enumerate(pos_texts)] + [
+        (100 + i, t) for i, t in enumerate(neg_texts)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pos = df.filter(F.col("doc_id") < 100)
+    neg = df.filter(F.col("doc_id") >= 100)
+    w = train_nb_weights(pos, neg, buckets=500)
+    # deterministic (closed form, no SGD order dependence)
+    assert sorted(map(tuple, w.collect())) == sorted(
+        map(tuple, train_nb_weights(pos, neg, buckets=500).collect())
+    )
+    assert w.count() <= 500  # bounded by the cell space: broadcastable
+    # the trained model actually separates the classes it was fit on
+    scored = linear_text_classifier(df, w, buckets=500)
+    probs = {r["id"]: r["clf_prob"] for r in scored.collect()}
+    mean_pos = sum(probs[i] for i in range(8)) / 8
+    mean_neg = sum(probs[100 + i] for i in range(8)) / 8
+    assert mean_pos > 0.8 > 0.2 > mean_neg, (mean_pos, mean_neg)
+    # held-out generalization: unseen docs reusing class vocabulary score
+    # on the right side of 0.5
+    held = spark.createDataFrame(
+        [(900, "fine literature essay"), (901, "buy cheap pills")],
+        "doc_id bigint, text string",
+    )
+    hp = {r["id"]: r["clf_prob"] for r in linear_text_classifier(
+        held, w, buckets=500).collect()}
+    assert hp[900] > 0.5 > hp[901], hp

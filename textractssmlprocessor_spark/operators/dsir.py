@@ -138,6 +138,60 @@ def dsir_scores(
     )
 
 
+def train_nb_weights(
+    pos: DataFrame,
+    neg: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 10000,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """REAL trained weights for :func:`linear_text_classifier`:
+    multinomial naive-Bayes log-count-ratios (the NBSVM "r" vector, Wang
+    & Manning 2012) over hashed-bigram cells —
+
+        weight(cell) = ln((c_pos+a)/(n_pos+aB)) - ln((c_neg+a)/(n_neg+aB))
+
+    The closed form makes training ONE aggregation per class (map-side
+    partials, each output at most ``buckets`` rows): deterministic — no
+    SGD order dependence, identical trajectories on any engine or cluster
+    size — yet a genuine trained linear model of the corpus, not seeded
+    toy weights. Scoring rides the unchanged broadcast (cell, weight)
+    plan, so swapping in offline fastText weights later is a table swap.
+    Weights round to 6 decimals (the repo's cross-engine float
+    discipline). Recommended ``bias``: ln(n_pos_docs / n_neg_docs)."""
+    pc = _cell_counts(
+        hashed_gram_cells(pos, id_col, text_col, buckets).select("cell"), "c_pos"
+    )
+    nc = _cell_counts(
+        hashed_gram_cells(neg, id_col, text_col, buckets).select("cell"), "c_neg"
+    )
+    model = pc.join(nc, "cell", "full_outer").select(
+        "cell",
+        F.coalesce("c_pos", F.lit(0)).alias("c_pos"),
+        F.coalesce("c_neg", F.lit(0)).alias("c_neg"),
+    )
+    totals = model.agg(
+        F.sum("c_pos").cast("double").alias("n_pos"),
+        F.sum("c_neg").cast("double").alias("n_neg"),
+    )
+    b = float(buckets)
+    return model.crossJoin(F.broadcast(totals)).select(
+        "cell",
+        F.round(
+            F.log(
+                (F.col("c_pos").cast("double") + F.lit(alpha))
+                / (F.col("n_pos") + F.lit(alpha * b))
+            )
+            - F.log(
+                (F.col("c_neg").cast("double") + F.lit(alpha))
+                / (F.col("n_neg") + F.lit(alpha * b))
+            ),
+            6,
+        ).alias("weight"),
+    )
+
+
 def linear_text_classifier(
     df: DataFrame,
     weights: DataFrame,
@@ -153,10 +207,11 @@ def linear_text_classifier(
     bias + sum(weights), and ``clf_prob`` is its sigmoid.
 
     Returns (id, clf_n_grams, clf_logit, clf_prob); documents with no
-    bigrams keep their row with NULL scores. Training is out of scope by
-    design — weights come from any offline trainer; the table is at most
-    ``buckets`` rows, broadcast, so scoring shuffles nothing but the
-    per-document aggregation."""
+    bigrams keep their row with NULL scores. Weights come from
+    :func:`train_nb_weights` (the in-repo deterministic trainer) or any
+    offline trainer (fastText, sklearn) hashed into the same cells; the
+    table is at most ``buckets`` rows, broadcast, so scoring shuffles
+    nothing but the per-document aggregation."""
     cells = hashed_gram_cells(df, id_col, text_col, buckets)
     scored = cells.join(
         F.broadcast(weights.select("cell", "weight")), "cell", "left"

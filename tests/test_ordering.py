@@ -136,3 +136,60 @@ def test_blocked_lag_lead_matches_global(spark, data, block_size):
         ).collect()
     }
     assert got == expected
+
+
+def test_levels2_recursion_matches_flat_at_forcing_block_count(spark):
+    """The documented recursion, exercised at a block count that needs it:
+    block_of(id, 2) over 20,001 rows makes ~10,001 blocks, so the levels=2
+    super-block scan (DEFAULT_BLOCK_SIZE 4096) spans 3 super-blocks — the
+    offsets genuinely cross super-block boundaries. All three primitives
+    must be bit-identical to both levels=1 and the single-task window."""
+    df = spark.range(0, 20001).select(
+        F.col("id"), (F.col("id") * 7 % 101).alias("x")
+    )
+    blk = block_of("id", 2)
+
+    w = Window.orderBy("id")
+    exp_rn = {r["id"]: r["rn"] for r in df.select(
+        "id", F.row_number().over(w).cast("bigint").alias("rn")).collect()}
+    got_rn = {r["id"]: r["rn"] for r in blocked_row_number(
+        df, blk, ["id"], levels=2).collect()}
+    assert got_rn == exp_rn
+
+    ws = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    exp_run = {r["id"]: r["running"] for r in df.select(
+        "id", F.sum("x").over(ws).alias("running")).collect()}
+    got_run = {r["id"]: r["running"] for r in blocked_running_sum(
+        df, blk, ["id"], "x", levels=2).collect()}
+    assert got_run == exp_run
+
+    exp_nav = {r["id"]: (r["prev"], r["next"]) for r in df.select(
+        "id", F.lag("x").over(w).alias("prev"),
+        F.lead("x").over(w).alias("next")).collect()}
+    got_nav = {r["id"]: (r["prev"], r["next"]) for r in blocked_lag_lead(
+        df, blk, ["id"], "x", levels=2).collect()}
+    assert got_nav == exp_nav
+
+
+def test_levels2_null_block_keys(spark, null_key_data):
+    """NULL block keys survive levels=2 with the same nulls-first
+    placement as the flat window (the super-block of the NULL block is
+    itself NULL and scans first)."""
+    got = {r["id"]: r["rn"] for r in blocked_row_number(
+        null_key_data, block_of("key", 2), ["id"], levels=2).collect()}
+    flat = {r["id"]: r["rn"] for r in null_key_data.select(
+        "id",
+        F.row_number().over(
+            Window.orderBy(block_of("key", 2), "id")
+        ).cast("bigint").alias("rn"),
+    ).collect()}
+    assert got == flat
+
+
+def test_levels_validation():
+    import pytest as _pytest
+
+    from textractssmlprocessor_spark.operators.ordering import _block_offsets
+
+    with _pytest.raises(ValueError):
+        _block_offsets(None, F.lit(1), levels=3)

@@ -51,6 +51,17 @@ def main() -> None:
         "*.parquet -> parquet, identifier -> iceberg table); 'warc' reads "
         "raw Common Crawl segments via sources.read_warc",
     )
+    p.add_argument(
+        "--iceberg-catalog", default=None,
+        help="register this Iceberg catalog name on the session (with "
+        "--iceberg-warehouse) — the parquet->Iceberg swap as a flag; "
+        "equivalent to passing jobs.iceberg.iceberg_submit_args to "
+        "spark-submit",
+    )
+    p.add_argument("--iceberg-warehouse", default=None,
+                   help="warehouse path (hadoop/hive) or URI (rest)")
+    p.add_argument("--iceberg-catalog-impl", default="hadoop",
+                   choices=["hadoop", "hive", "rest"])
     args = p.parse_args()
     # bare relative dirs (no '/' or suffix) are still parquet if they exist
     # on the local filesystem — don't surprise users with an Iceberg error
@@ -72,6 +83,14 @@ def main() -> None:
     )
     if args.partitions:
         builder = builder.config("spark.sql.shuffle.partitions", str(args.partitions))
+    if args.iceberg_catalog and args.iceberg_warehouse:
+        from textractssmlprocessor_spark.jobs.iceberg import iceberg_submit_conf
+
+        for k, v in iceberg_submit_conf(
+            args.iceberg_catalog, args.iceberg_warehouse,
+            args.iceberg_catalog_impl,
+        ).items():
+            builder = builder.config(k, v)
     spark = builder.getOrCreate()
 
     if input_format == "warc":

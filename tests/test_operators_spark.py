@@ -2074,3 +2074,148 @@ def test_gif_rides_image_pixels_and_dhash(spark):
     assert px["bad"]["width"] is None and px["bad"]["pixels"] is None
     dh = {r["url"]: r["dhash"] for r in image_dhash(df).collect()}
     assert dh["g1"] is not None and dh["bad"] is None
+
+
+# --- progressive JPEG decode (multimodal.decode_jpeg_progressive_pixels) -----
+
+
+def _prog_jpeg_bits(bits):
+    """Pack a bit list MSB-first with 0xFF byte stuffing and 1-padding."""
+    bits = list(bits)
+    while len(bits) % 8:
+        bits.append(1)
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for bt in bits[i:i + 8]:
+            byte = (byte << 1) | bt
+        out.append(byte)
+        if byte == 0xFF:
+            out.append(0x00)
+    return bytes(out)
+
+
+def _build_prog_jpeg_gray8(dc_val, ac1_val):
+    """8x8 grayscale PROGRESSIVE JPEG (SOF2), quant table all 1s, coded in
+    four scans exercising every scan kind: DC first (Al=1), DC refine
+    (Ah=1, Al=0), AC first (Al=1) placing one coefficient at zigzag k=1,
+    AC refine (Ah=1, Al=0) sending its low bit via an EOB correction run.
+    dc_val / ac1_val are the FINAL (full-precision) coefficients."""
+    import struct
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 8)
+              + bytes([1, 1, 0x11, 0]))
+    dc_counts = bytes([0, 0, 0, 12] + [0] * 12)
+    dht_dc = seg(0xC4, bytes([0x00]) + dc_counts + bytes(range(12)))
+    # AC table: two length-2 codes: 00 -> 0x00 (EOB), 01 -> 0x02 (r=0,s=2)
+    ac_counts = bytes([0, 2] + [0] * 14)
+    dht_ac = seg(0xC4, bytes([0x10]) + ac_counts + bytes([0x00, 0x02]))
+
+    def sos(comps_tabs, ss, se, ah, al, bits):
+        body = bytes([len(comps_tabs)])
+        for cid, tabs in comps_tabs:
+            body += bytes([cid, tabs])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body) + _prog_jpeg_bits(bits)
+
+    def put(v, n, bits):
+        for k in range(n - 1, -1, -1):
+            bits.append((v >> k) & 1)
+
+    # scan 1: DC first, Al=1 -> send diff = dc_val >> 1 (arithmetic)
+    b1 = []
+    d = dc_val >> 1
+    s = abs(d).bit_length()
+    put(s, 4, b1)
+    if s:
+        put(d if d >= 0 else d + (1 << s) - 1, s, b1)
+    # scan 2: DC refine, Al=0 -> one raw bit = bit 0 of dc_val
+    b2 = [dc_val & 1]
+    # scan 3: AC first, Al=1 -> coefficient at k=1, then EOB. The AC
+    # point transform truncates the MAGNITUDE toward zero (T.81 G.1.2.1,
+    # sign-magnitude), unlike DC's arithmetic shift
+    b3 = []
+    a = (abs(ac1_val) >> 1) * (1 if ac1_val >= 0 else -1)
+    if a:
+        put(0b01, 2, b3)       # symbol 0x02: r=0, s=2 (|a| must be 2..3)
+        put(a if a >= 0 else a + 3, 2, b3)
+    put(0b00, 2, b3)           # EOB
+    # scan 4: AC refine, Al=0 -> EOB symbol, then the correction bit for
+    # the (now nonzero-history) coefficient at k=1
+    b4 = []
+    put(0b00, 2, b4)           # EOB (r=0): rest of block is correction bits
+    if a:
+        b4.append(abs(ac1_val) & 1)
+    return (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac
+            + sos([(1, 0x00)], 0, 0, 0, 1, b1)
+            + sos([(1, 0x00)], 0, 0, 1, 0, b2)
+            + sos([(1, 0x00)], 1, 63, 0, 1, b3)
+            + sos([(1, 0x00)], 1, 63, 1, 0, b4)
+            + b"\xff\xd9")
+
+
+def test_decode_jpeg_progressive_exact():
+    """Exact pixels through all four progressive scan kinds, expected
+    output computed independently from the IDCT definition."""
+    import math
+
+    import numpy as np
+
+    from textractssmlprocessor_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        decode_jpeg_progressive_pixels,
+    )
+
+    A = np.array([[ (math.sqrt(0.5) if u == 0 else 1.0) / 2.0
+                    * math.cos((2 * x + 1) * u * math.pi / 16.0)
+                    for x in range(8)] for u in range(8)])
+    for dc, ac in [(256, 7), (-96, 6), (80, -5), (0, 0)]:
+        data = _build_prog_jpeg_gray8(dc, ac)
+        assert decode_jpeg_pixels(data) is None  # SOF2: baseline declines
+        got = decode_jpeg_progressive_pixels(data)
+        assert got is not None and got[:3] == (8, 8, 1), (dc, ac)
+        C = np.zeros((8, 8))
+        C[0, 0] = dc
+        C[0, 1] = ac  # zigzag index 1 = natural (row 0, col 1)
+        exp = np.clip(np.round(A.T @ C @ A + 128.0), 0, 255).astype(np.uint8)
+        px = np.frombuffer(got[3], dtype=np.uint8).reshape(8, 8)
+        assert (px == exp).all(), (dc, ac, px[0], exp[0])
+
+
+def test_decode_jpeg_progressive_real_fixtures():
+    """Real encoder output: SOF2 files shipped with system packages decode
+    deterministically with correct header dimensions and sane content
+    (the nodejs doc images are white stripes on white)."""
+    import os
+
+    import numpy as np
+
+    from textractssmlprocessor_spark.operators.multimodal import (
+        decode_jpeg_progressive_pixels,
+        image_dimensions,
+    )
+
+    fixtures = [
+        ("/usr/share/doc/nodejs/full-white-stripe.jpg", 240),
+        ("/usr/share/doc/nodejs/thin-white-stripe.jpg", 200),
+    ]
+    ran = False
+    for path, min_mean in fixtures:
+        if not os.path.exists(path):
+            continue
+        ran = True
+        b = open(path, "rb").read()
+        fmt, w, h = image_dimensions(b)
+        d = decode_jpeg_progressive_pixels(b)
+        assert d is not None and d[:2] == (w, h) and d[2] == 3
+        assert d == decode_jpeg_progressive_pixels(b)  # deterministic
+        mean = np.frombuffer(d[3], dtype=np.uint8).mean()
+        assert mean > min_mean, (path, mean)
+    if not ran:
+        import pytest as _pytest
+
+        _pytest.skip("no system progressive-JPEG fixtures present")

@@ -10,10 +10,13 @@ NULL for unrecognized payloads, never fabricated. PIXEL decode is REAL
 for PNG (``decode_png_pixels``: zlib inflate + all five scanline filters +
 palette expansion) and baseline JPEG (marker walk, canonical Huffman,
 dequant + numpy IDCT, YCbCr->RGB), both exposed distributed as
-``image_pixels``, and GIF (``decode_gif_pixels``: LZW expansion +
-interlace reorder + palette, first frame). Progressive JPEG is the one
-remaining undecoded shape, so ``decode_image_stub(fake=False)`` raises
-NotImplementedError for it.
+``image_pixels``, GIF (``decode_gif_pixels``: LZW expansion +
+interlace reorder + palette, first frame), and PROGRESSIVE JPEG
+(``decode_jpeg_progressive_pixels``: SOF2 spectral-selection +
+successive-approximation scan accumulation, T.81 Annex G). The decode
+chain covers the formats that make up essentially all web images;
+``decode_image_stub(fake=False)`` raises NotImplementedError only for
+payloads outside them.
 Everything Spark-side — schema, Arrow batch shape, mapInPandas
 partitioning — is real and tested.
 """
@@ -63,22 +66,24 @@ FRAME_SCHEMA = StructType(
 def decode_image_stub(payload: bytes, fake: bool = True) -> tuple[int, int]:
     """With ``fake=True`` (the oracle-stable path) returns deterministic
     pseudo-dimensions from the content hash. With ``fake=False`` decodes
-    REAL pixels — PNG via ``decode_png_pixels`` (pure stdlib), baseline
-    JPEG via ``decode_jpeg_pixels`` (stdlib + numpy), GIF via
+    REAL pixels — PNG via ``decode_png_pixels`` (pure stdlib), baseline /
+    progressive JPEG via ``decode_jpeg_pixels`` /
+    ``decode_jpeg_progressive_pixels`` (stdlib + numpy), GIF via
     ``decode_gif_pixels`` (pure stdlib) — and returns the true
-    dimensions; the remaining format (progressive JPEG) raises
+    dimensions; payloads outside those formats raise
     NotImplementedError."""
     if not fake:
         decoded = (
             decode_png_pixels(payload)
             or decode_jpeg_pixels(payload)
+            or decode_jpeg_progressive_pixels(payload)
             or decode_gif_pixels(payload)
         )
         if decoded is None:
             raise NotImplementedError(
-                "real pixel decode implemented for PNG, baseline JPEG and "
-                "GIF; progressive JPEG needs a codec library not present "
-                "in this container"
+                "real pixel decode implemented for PNG, baseline +"
+                " progressive JPEG, and GIF; this payload is another "
+                "format (or a JPEG shape outside 8-bit Huffman coding)"
             )
         return decoded[0], decoded[1]
     h = hashlib.md5(payload or b"").digest()
@@ -345,6 +350,7 @@ def image_pixels(
             return (
                 decode_png_pixels(p)
                 or decode_jpeg_pixels(p)
+                or decode_jpeg_progressive_pixels(p)
                 or decode_gif_pixels(p)
             )
         except Exception:
@@ -685,6 +691,7 @@ def dhash64(payload: bytes) -> int | None:
         decoded = (
             decode_png_pixels(payload)
             or decode_jpeg_pixels(payload)
+            or decode_jpeg_progressive_pixels(payload)
             or decode_gif_pixels(payload)
         )
     except Exception:
@@ -796,6 +803,305 @@ def dhash_near_dupes(
         .distinct()
     )
     return verified
+
+
+def _jpeg_next_marker(b: bytes, pos: int) -> int:
+    """First position >= pos of a real marker (0xFF + non-stuffing,
+    non-RST byte) — where the next header segment starts after entropy
+    data."""
+    while pos + 1 < len(b):
+        if b[pos] == 0xFF and b[pos + 1] != 0x00 and not (
+            0xD0 <= b[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return len(b)
+
+
+def _jpeg_prog_scan(
+    b, pos, scan, ss, se, ah, al, comps, coefs, bdims, huff,
+    restart, mcus_x, mcus_y,
+):
+    """Decode ONE progressive scan's entropy data (T.81 Annex G) into the
+    accumulated per-component coefficient arrays; returns the stream
+    position after the scan. Four scan kinds: DC first / DC refine
+    (interleaved MCU order when the scan has several components,
+    raster block order otherwise) and AC first / AC refine (always one
+    component, raster block order, EOB-run coded). Truncated entropy
+    data keeps whatever decoded (EOFError ends the scan, the progressive
+    contract: every prefix of scans is a valid coarse image)."""
+    reader = _JpegBitReader(b, pos)
+    dc_pred = [0] * len(comps)
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+
+    def refine_nonzero(cf, idx):
+        # one correction bit on an already-nonzero coefficient: magnitude
+        # grows by 2^al in the coefficient's own sign direction
+        if reader.read_bit() and not (cf[idx] & p1):
+            cf[idx] += p1 if cf[idx] > 0 else m1
+
+    def dc_block(ci, by, bx):
+        cf = coefs[ci][by, bx]
+        if ah == 0:
+            s = _jpeg_huff_decode(reader, huff[(0, scan_tabs[ci][0])])
+            dc_pred[ci] += _jpeg_extend(reader.read_bits(s), s)
+            cf[0] = dc_pred[ci] << al
+        else:
+            if reader.read_bit():
+                cf[0] |= p1  # two's-complement OR: exact for negatives too
+
+    def ac_block(ci, by, bx):
+        nonlocal eobrun
+        cf = coefs[ci][by, bx]
+        tac = scan_tabs[ci][1]
+        if ah == 0:  # AC first scan
+            if eobrun:
+                eobrun -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = _jpeg_huff_decode(reader, huff[(1, tac)])
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r < 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        return
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    return
+                cf[_JPEG_ZIGZAG[k]] = _jpeg_extend(reader.read_bits(s), s) << al
+                k += 1
+        else:  # AC refinement scan (stb_image/libjpeg structure)
+            if eobrun:
+                eobrun -= 1
+                for k in range(ss, se + 1):
+                    if cf[_JPEG_ZIGZAG[k]]:
+                        refine_nonzero(cf, _JPEG_ZIGZAG[k])
+                return
+            k = ss
+            while k <= se:
+                rs = _jpeg_huff_decode(reader, huff[(1, tac)])
+                r, s = rs >> 4, rs & 15
+                val = 0
+                if s == 0:
+                    if r < 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        r = 64  # the block's tail is correction bits only
+                else:
+                    val = p1 if reader.read_bit() else m1
+                while k <= se:
+                    idx = _JPEG_ZIGZAG[k]
+                    k += 1
+                    if cf[idx]:
+                        refine_nonzero(cf, idx)
+                    else:
+                        if r == 0:
+                            if val:
+                                cf[idx] = val
+                            break
+                        r -= 1
+
+    scan_tabs = {ci: (tdc, tac) for ci, tdc, tac in scan}
+    unit = 0
+    try:
+        if ss == 0 and len(scan) > 1:  # interleaved DC scan: MCU order
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if restart and unit and unit % restart == 0:
+                        reader.sync_restart()
+                        dc_pred = [0] * len(comps)
+                    for ci, _t, _a in scan:
+                        _, hs, vs, _q = comps[ci]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                dc_block(ci, my * vs + by, mx * hs + bx)
+                    unit += 1
+        else:  # non-interleaved: the component's true block grid, raster
+            ci = scan[0][0]
+            bw, bh = bdims[ci]
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart and unit and unit % restart == 0:
+                        reader.sync_restart()
+                        dc_pred = [0] * len(comps)
+                        eobrun = 0
+                    if ss == 0:
+                        dc_block(ci, by, bx)
+                    else:
+                        ac_block(ci, by, bx)
+                    unit += 1
+    except (EOFError, IndexError, ValueError):
+        pass  # truncated scan: keep the coefficients decoded so far
+    return _jpeg_next_marker(b, reader.pos)
+
+
+def decode_jpeg_progressive_pixels(
+    payload: bytes,
+) -> tuple[int, int, int, bytes] | None:
+    """REAL progressive JPEG decode (SOF2 — spectral selection +
+    successive approximation, ITU T.81 Annex G), stdlib + numpy: the
+    marker walk processes every SOS scan in sequence (DHT/DQT may be
+    redefined between scans), accumulating QUANTIZED coefficients per
+    component across scans; after EOI one vectorized dequant + 8x8
+    IDCT-II + chroma upsample + BT.601 conversion produces the pixels.
+    Returns (width, height, channels, row-major samples) or None for
+    non-progressive payloads (baseline SOF0/1 belongs to
+    decode_jpeg_pixels) and unsupported shapes (12-bit, arithmetic,
+    hierarchical)."""
+    import math
+    import struct
+
+    import numpy as np
+
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if b[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps = None
+    coefs: list = []
+    bdims: list = []
+    restart = 0
+    hmax = vmax = mcus_x = mcus_y = 0
+    h = w = 0
+    i = 2
+    while i + 2 <= len(b):
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        if marker == 0xD9:
+            break
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if i + 4 > len(b):
+            break
+        (seglen,) = struct.unpack(">H", b[i + 2 : i + 4])
+        seg = b[i + 4 : i + 2 + seglen]
+        if marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                      0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # baseline/other frames: not this decoder's job
+        if marker == 0xDB:
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 15
+                if pq != 0:
+                    return None
+                qt[tq] = list(seg[j + 1 : j + 65])
+                j += 65
+        elif marker == 0xC2:  # SOF2
+            if seg[0] != 8:
+                return None
+            h, w = struct.unpack(">HH", seg[1:5])
+            if not h or not w:
+                return None
+            comps = []
+            for c in range(seg[5]):
+                cid, hv, tq_ = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq_))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            for _cid, hs, vs, _tq in comps:
+                coefs.append(
+                    np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int64)
+                )
+                cw, ch = -(-w * hs // hmax), -(-h * vs // vmax)
+                bdims.append((-(-cw // 8), -(-ch // 8)))
+        elif marker == 0xC4:
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 15
+                counts = seg[j + 1 : j + 17]
+                syms = seg[j + 17 : j + 17 + sum(counts)]
+                table: dict[tuple[int, int], int] = {}
+                code, k = 0, 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = syms[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                j += 17 + sum(counts)
+        elif marker == 0xDD:
+            (restart,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:
+            if comps is None:
+                return None
+            ncs = seg[0]
+            scan = []
+            for c in range(ncs):
+                cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                idx = next(
+                    (k for k, fc in enumerate(comps) if fc[0] == cid), None
+                )
+                if idx is None:
+                    return None
+                scan.append((idx, tabs >> 4, tabs & 15))
+            ss, se = seg[1 + 2 * ncs], seg[2 + 2 * ncs]
+            ahal = seg[3 + 2 * ncs]
+            i = _jpeg_prog_scan(
+                b, i + 2 + seglen, scan, ss, se, ahal >> 4, ahal & 15,
+                comps, coefs, bdims, huff, restart, mcus_x, mcus_y,
+            )
+            continue
+        i += 2 + seglen
+    if comps is None:
+        return None
+
+    A = np.array(
+        [
+            [
+                (math.sqrt(0.5) if u == 0 else 1.0) / 2.0
+                * math.cos((2 * x + 1) * u * math.pi / 16.0)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    )
+    full = []
+    for (cid, hs, vs, tq_), cf in zip(comps, coefs):
+        if tq_ not in qt:
+            return None
+        # coefficients sit at NATURAL positions (stored via _JPEG_ZIGZAG
+        # at decode time) but the quant table arrives in zigzag order
+        q_nat = np.zeros(64)
+        for zz_i, nat in enumerate(_JPEG_ZIGZAG):
+            q_nat[nat] = qt[tq_][zz_i]
+        deq = cf.astype(np.float64) * q_nat
+        bh, bw = cf.shape[0], cf.shape[1]
+        blocks = deq.reshape(bh, bw, 8, 8)
+        pix = np.einsum("uy,rcuv,vx->rycx", A, blocks, A) + 128.0
+        plane = pix.reshape(bh * 8, bw * 8)
+        up = np.repeat(
+            np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
+        )
+        full.append(up[:h, :w])
+    if len(full) == 1:
+        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return (w, h, 1, out.tobytes())
+    if len(full) != 3:
+        return None
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    bch = y + 1.772 * cb
+    rgb = np.stack(
+        [np.clip(np.round(p), 0, 255) for p in (r, g, bch)], axis=-1
+    ).astype(np.uint8)
+    return (w, h, 3, rgb.tobytes())
 
 
 # JPEG zigzag order (ITU T.81 Figure A.6): index in the entropy stream ->

@@ -180,7 +180,7 @@ def q_text_profile(spark, sf_dir):
         F.substring("text", 1, 12),
     )
     sc_cols = script_columns(script_seed)
-    return d.select(
+    profile = d.select(
         "doc_id",
         F.round(alpha / n, 6).alias("alpha_ratio"),
         F.round(punct / n, 6).alias("punct_ratio"),
@@ -196,6 +196,26 @@ def q_text_profile(spark, sf_dir):
         *[c.alias(name) for name, c in sc_cols.items()],
         strip_invisible(inv_seed).alias("inv_clean"),
     )
+    # MODEL-grade language ID (operators/langid.py): multi-class NB over
+    # hashed char trigrams, trained deterministically on the %2 slice's
+    # own `lang` labels (closed form — no SGD order dependence), scored
+    # via broadcast weights + per-doc agg. Unlike the stopword lexicon
+    # above it can emit ANY label seen in training (the corpus labels
+    # `zh`, unreachable by the Latin lexicon). The DuckDB oracle replays
+    # featurize -> fit -> score -> argmax end-to-end.
+    from textractssmlprocessor_spark.operators.langid import (
+        langid_scores,
+        train_langid_nb,
+    )
+
+    d0 = _docs(spark, sf_dir)
+    weights, lstats = train_langid_nb(
+        d0.filter(F.col("doc_id") % 2 == 0), buckets=2048
+    )
+    lm = langid_scores(d0, weights, lstats, buckets=2048).withColumnRenamed(
+        "id", "doc_id"
+    )
+    return profile.join(lm, "doc_id")
 
 
 def q_pack_shards(spark, sf_dir):
@@ -2221,6 +2241,77 @@ def oracle_sql() -> dict[str, str]:
         "text_profile": f"""
             WITH sdocs AS (
                 SELECT doc_id, text, {script_seed_sql} AS st FROM documents
+            ),
+            -- trained NB lang-ID replay (operators/langid.py): char
+            -- trigrams -> md5 cells mod 2048 -> per-(lang,cell)
+            -- Laplace(1) log-likelihoods (trained on the %2 slice) ->
+            -- per-doc score = hits + unseen*default + prior -> argmax
+            -- with (score desc, lang) tie-break
+            lnorm AS (
+                SELECT doc_id, lang,
+                       regexp_replace(lower(text), '\\s+', ' ', 'g') AS s
+                FROM documents
+            ),
+            lcells AS (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5(g), 1, 8))::BIGINT % 2048 AS cell
+                FROM (
+                    SELECT doc_id, lang,
+                           unnest(list_transform(
+                               generate_series(1, greatest(length(s) - 2, 0)::BIGINT),
+                               i -> substr(s, i, 3))) AS g
+                    FROM lnorm
+                )
+            ),
+            lcounts AS (
+                SELECT lang, cell, count(*)::BIGINT AS c
+                FROM lcells WHERE doc_id % 2 = 0 GROUP BY 1, 2
+            ),
+            ltot AS (SELECT lang, sum(c)::DOUBLE AS n_lang FROM lcounts GROUP BY 1),
+            lw AS (
+                SELECT lang, cell, round(ln((c + 1.0) / (n_lang + 2048.0)), 6) AS weight
+                FROM lcounts JOIN ltot USING (lang)
+            ),
+            ldocs AS (
+                SELECT lang, count(*)::DOUBLE AS n_docs
+                FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+            ),
+            lstats AS (
+                SELECT d.lang,
+                       round(ln(1.0 / (coalesce(t.n_lang, 0) + 2048.0)), 6) AS default_w,
+                       round(ln(d.n_docs / (SELECT sum(n_docs) FROM ldocs)), 6) AS log_prior
+                FROM ldocs d LEFT JOIN ltot t ON d.lang = t.lang
+            ),
+            lng AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM lcells GROUP BY 1),
+            lhits AS (
+                SELECT c.doc_id, w.lang, sum(w.weight) AS sum_w,
+                       count(*)::BIGINT AS n_hit
+                FROM lcells c JOIN lw w USING (cell) GROUP BY 1, 2
+            ),
+            lsc AS (
+                SELECT d.doc_id, s.lang,
+                       coalesce(g.n_grams, 0)::BIGINT AS n_grams,
+                       round(coalesce(h.sum_w, 0.0)
+                             + (coalesce(g.n_grams, 0) - coalesce(h.n_hit, 0))::DOUBLE * s.default_w
+                             + s.log_prior, 6) AS score
+                FROM documents d
+                LEFT JOIN lng g ON d.doc_id = g.doc_id
+                CROSS JOIN lstats s
+                LEFT JOIN lhits h ON d.doc_id = h.doc_id AND s.lang = h.lang
+            ),
+            lrk AS (
+                SELECT doc_id, lang, score, n_grams,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+                FROM lsc
+            ),
+            lpred AS (
+                SELECT doc_id,
+                       max(CASE WHEN rn = 1 THEN lang END) AS lang_model_pred,
+                       max(CASE WHEN rn = 1 THEN score END) AS lang_model_score,
+                       round(max(CASE WHEN rn = 1 THEN score END)
+                             - max(CASE WHEN rn = 2 THEN score END), 6) AS lang_model_margin,
+                       max(n_grams) AS langid_n_grams
+                FROM lrk WHERE rn <= 2 GROUP BY 1
             )
             SELECT doc_id,
                    round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text)::DOUBLE, 6) AS alpha_ratio,
@@ -2242,8 +2333,10 @@ def oracle_sql() -> dict[str, str]:
                         THEN substr(least({script_keys_sql}), 9, 16) END AS script_pred,
                    regexp_replace(
                        (CASE WHEN doc_id % 2 = 0 THEN {inv_sample_sql} ELSE '' END) || substr(text, 1, 6),
-                       {inv_pat_sql}, '', 'g') AS inv_clean
-            FROM sdocs
+                       {inv_pat_sql}, '', 'g') AS inv_clean,
+                   lang_model_pred, lang_model_score, lang_model_margin,
+                   coalesce(langid_n_grams, 0)::BIGINT AS langid_n_grams
+            FROM sdocs JOIN lpred USING (doc_id)
         """,
 
         "pack_shards": """

@@ -1,0 +1,149 @@
+"""PDF layout parse (operators/pdf.py): pure-Python parser unit tests +
+the Spark blocks -> ocr reconstruction end-to-end path."""
+
+from __future__ import annotations
+
+import zlib
+
+from pyspark.sql import functions as F
+
+from textractssmlprocessor_spark.operators.pdf import (
+    build_simple_pdf,
+    parse_pdf_blocks,
+    pdf_blocks,
+)
+
+
+def _pdf_with_content(content: bytes, compress: bool = False) -> bytes:
+    """Minimal one-page PDF around a raw content stream."""
+    filt = b""
+    if compress:
+        content = zlib.compress(content)
+        filt = b"/Filter /FlateDecode "
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Count 1 /Kids [3 0 R] >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>",
+        b"<< %s/Length %d >>\nstream\n%s\nendstream" % (filt, len(content), content),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for num, obj in enumerate(objs, start=1):
+        out += b"%d 0 obj\n" % num + obj + b"\nendobj\n"
+    out += b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
+def test_roundtrip_writer_parser():
+    pages = [
+        [(72, 720, 12, "Hello World"), (72, 700, 12, "Second (line) \\ done")],
+        [(72, 720, 18, "Page two")],
+    ]
+    for compress in (True, False):
+        blocks = parse_pdf_blocks(build_simple_pdf(pages, compress=compress))
+        assert [(b[0], b[6]) for b in blocks] == [
+            (0, "Hello World"),
+            (0, "Second (line) \\ done"),
+            (1, "Page two"),
+        ]
+        # left fraction of x=72 on a 612pt page
+        assert blocks[0][2] == round(72 / 612, 6)
+
+
+def test_writer_is_deterministic():
+    pages = [[(72, 720, 12, "same input")]]
+    assert build_simple_pdf(pages) == build_simple_pdf(pages)
+
+
+def test_text_operators_tm_tstar_tj_quote_hex():
+    content = (
+        b"BT /F1 10 Tf 14 TL 100 700 Td (first) Tj T* (second) Tj "
+        b"(third via quote) ' "
+        b"1 0 0 1 50 600 Tm [(fourth) -250 ( and kerned)] TJ "
+        b"<48656C6C6F> Tj ET"
+    )
+    blocks = parse_pdf_blocks(_pdf_with_content(content))
+    texts = [b[6] for b in blocks]
+    assert texts == [
+        "first",
+        "second",
+        "third via quote",
+        "fourth and kerned",
+        "Hello",
+    ]
+    tops = [b[3] for b in blocks]
+    assert tops[0] < tops[1] < tops[2]  # T* / ' walk DOWN the page
+    assert blocks[3][2] == round(50 / 612, 6)  # Tm repositioned
+
+
+def test_escapes_and_continuation():
+    content = (
+        b"BT /F1 12 Tf 72 700 Td "
+        b"(octal \\101\\102 tab\\there paren\\) back\\\\slash cont\\\ninued) Tj ET"
+    )
+    blocks = parse_pdf_blocks(_pdf_with_content(content, compress=True))
+    assert blocks[0][6] == "octal AB tab\there paren) back\\slash continued"
+
+
+def test_cm_translation_and_qQ():
+    content = (
+        b"q 1 0 0 1 100 -50 cm BT /F1 12 Tf 72 700 Td (moved) Tj ET Q "
+        b"BT /F1 12 Tf 72 700 Td (back) Tj ET"
+    )
+    blocks = parse_pdf_blocks(_pdf_with_content(content))
+    moved, back = blocks
+    assert moved[6] == "moved" and back[6] == "back"
+    assert moved[2] == round((72 + 100) / 612, 6)
+    assert back[2] == round(72 / 612, 6)
+    assert moved[3] > back[3]  # y dropped 50pt => larger top fraction
+
+
+def test_corrupt_and_textless_inputs():
+    assert parse_pdf_blocks(b"not a pdf at all") == []
+    assert parse_pdf_blocks(b"%PDF-1.4\ngarbage obj << broken") == []
+    # valid structure, no text operators
+    assert parse_pdf_blocks(_pdf_with_content(b"0 0 100 100 re f")) == []
+
+
+def test_spark_pdf_to_document_reconstruction(spark):
+    """The north-star layout path end-to-end: binary PDFs -> positioned
+    blocks (mapInPandas) -> line banding -> running-head/folio strip ->
+    document text."""
+    from textractssmlprocessor_spark.operators.ocr import reconstruct_documents
+
+    def book(urlseed: str) -> bytes:
+        pages = []
+        for p in range(3):
+            pages.append(
+                [
+                    (200, 760, 10, "THE RUNNING HEAD"),  # top band, every page
+                    (72, 700, 12, f"Body {urlseed} page {p} line one"),
+                    (72, 680, 12, f"and line two of page {p}"),
+                    (300, 30, 10, str(p + 1)),  # folio
+                ]
+            )
+        return build_simple_pdf(pages)
+
+    df = spark.createDataFrame(
+        [("pdf://a", bytearray(book("a"))), ("pdf://b", bytearray(book("b")))],
+        "url string, payload binary",
+    )
+    blocks = pdf_blocks(df)
+    assert blocks.count() == 2 * 3 * 4
+    docs = {
+        r["url"]: r["text"]
+        for r in reconstruct_documents(blocks).collect()
+    }
+    for seed in ("a", "b"):
+        expected = "\n".join(
+            f"Body {seed} page {p} line one\nand line two of page {p}"
+            for p in range(3)
+        )
+        assert docs[f"pdf://{seed}"] == expected
+
+
+def test_spark_null_and_corrupt_payloads(spark):
+    df = spark.createDataFrame(
+        [("u1", None), ("u2", bytearray(b"broken bytes"))],
+        "url string, payload binary",
+    )
+    assert pdf_blocks(df).count() == 0

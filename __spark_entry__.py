@@ -442,6 +442,17 @@ def q_url_normalize(spark, sf_dir):
         url_host(F.col("u1")).alias("host"),
         nulls["n"], nulls["n2"], nulls["matched"],
     )
+    # (1b) SURT keys (weburl.surt_key) over the same messy urls: the
+    # CDX/web-archive ordering form — reversed comma-joined host, scheme
+    # dropped, path+query lowercased on top of normalize_url
+    from textractssmlprocessor_spark.operators.weburl import surt_key
+
+    st = d.select(
+        F.lit("surt").alias("variant"),
+        "doc_id",
+        surt_key(F.col("u1")).alias("canonical_url"),
+        nulls["host"], nulls["n"], nulls["n2"], nulls["matched"],
+    )
     dd = url_dedup(d.select("doc_id", F.col("u2").alias("url"))).select(
         F.lit("url_dedup").alias("variant"),
         F.col("keep_id").alias("doc_id"),
@@ -622,7 +633,7 @@ def q_url_normalize(spark, sf_dir):
         nulls["matched"],
     )
     return (
-        norm.unionByName(dd).unionByName(ds).unionByName(bl)
+        norm.unionByName(st).unionByName(dd).unionByName(ds).unionByName(bl)
         .unionByName(hc).unionByName(cd).unionByName(rb).unionByName(cn)
         .unionByName(fr)
     )
@@ -678,8 +689,15 @@ def q_gopher_quality(spark, sf_dir):
 
 def q_repetition_stats(spark, sf_dir):
     # dup-line/paragraph fractions + top-bigram share; repetition seeded
-    # deterministically so the duplicated branches actually execute
-    from textractssmlprocessor_spark.operators.textstats import repetition_stats
+    # deterministically so the duplicated branches actually execute —
+    # PLUS the full Gopher character-fraction battery (Rae et al. 2021
+    # Table A1, textstats.gopher_repetition): dup line/para CHAR
+    # fractions, top {2,3,4}-gram char fractions, overlap-aware
+    # duplicated {5..10}-gram char coverage
+    from textractssmlprocessor_spark.operators.textstats import (
+        gopher_repetition,
+        repetition_stats,
+    )
 
     d = _docs(spark, sf_dir).select(
         "doc_id",
@@ -689,7 +707,9 @@ def q_repetition_stats(spark, sf_dir):
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    return repetition_stats(d).withColumnRenamed("id", "doc_id")
+    rep = repetition_stats(d).withColumnRenamed("id", "doc_id")
+    battery = gopher_repetition(d).withColumnRenamed("id", "doc_id")
+    return rep.join(battery, "doc_id")
 
 
 def _docs_with_dupes(spark, sf_dir):
@@ -1002,6 +1022,24 @@ def q_cleaning_suite(spark, sf_dir):
             F.substring("text", 1, 30),
             F.lit("\n  Shared nav line \nThe End"),
         ).alias("tr"),
+        # C4 seed: one line per rule branch — kept sentence, <3-words,
+        # no terminal punctuation, javascript boilerplate, salad+period,
+        # doc-verdict toggles (lorem ipsum on %5, curly brace on %7),
+        # and a multi-sentence tail so the >=5-sentence rule can pass
+        F.concat(
+            F.lit("Good opening sentence with plenty of words.\n"),
+            F.lit("short line.\n"),
+            F.lit("This line has no terminal punctuation\n"),
+            F.lit("Please enable JavaScript to view this page.\n"),
+            F.substring("text", 1, 40), F.lit(" end.\n"),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit("lorem ipsum dolor sit amet.\n")
+            ).otherwise(F.lit("Second good sentence is right here.\n")),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit("code block { display: none; }\n")
+            ).otherwise(F.lit("")),
+            F.lit("Final thoughts here. Another one! A question? Yes indeed."),
+        ).alias("tl"),
     )
     # F1: drop short all-caps lines
     kept = F.filter(
@@ -1030,12 +1068,17 @@ def q_cleaning_suite(spark, sf_dir):
         drop_repeated_lines_within,
     )
 
+    # C4 line/document rules (content.c4_line_columns, Raffel et al. 2020)
+    from textractssmlprocessor_spark.operators.content import c4_line_columns
+
+    c4 = c4_line_columns(F.col("tl"))
     return d.select(
         "doc_id",
         F.array_join(kept, "\n").alias("no_headers"),
         tn.alias("no_notes"),
         F.array_join(tc_lines, "\n").alias("cleaned"),
         drop_repeated_lines_within(F.col("tr")).alias("no_repeats"),
+        *[c.alias(name) for name, c in c4.items()],
     )
 
 
@@ -1365,12 +1408,71 @@ def q_ocr_lines(spark, sf_dir):
     )
 
 
-def q_ocr_reconstruct(spark, sf_dir):
-    from textractssmlprocessor_spark.operators.ocr import reconstruct_documents
+def _pdf_fixtures():
+    """Deterministic PDF payloads with KNOWN text content: 2-3 pages each,
+    a running head in the top band, a folio at the bottom, two body lines
+    per page; alternating Flate/plain streams. The expected reconstructed
+    text is authored here (NOT produced by the parser), so the oracle is
+    independent of the code under test. Returns (rows, expected) where
+    rows = [(url, payload)] and expected = {url: text}."""
+    from textractssmlprocessor_spark.operators.pdf import build_simple_pdf
 
-    return reconstruct_documents(_blocks(spark, sf_dir)).withColumnRenamed(
-        "text", "reconstructed_text"
+    rows, expected = [], {}
+    for k in range(4):
+        pages, lines = [], []
+        for p in range(2 + k % 2):
+            opening = f"Fixture {k} page {p} opening line"
+            closing = f"closing line {p} of fixture {k}"
+            pages.append(
+                [
+                    (200, 760, 10, "THE RUNNING HEAD"),
+                    (72, 700, 12, opening),
+                    (72, 680, 12, closing),
+                    (300, 30, 10, str(p + 1)),
+                ]
+            )
+            lines += [opening, closing]
+        url = f"pdf://{k}"
+        rows.append((url, bytearray(build_simple_pdf(pages, compress=(k % 2 == 0)))))
+        expected[url] = "\n".join(lines)
+    return rows, expected
+
+
+def _pdf_expected_sql() -> str:
+    """UNION ALL of literal (variant, url, reconstructed_text) rows for the
+    PDF fixtures (ASCII + newlines only, safe as plain SQL literals)."""
+    _, expected = _pdf_fixtures()
+    parts = [
+        "SELECT 'pdf' AS variant, '%s' AS url, '%s' AS reconstructed_text"
+        % (url, text.replace("'", "''"))
+        for url, text in sorted(expected.items())
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def q_ocr_reconstruct(spark, sf_dir):
+    # Two variants of the north-star layout path: 'blocks' reconstructs
+    # the synthetic Textract-style blocks table; 'pdf' runs the FULL
+    # pipeline from raw binary — operators/pdf.py content-stream parse
+    # (mapInPandas, zero shuffle) -> positioned blocks -> line banding ->
+    # running-head/folio strip -> document text, against fixture PDFs
+    # whose intended text the oracle states as literals.
+    from textractssmlprocessor_spark.operators.ocr import reconstruct_documents
+    from textractssmlprocessor_spark.operators.pdf import pdf_blocks
+
+    base = reconstruct_documents(_blocks(spark, sf_dir)).select(
+        F.lit("blocks").alias("variant"),
+        "url",
+        F.col("text").alias("reconstructed_text"),
     )
+    rows, _ = _pdf_fixtures()
+    pdfs = spark.createDataFrame(rows, "url string, payload binary")
+    pdf_rec = reconstruct_documents(pdf_blocks(pdfs)).select(
+        F.lit("pdf").alias("variant"),
+        "url",
+        F.col("text").alias("reconstructed_text"),
+    )
+    return base.unionByName(pdf_rec)
 
 
 # ---------------------------------------------------------------------------
@@ -2610,6 +2712,27 @@ def oracle_sql() -> dict[str, str]:
                    NULL::BIGINT AS n2, NULL::VARCHAR AS matched
             FROM outp WHERE variant = 'normalize'
             UNION ALL
+            -- SURT replay (weburl.surt_key): reversed comma-joined host,
+            -- non-default port kept, scheme dropped, path+query lowered
+            SELECT 'surt', doc_id,
+                   CASE WHEN scheme_host = '' THEN lower(scheme_host || rest || qq)
+                        ELSE array_to_string(list_reverse(string_split(
+                                 CASE WHEN strpos(hp, ':') > 0
+                                      THEN substr(hp, 1, strpos(hp, ':') - 1)
+                                      ELSE hp END, '.')), ',')
+                             || (CASE WHEN strpos(hp, ':') > 0
+                                      THEN substr(hp, strpos(hp, ':')) ELSE '' END)
+                             || ')'
+                             || lower(CASE WHEN rest || qq = '' THEN '/' ELSE rest || qq END)
+                   END,
+                   NULL::VARCHAR, NULL::BIGINT, NULL::BIGINT, NULL::VARCHAR
+            FROM (
+                SELECT doc_id, scheme_host, rest,
+                       (CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END) AS qq,
+                       regexp_replace(scheme_host, '^[a-z][a-z0-9+.\\-]*://', '') AS hp
+                FROM params WHERE variant = 'normalize'
+            )
+            UNION ALL
             SELECT variant, min(doc_id), canonical_url, NULL::VARCHAR, count(*)::BIGINT,
                    NULL::BIGINT, NULL::VARCHAR
             FROM outp WHERE variant = 'url_dedup'
@@ -2943,13 +3066,113 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS char_entropy
                 FROM chc GROUP BY doc_id
+            ),
+            -- full Gopher battery replay (textstats.gopher_repetition):
+            -- words = non-empty \\s+ split of trim(lower(t));
+            -- total_chars = sum of word lengths (separators excluded)
+            gw AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(lower(t)), '\\s+'), w -> w != '') AS ws
+                FROM d
+            ),
+            gwords AS (
+                SELECT doc_id, g.i - 1 AS pos, ws[g.i] AS w
+                FROM gw, unnest(generate_series(1, len(ws))) AS g(i)
+            ),
+            gtotals AS (
+                SELECT doc_id, sum(length(w))::DOUBLE AS total_chars
+                FROM gwords GROUP BY 1
+            ),
+            glines AS (
+                SELECT doc_id, trim(x) AS p
+                FROM d, unnest(string_split(t, chr(10))) AS u(x)
+                WHERE trim(x) != ''
+            ),
+            glc AS (SELECT doc_id, p, count(*) AS c FROM glines GROUP BY 1, 2),
+            gl AS (
+                SELECT doc_id,
+                       round(coalesce(sum(CASE WHEN c > 1 THEN c * length(p) END), 0)
+                             / sum(c * length(p))::DOUBLE, 6) AS dup_line_char_frac
+                FROM glc GROUP BY 1
+            ),
+            gparas AS (
+                SELECT doc_id, trim(x) AS p
+                FROM d, unnest(string_split_regex(t, '\\n{2,}')) AS u(x)
+                WHERE trim(x) != ''
+            ),
+            gpc AS (SELECT doc_id, p, count(*) AS c FROM gparas GROUP BY 1, 2),
+            gp AS (
+                SELECT doc_id,
+                       round(coalesce(sum(CASE WHEN c > 1 THEN c * length(p) END), 0)
+                             / sum(c * length(p))::DOUBLE, 6) AS dup_para_char_frac
+                FROM gpc GROUP BY 1
+            ),
+            goccs AS (
+                SELECT doc_id, ns.n, g.i - 1 AS i,
+                       array_to_string(ws[g.i:g.i + ns.n - 1], ' ') AS g
+                FROM gw
+                CROSS JOIN (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) ns(n),
+                unnest(generate_series(1, greatest(len(ws) - ns.n + 1, 0)::BIGINT)) AS g(i)
+            ),
+            gcnt AS (SELECT doc_id, n, g, count(*) AS c FROM goccs GROUP BY 1, 2, 3),
+            gtop AS (
+                SELECT doc_id, n, (c * (length(g) - (n - 1)))::DOUBLE AS chars
+                FROM (
+                    SELECT doc_id, n, g, c,
+                           row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, g DESC) AS rn
+                    FROM gcnt WHERE n IN (2, 3, 4)
+                ) WHERE rn = 1
+            ),
+            gtopw AS (
+                SELECT doc_id,
+                       max(CASE WHEN n = 2 THEN chars END) AS t2,
+                       max(CASE WHEN n = 3 THEN chars END) AS t3,
+                       max(CASE WHEN n = 4 THEN chars END) AS t4
+                FROM gtop GROUP BY 1
+            ),
+            gdup AS (SELECT doc_id, n, g FROM gcnt WHERE c > 1 AND n >= 5),
+            gcov AS (
+                SELECT DISTINCT o.doc_id, o.n, o.i + u.k AS pos
+                FROM goccs o JOIN gdup USING (doc_id, n, g),
+                unnest(generate_series(0, (o.n - 1)::BIGINT)) AS u(k)
+            ),
+            gcovc AS (
+                SELECT v.doc_id, v.n, sum(length(w.w))::DOUBLE AS chars
+                FROM gcov v JOIN gwords w ON v.doc_id = w.doc_id AND v.pos = w.pos
+                GROUP BY 1, 2
+            ),
+            gcovw AS (
+                SELECT doc_id,
+                       max(CASE WHEN n = 5 THEN chars END) AS d5,
+                       max(CASE WHEN n = 6 THEN chars END) AS d6,
+                       max(CASE WHEN n = 7 THEN chars END) AS d7,
+                       max(CASE WHEN n = 8 THEN chars END) AS d8,
+                       max(CASE WHEN n = 9 THEN chars END) AS d9,
+                       max(CASE WHEN n = 10 THEN chars END) AS d10
+                FROM gcovc GROUP BY 1
             )
             SELECT b.doc_id, b.dup_line_frac, b.dup_para_frac,
                    CASE WHEN coalesce(agg.total, 0) > 0 THEN round(agg.top / agg.total::DOUBLE, 6) END AS top_bigram_frac,
                    coalesce(agg.total, 0)::BIGINT AS n_bigrams,
-                   ent.char_entropy
+                   ent.char_entropy,
+                   gl.dup_line_char_frac,
+                   gp.dup_para_char_frac,
+                   CASE WHEN gtotals.total_chars > 0 THEN round(coalesce(gtopw.t2, 0) / gtotals.total_chars, 6) END AS top_2_gram_char_frac,
+                   CASE WHEN gtotals.total_chars > 0 THEN round(coalesce(gtopw.t3, 0) / gtotals.total_chars, 6) END AS top_3_gram_char_frac,
+                   CASE WHEN gtotals.total_chars > 0 THEN round(coalesce(gtopw.t4, 0) / gtotals.total_chars, 6) END AS top_4_gram_char_frac,
+                   CASE WHEN gtotals.total_chars > 0 THEN round(coalesce(gcovw.d5, 0) / gtotals.total_chars, 6) END AS dup_5_gram_char_frac,
+                   CASE WHEN gtotals.total_chars > 0 THEN round(coalesce(gcovw.d6, 0) / gtotals.total_chars, 6) END AS dup_6_gram_char_frac,
+                   CASE WHEN gtotals.total_chars > 0 THEN round(coalesce(gcovw.d7, 0) / gtotals.total_chars, 6) END AS dup_7_gram_char_frac,
+                   CASE WHEN gtotals.total_chars > 0 THEN round(coalesce(gcovw.d8, 0) / gtotals.total_chars, 6) END AS dup_8_gram_char_frac,
+                   CASE WHEN gtotals.total_chars > 0 THEN round(coalesce(gcovw.d9, 0) / gtotals.total_chars, 6) END AS dup_9_gram_char_frac,
+                   CASE WHEN gtotals.total_chars > 0 THEN round(coalesce(gcovw.d10, 0) / gtotals.total_chars, 6) END AS dup_10_gram_char_frac
             FROM b LEFT JOIN agg ON b.doc_id = agg.doc_id
                    LEFT JOIN ent ON b.doc_id = ent.doc_id
+                   LEFT JOIN gtotals ON b.doc_id = gtotals.doc_id
+                   LEFT JOIN gl ON b.doc_id = gl.doc_id
+                   LEFT JOIN gp ON b.doc_id = gp.doc_id
+                   LEFT JOIN gtopw ON b.doc_id = gtopw.doc_id
+                   LEFT JOIN gcovw ON b.doc_id = gcovw.doc_id
         """,
         "boilerplate_lines": """
             WITH d AS (
@@ -3424,12 +3647,33 @@ def oracle_sql() -> dict[str, str]:
                        ' mid [stray] <p> </p> tail<br> <small> </small>.' AS tn,
                        '<p>Tagged</p>  intro' || chr(10) || chr(10) || '  ' || chr(10) || text || '  end  ' AS tc,
                        'Shared nav line' || chr(10) || 'unique intro' || chr(10) || 'Shared nav line' || chr(10) || chr(10)
-                       || substr(text, 1, 30) || chr(10) || '  Shared nav line ' || chr(10) || 'The End' AS tr
+                       || substr(text, 1, 30) || chr(10) || '  Shared nav line ' || chr(10) || 'The End' AS tr,
+                       'Good opening sentence with plenty of words.' || chr(10) ||
+                       'short line.' || chr(10) ||
+                       'This line has no terminal punctuation' || chr(10) ||
+                       'Please enable JavaScript to view this page.' || chr(10) ||
+                       substr(text, 1, 40) || ' end.' || chr(10) ||
+                       CASE WHEN doc_id % 5 = 0 THEN 'lorem ipsum dolor sit amet.'
+                            ELSE 'Second good sentence is right here.' END || chr(10) ||
+                       CASE WHEN doc_id % 7 = 0 THEN 'code block { display: none; }' || chr(10) ELSE '' END ||
+                       'Final thoughts here. Another one! A question? Yes indeed.' AS tl
                 FROM documents
             ),
             rl AS (
                 SELECT doc_id, string_split(tr, chr(10)) AS ls,
                        list_transform(string_split(tr, chr(10)), x -> trim(x)) AS ks
+                FROM d
+            ),
+            -- C4 replay (content.c4_line_columns): terminal punctuation,
+            -- >=3 words, no javascript; doc verdict >=5 sentences and no
+            -- lorem ipsum / curly brace
+            c4k AS (
+                SELECT doc_id,
+                       list_filter(
+                           list_transform(string_split(tl, chr(10)), x -> trim(x)),
+                           x -> regexp_matches(x, '[.!?"'']$')
+                                AND len(list_filter(string_split_regex(x, '\\s+'), w -> w != '')) >= 3
+                                AND NOT contains(lower(x), 'javascript')) AS kept
                 FROM d
             )
             SELECT doc_id,
@@ -3458,8 +3702,14 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT array_to_string(
                         list_filter(rl.ls, (x, i) -> trim(x) = '' OR list_position(rl.ks, trim(x)) = i),
                         chr(10))
-                    FROM rl WHERE rl.doc_id = d.doc_id) AS no_repeats
-            FROM d
+                    FROM rl WHERE rl.doc_id = d.doc_id) AS no_repeats,
+                   array_to_string(kept, chr(10)) AS c4_text,
+                   len(kept)::BIGINT AS c4_n_lines_kept,
+                   len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]'))::BIGINT AS c4_n_sentences,
+                   (CASE WHEN len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]')) >= 5
+                         AND NOT contains(lower(tl), 'lorem ipsum')
+                         AND NOT contains(tl, '{') THEN 1 ELSE 0 END)::BIGINT AS c4_keep
+            FROM d JOIN c4k USING (doc_id)
         """,
         "split_sections": """
             WITH d AS (
@@ -3791,8 +4041,11 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN repeats r ON n.url = r.url AND n.line_text = r.line_text
                 WHERE NOT (r.line_text IS NOT NULL AND (n.top <= 0.08 OR n.top >= 0.9))
             )
-            SELECT url, string_agg(line_text, chr(10) ORDER BY page_no, line_no) AS reconstructed_text
+            SELECT 'blocks' AS variant, url,
+                   string_agg(line_text, chr(10) ORDER BY page_no, line_no) AS reconstructed_text
             FROM kept GROUP BY url
+            UNION ALL
+            {_pdf_expected_sql()}
         """,
         # Fixture-golden oracles: the six Python-semantics queries (sentence
         # chunking, DOM conversion, SSML normalization, stateful splitters,

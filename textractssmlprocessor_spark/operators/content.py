@@ -124,3 +124,56 @@ def main_content(
             total_link / F.greatest(total_chars, F.lit(1)).cast("double"), 6
         ).alias("link_density"),
     )
+
+
+# --------------------------------------------------------------------------
+# C4 line/document cleaning rules (Raffel et al. 2020, "Exploring the
+# Limits of Transfer Learning...", §2.2 — the public description of the
+# C4 corpus filters). Line level: keep lines that end in a terminal
+# punctuation mark (ASCII subset: . ! ? " ' — the paper says "terminal
+# punctuation mark", quotes included), contain at least `min_words`
+# words, and do not mention javascript (the enable-JS boilerplate rule).
+# Document level: keep pages with >= 5 sentences whose text contains
+# neither "lorem ipsum" nor "{" (the code-page rule). All native
+# expressions — ONE map-side projection, zero shuffle, zero Python; the
+# regexes are Java/RE2-portable and shared verbatim with the DuckDB
+# oracle.
+# --------------------------------------------------------------------------
+
+C4_TERMINAL_RE = "[.!?\"']$"
+
+
+def c4_line_columns(col: Column, min_words: int = 3) -> dict[str, Column]:
+    """C4 cleaning as named columns over a raw-text column:
+
+    - ``c4_text``: the line-filtered text (kept lines joined by \\n)
+    - ``c4_n_lines_kept``: how many lines survived
+    - ``c4_n_sentences``: terminal-punctuation count of the kept text
+      (the paper's sentence proxy)
+    - ``c4_keep``: document verdict as bigint 0/1 (>= 5 sentences, no
+      "lorem ipsum", no "{") — bigint because the contract canonicalizer
+      cannot hash nullable booleans portably (CLAUDE.md invariant).
+    """
+    lines = F.transform(F.split(col, "\n", -1), lambda x: F.trim(x))
+    kept = F.filter(
+        lines,
+        lambda x: x.rlike(C4_TERMINAL_RE)
+        & (
+            F.size(F.filter(F.split(x, r"\s+", -1), lambda w: w != ""))
+            >= F.lit(min_words)
+        )
+        & ~F.lower(x).contains("javascript"),
+    )
+    text = F.array_join(kept, "\n")
+    n_sent = F.size(F.regexp_extract_all(text, F.lit("[.!?]"), F.lit(0)))
+    keep = (
+        (n_sent >= 5)
+        & ~F.lower(col).contains("lorem ipsum")
+        & ~col.contains("{")
+    ).cast("bigint")
+    return {
+        "c4_text": text,
+        "c4_n_lines_kept": F.size(kept).cast("bigint"),
+        "c4_n_sentences": n_sent.cast("bigint"),
+        "c4_keep": keep,
+    }

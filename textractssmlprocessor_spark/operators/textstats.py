@@ -618,3 +618,212 @@ def with_compression_ratio(
         return s.map(one)
 
     return df.withColumn(out_col, _ratio(F.col(text_col)))
+
+
+# --- full Gopher repetition battery (Rae et al. 2021, Table A1) --------------
+# repetition_stats above covers dup-line/para COUNT fractions + the top-
+# bigram share; the paper's full battery is CHARACTER fractions:
+#   - fraction of characters in duplicated lines / paragraphs (each
+#     occurrence of a text that appears >1 time counts),
+#   - fraction of characters in the single most frequent {2,3,4}-gram,
+#   - fraction of characters covered by duplicated {5..10}-grams
+#     (overlap-aware: a character under several repeated grams counts once).
+# Definitions pinned for cross-engine replay: words = \s+ split of the
+# trimmed lowercased text; total_chars = sum of word lengths (separators
+# excluded); an n-gram's chars = sum of its words' lengths; positions
+# covered by a duplicated n-gram occurrence at word index i are [i, i+n).
+# All fractions round to 6; docs with no words keep NULL fractions.
+#
+# Scale shape: no per-row array nested loops anywhere (the dup-line pass
+# is explode -> (id, line) count -> per-id char sums, NOT the O(lines^2)
+# array-lambda form — same reasoning as the drop_repeated_lines_within
+# cap, but here the aggregation form costs nothing). One word posexplode
+# is shared by every n level; gram keys slice the bound _ws attribute
+# (attribute-bound lambda, PLANS.md rule); duplicate coverage re-joins
+# narrow (id, n, gram) dup keys to occurrences and explodes positions
+# before a distinct. Every shuffle keys on (id, ...): high-cardinality,
+# map-side partials, nothing corpus-wide.
+
+
+def _dup_char_cols(
+    df: DataFrame, parts: Column, out: str
+) -> DataFrame:
+    """(id, <out>): per-doc fraction of characters sitting in repeated
+    (trimmed, non-empty) parts — aggregation form, no array nested loop."""
+    kept = F.filter(F.transform(parts, lambda p: F.trim(p)), lambda p: p != "")
+    per = (
+        df.select("id", F.explode_outer(kept).alias("p"))
+        .groupBy("id", "p")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum(
+                F.when(F.col("p").isNotNull(), F.col("c") * F.length("p"))
+            ).alias("tot"),
+            F.sum(
+                F.when(
+                    F.col("p").isNotNull() & (F.col("c") > 1),
+                    F.col("c") * F.length("p"),
+                )
+            ).alias("dup"),
+        )
+    )
+    return per.select(
+        "id",
+        F.when(
+            F.col("tot") > 0,
+            F.round(
+                F.coalesce(F.col("dup"), F.lit(0)) / F.col("tot").cast("double"),
+                6,
+            ),
+        ).alias(out),
+    )
+
+
+def gopher_repetition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """(id, dup_line_char_frac, dup_para_char_frac,
+    top_{n}_gram_char_frac..., dup_{n}_gram_char_frac...)."""
+    col = F.col(text_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        col.alias("_t"),
+        F.filter(
+            F.split(F.trim(F.lower(col)), r"\s+"), lambda w: w != ""
+        ).alias("_ws"),
+    )
+    lines = _dup_char_cols(
+        base, F.split(F.col("_t"), "\n"), "dup_line_char_frac"
+    )
+    paras = _dup_char_cols(
+        base, F.split(F.col("_t"), r"\n{2,}"), "dup_para_char_frac"
+    )
+    words = base.select("id", F.posexplode_outer("_ws").alias("pos", "w"))
+    totals = words.groupBy("id").agg(
+        F.sum(F.coalesce(F.length("w"), F.lit(0)))
+        .cast("double")
+        .alias("total_chars")
+    )
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+
+    def _gram_lambda(n: int):
+        # factory closure, NOT `lambda i, n=n`: F.transform inspects the
+        # lambda's arity and a second parameter (even defaulted) makes it
+        # pass (element, index) — silently binding the slice length to
+        # the element index
+        return lambda i: F.struct(
+            (i - 1).alias("i"),
+            F.concat_ws(" ", F.slice(F.col("_ws"), i, n)).alias("g"),
+        )
+
+    occs = (
+        base.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(n).alias("n"),
+                            F.when(
+                                F.size("_ws") >= n,
+                                F.transform(
+                                    F.sequence(
+                                        F.lit(1), F.size("_ws") - (n - 1)
+                                    ),
+                                    _gram_lambda(n),
+                                ),
+                            )
+                            .otherwise(
+                                F.array().cast(
+                                    "array<struct<i:int,g:string>>"
+                                )
+                            )
+                            .alias("grams"),
+                        )
+                        for n in all_ns
+                    ]
+                )
+            ).alias("lvl"),
+        )
+        .select("id", F.col("lvl.n").alias("n"), F.explode("lvl.grams").alias("gr"))
+        .select("id", "n", F.col("gr.i").alias("i"), F.col("gr.g").alias("g"))
+    )
+    counts = occs.groupBy("id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    # top-{n}-gram chars: count * gram chars (minus the n-1 separators),
+    # deterministic tie-break toward the lexicographically larger gram via
+    # the max-struct trick
+    top = (
+        counts.filter(F.col("n").isin(list(top_ns)))
+        .groupBy("id", "n")
+        .agg(F.max(F.struct(F.col("c"), F.col("g"))).alias("t"))
+        .select(
+            "id",
+            "n",
+            (F.col("t.c") * (F.length("t.g") - (F.col("n") - 1)))
+            .cast("double")
+            .alias("chars"),
+        )
+        .groupBy("id")
+        .pivot("n", list(top_ns))
+        .agg(F.first("chars"))
+    )
+    dup_keys = counts.filter(
+        (F.col("c") > 1) & F.col("n").isin(list(dup_ns))
+    ).select("id", "n", "g")
+    covered = (
+        occs.join(dup_keys, ["id", "n", "g"])
+        .select(
+            "id",
+            "n",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + F.col("n") - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+        .join(words, ["id", "pos"])
+        .groupBy("id", "n")
+        .agg(F.sum(F.length("w")).cast("double").alias("chars"))
+        .groupBy("id")
+        .pivot("n", list(dup_ns))
+        .agg(F.first("chars"))
+    )
+    out = (
+        base.select("id")
+        .join(lines, "id", "left")
+        .join(paras, "id", "left")
+        .join(totals, "id", "left")
+        .join(
+            top.select(
+                "id", *[F.col(str(n)).alias(f"_t{n}") for n in top_ns]
+            ),
+            "id",
+            "left",
+        )
+        .join(
+            covered.select(
+                "id", *[F.col(str(n)).alias(f"_d{n}") for n in dup_ns]
+            ),
+            "id",
+            "left",
+        )
+    )
+    def frac(src: str) -> Column:
+        return F.when(
+            F.col("total_chars") > 0,
+            F.round(
+                F.coalesce(F.col(src), F.lit(0.0)) / F.col("total_chars"), 6
+            ),
+        )
+
+    return out.select(
+        "id",
+        "dup_line_char_frac",
+        "dup_para_char_frac",
+        *[frac(f"_t{n}").alias(f"top_{n}_gram_char_frac") for n in top_ns],
+        *[frac(f"_d{n}").alias(f"dup_{n}_gram_char_frac") for n in dup_ns],
+    )

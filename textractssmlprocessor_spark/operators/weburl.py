@@ -444,3 +444,43 @@ def url_quality_columns(col: Column) -> dict[str, Column]:
         ).cast("bigint"),
         "url_suspect": F.nullif(suspect, F.lit("")),
     }
+
+
+def surt_key(col: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key — the canonical
+    web-archive ordering/grouping form used by CDX indexes and OpenWayback:
+    ``com,example)/path?query`` with the scheme dropped, the host reversed
+    and comma-joined, and everything lowercased, so one host's pages sort
+    contiguously and subdomains sort under their registrable domain.
+
+    Built on :func:`normalize_url` (default-port drop, sorted
+    tracking-stripped query, fragment strip), then: host labels reversed,
+    non-default port kept after the host, path+query lowercased, bare
+    hosts keyed as ``host)/``. Honest subset of the IA spec: no userinfo
+    strip, no IDNA/punycode mapping, no %-encoding normalization —
+    deterministic and engine-portable (the DuckDB oracle replays the same
+    string algebra). Map-side only.
+
+    Inputs without a scheme://host prefix (relative or garbage urls) have
+    no host to reverse: they pass through as lower(normalize_url(url)),
+    keeping the column total and NULL-free on any crawl frontier."""
+    norm = normalize_url(col)
+    scheme_host = F.regexp_extract(norm, _SCHEME_HOST_RE, 1)
+    hostport = F.regexp_replace(scheme_host, r"^[a-z][a-z0-9+.\-]*://", "")
+    host = F.substring_index(hostport, ":", 1)
+    port = F.when(
+        F.instr(hostport, ":") > 0,
+        F.concat(F.lit(":"), F.substring_index(hostport, ":", -1)),
+    ).otherwise(F.lit(""))
+    rest = F.substring(norm, F.length(scheme_host) + 1, 1 << 30)
+    rest = F.when(rest == "", F.lit("/")).otherwise(rest)
+    return F.when(
+        scheme_host == "", F.lower(norm)
+    ).otherwise(
+        F.concat(
+            F.array_join(F.reverse(F.split(host, r"\.")), ","),
+            port,
+            F.lit(")"),
+            F.lower(rest),
+        )
+    )

@@ -325,3 +325,50 @@ def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """CDX(J) index scan — the fourth Common Crawl artifact family (after
+    WARC/WET/WAT): one line per capture,
+
+        <surt-key> <timestamp14> {"url": ..., "mime": ..., "status": ...,
+                                  "digest": ..., "length": ..., "offset": ...,
+                                  "filename": ...}
+
+    the random-access index crawl tooling uses to locate records inside
+    WARC segments without scanning them. Returns
+    (surt, warc_ts, url, mime, status, digest, length, offset,
+    warc_filename) — the staging table for frontier planning, crawl-delta
+    joins (delta.crawl_delta on digest), and targeted WARC fetches.
+
+    Fully NATIVE: text scan -> one regexp split -> from_json -> try_casts;
+    zero Python, whole-stage codegen end to end, and .gz shards decompress
+    inside the text scan (Hadoop codec), so a 100 TB index reads at scan
+    parallelism with only a map phase. Malformed lines (including the
+    classic space-delimited CDX-11 header ' CDX N b a m s k r M S V g')
+    parse to NULL fields rather than failing the scan — filter on
+    ``url IS NOT NULL`` for the strict view. try_to_timestamp/try_cast
+    keep ANSI mode non-fatal on garbage numerics."""
+    from pyspark.sql import functions as F
+
+    line = F.col("value")
+    split_re = r"^(\S+) (\d{14}) (\{.*\})\s*$"
+    j = F.from_json(
+        F.regexp_extract(line, split_re, 3),
+        "url string, mime string, status string, digest string, "
+        "length string, offset string, filename string",
+    )
+    return spark.read.text(path).select(
+        F.nullif(F.regexp_extract(line, split_re, 1), F.lit("")).alias("surt"),
+        F.try_to_timestamp(
+            F.nullif(F.regexp_extract(line, split_re, 2), F.lit("")),
+            F.lit("yyyyMMddHHmmss"),
+        ).alias("warc_ts"),
+        j["url"].alias("url"),
+        j["mime"].alias("mime"),
+        j["status"].try_cast("int").alias("status"),
+        j["digest"].alias("digest"),
+        j["length"].try_cast("bigint").alias("length"),
+        j["offset"].try_cast("bigint").alias("offset"),
+        j["filename"].alias("warc_filename"),
+    )

@@ -253,6 +253,28 @@ def test_image_dimensions_real_headers(spark):
     assert image_dimensions(b"not an image at all") is None
     assert image_dimensions(png[:20]) is None
 
+    # WebP: all three container flavors (lossy VP8, lossless VP8L,
+    # extended VP8X), and a non-WEBP RIFF (WAV) must NOT match
+    vp8 = b"\x00\x00\x00\x9d\x01\x2a" + struct.pack("<HH", 320, 240) + bytes(4)
+    webp_lossy = (
+        b"RIFF" + struct.pack("<I", 12 + len(vp8)) + b"WEBP"
+        + b"VP8 " + struct.pack("<I", len(vp8)) + vp8
+    )
+    vp8l = b"\x2f" + struct.pack("<I", 639 | (479 << 14))
+    webp_lossless = (
+        b"RIFF" + struct.pack("<I", 12 + len(vp8l)) + b"WEBP"
+        + b"VP8L" + struct.pack("<I", len(vp8l)) + vp8l + bytes(4)
+    )
+    vp8x = bytes(4) + (99).to_bytes(3, "little") + (49).to_bytes(3, "little")
+    webp_ext = (
+        b"RIFF" + struct.pack("<I", 12 + len(vp8x)) + b"WEBP"
+        + b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    )
+    assert image_dimensions(webp_lossy) == ("webp", 320, 240)
+    assert image_dimensions(webp_lossless) == ("webp", 640, 480)
+    assert image_dimensions(webp_ext) == ("webp", 100, 50)
+    assert image_dimensions(b"RIFF\x00\x00\x00\x00WAVEfmt ") is None
+
     # spec-legal 0xFF fill bytes before markers (JPEG B.1.1.2) must not
     # desync the walker, and a scan header before any SOFn stops it
     filled = (

@@ -384,13 +384,35 @@ def image_pixels(
 def image_dimensions(payload: bytes) -> tuple[str, int, int] | None:
     """REAL (format, width, height) from container headers, pure stdlib —
     the public byte layouts of PNG (IHDR), JPEG (SOFn segment walk), GIF
-    (logical screen descriptor) and BMP (BITMAPINFOHEADER). Returns None
-    for unrecognized/truncated payloads; never fabricates dimensions."""
+    (logical screen descriptor), BMP (BITMAPINFOHEADER) and WebP (RIFF
+    VP8/VP8L/VP8X chunk headers, the three container flavors). Returns
+    None for unrecognized/truncated payloads; never fabricates
+    dimensions. (WebP PIXELS stay in decode_image_stub's honest
+    NotImplementedError bucket — a VP8 entropy decoder is a codec, not a
+    header walk.)"""
     import struct
 
     if payload is None or len(payload) < 10:
         return None
     b = bytes(payload)
+    if b[:4] == b"RIFF" and len(b) >= 20 and b[8:12] == b"WEBP":
+        fourcc = b[12:16]
+        if fourcc == b"VP8 " and len(b) >= 30 and b[23:26] == b"\x9d\x01\x2a":
+            # lossy: 3-byte frame tag, sync code, then 14-bit dims (LE)
+            w = struct.unpack("<H", b[26:28])[0] & 0x3FFF
+            h = struct.unpack("<H", b[28:30])[0] & 0x3FFF
+            return ("webp", w, h)
+        if fourcc == b"VP8L" and len(b) >= 25 and b[20] == 0x2F:
+            # lossless: signature byte then width-1 / height-1 in 14-bit
+            # fields of one little-endian u32
+            bits = struct.unpack("<I", b[21:25])[0]
+            return ("webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+        if fourcc == b"VP8X" and len(b) >= 30:
+            # extended: 4 flag/reserved bytes, then 24-bit canvas w-1 / h-1
+            w = int.from_bytes(b[24:27], "little") + 1
+            h = int.from_bytes(b[27:30], "little") + 1
+            return ("webp", w, h)
+        return None
     if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
         w, h = struct.unpack(">II", b[16:24])
         return ("png", w, h)

@@ -1467,7 +1467,7 @@ def q_ocr_reconstruct(spark, sf_dir):
     )
     rows, _ = _pdf_fixtures()
     pdfs = spark.createDataFrame(rows, "url string, payload binary")
-    pdf_rec = reconstruct_documents(pdf_blocks(pdfs)).select(
+    pdf_rec = reconstruct_documents(pdf_blocks(pdfs), materialize=True).select(
         F.lit("pdf").alias("variant"),
         "url",
         F.col("text").alias("reconstructed_text"),

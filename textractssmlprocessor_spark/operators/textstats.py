@@ -753,12 +753,25 @@ def gopher_repetition(
         .select("id", F.col("lvl.n").alias("n"), F.explode("lvl.grams").alias("gr"))
         .select("id", "n", F.col("gr.i").alias("i"), F.col("gr.g").alias("g"))
     )
-    counts = occs.groupBy("id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    # top levels keep the gram TEXT (the output needs its char length and
+    # a deterministic tie-break); dup levels only need count>1 membership
+    # and positions, so their shuffle key is xxhash64 of the gram — 8
+    # bytes instead of a 5-10-word string (~4-8x narrower on the heaviest
+    # shuffle; the hash never reaches an output value, and a 64-bit
+    # within-document collision is ~(grams^2)/2^65: negligible)
+    top_counts = (
+        occs.filter(F.col("n").isin(list(top_ns)))
+        .groupBy("id", "n", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dup_occs = occs.filter(F.col("n").isin(list(dup_ns))).select(
+        "id", "n", "i", F.xxhash64("g").alias("gk")
+    )
     # top-{n}-gram chars: count * gram chars (minus the n-1 separators),
     # deterministic tie-break toward the lexicographically larger gram via
     # the max-struct trick
     top = (
-        counts.filter(F.col("n").isin(list(top_ns)))
+        top_counts
         .groupBy("id", "n")
         .agg(F.max(F.struct(F.col("c"), F.col("g"))).alias("t"))
         .select(
@@ -772,11 +785,14 @@ def gopher_repetition(
         .pivot("n", list(top_ns))
         .agg(F.first("chars"))
     )
-    dup_keys = counts.filter(
-        (F.col("c") > 1) & F.col("n").isin(list(dup_ns))
-    ).select("id", "n", "g")
+    dup_keys = (
+        dup_occs.groupBy("id", "n", "gk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("id", "n", "gk")
+    )
     covered = (
-        occs.join(dup_keys, ["id", "n", "g"])
+        dup_occs.join(dup_keys, ["id", "n", "gk"])
         .select(
             "id",
             "n",

@@ -252,3 +252,50 @@ def test_build_manifest_plan_truncated_across_stages(spark):
     rows = {r["id"]: r for r in m.collect()}
     assert len(rows) == 10
     assert rows[0]["drop_reason"] == "seen_exact"
+
+
+def test_build_manifest_c4_and_langid_stages(spark):
+    """The round-4 optional stages: C4 page verdict and the trained NB
+    lang-ID allowlist for corpora WITHOUT a lang column."""
+    from textractssmlprocessor_spark.jobs.curate_job import build_manifest
+
+    # separable micro-corpus: 'aa' docs from one syllable set, 'zz' docs
+    # from a disjoint one; each doc C4-clean (>=5 sentences) except the
+    # planted C4 failure (no terminal punctuation at all)
+    # each doc must clear the upstream Gopher gate first (>= 50 words,
+    # stopword hits), so: 12 syllable sentences + a stopword-bearing tail
+    tail = " The cat and the dog of the house is that with us in there."
+    sent = {
+        "aa": ("kari tomu seri kato muri. " * 12).strip() + tail,
+        "zz": ("oxef ylqu izef quyl oxiz. " * 12).strip() + tail,
+    }
+    rows = []
+    for i in range(40):
+        lang = "aa" if i % 2 == 0 else "zz"
+        # unique marker so the exact-dedup stage keeps every doc
+        rows.append((i, sent[lang] + f" Unique marker number {i} here.", lang))
+    # c4 drop: Gopher-clean (>= 50 words, stopwords) but ZERO terminal
+    # punctuation -> fewer than 5 sentences under the C4 rule
+    rows.append(
+        (100, ("kari tomu the cat and the dog of the house with us " * 6).strip(), "aa")
+    )
+    labeled = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    # the corpus under curation has NO lang column — the model gate is
+    # exactly for this case
+    docs = labeled.select("doc_id", "text")
+
+    manifest = build_manifest(
+        docs,
+        c4=True,
+        langid_labeled=labeled,
+        langid_allow=["aa"],
+        langid_buckets=512,
+    )
+    got = {r["id"]: r for r in manifest.collect()}
+    assert len(got) == 41
+    assert got[100]["kept"] is False and got[100]["drop_reason"] == "c4"
+    for i in range(40):
+        if i % 2 == 0:
+            assert got[i]["kept"] is True, got[i]
+        else:
+            assert got[i]["drop_reason"] == "language_model", got[i]

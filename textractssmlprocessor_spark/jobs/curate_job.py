@@ -62,6 +62,10 @@ def build_manifest(
     dsir_buckets: int = 10000,
     history_fingerprints=None,
     history_bands=None,
+    c4: bool = False,
+    langid_labeled=None,
+    langid_allow=None,
+    langid_buckets: int = 2048,
 ):
     """Compose the curation verdicts; importable and unit-testable without
     spark-submit. Returns (id, kept, drop_reason) — total over the input.
@@ -71,10 +75,14 @@ def build_manifest(
     fingerprint table from prior passes; 'seen_near' via the MinHash band
     probe against ``history_bands``, the (id, bucket) table
     dedup.minhash_band_table persists per pass) -> language/Gopher/
-    exact-dedup -> per-host cap ('host_cap', needs ``url_col`` +
-    ``max_per_host``) -> near-dup CC ('near_duplicate') -> DSIR
-    target-likeness floor ('dsir_low', needs ``dsir_target`` +
-    ``dsir_min``).
+    exact-dedup -> C4 line/page rules ('c4', map-side, Raffel et al.
+    2020) -> trained NB lang-ID allowlist ('language_model', needs
+    ``langid_labeled`` — a labeled table to fit langid.train_langid_nb
+    on — plus the ``langid_allow`` list; this is the gate for corpora
+    WITHOUT a lang column, where curate_corpus's allowlist can't run) ->
+    per-host cap ('host_cap', needs ``url_col`` + ``max_per_host``) ->
+    near-dup CC ('near_duplicate') -> DSIR target-likeness floor
+    ('dsir_low', needs ``dsir_target`` + ``dsir_min``).
 
     ``materialize='persist'`` routes every intermediate the near-dup stage
     re-reads (MinHash signatures, CC edge rounds) through replicated-disk
@@ -100,6 +108,7 @@ def build_manifest(
     # through the reliable checkpoint dir (executor-loss-safe).
     n_stages = sum(
         1 for on in (history_fingerprints is not None, history_bands is not None,
+                     c4, langid_labeled is not None and bool(langid_allow),
                      bool(max_per_host and url_col), near_dup,
                      dsir_target is not None and dsir_min is not None) if on
     )
@@ -152,6 +161,39 @@ def build_manifest(
         ).select(id_col)
         seen = k.select(id_col).join(fresh, id_col, "left_anti")
         manifest = cut(apply_drops(seen, "seen_near"))
+
+    if c4:
+        from textractssmlprocessor_spark.operators.content import c4_line_columns
+
+        k = keepers()
+        bad = (
+            k.select(
+                id_col,
+                c4_line_columns(F.col(text_col))["c4_keep"].alias("_c4"),
+            )
+            .filter(F.col("_c4") == 0)
+            .select(id_col)
+        )
+        manifest = cut(apply_drops(bad, "c4"))
+
+    if langid_labeled is not None and langid_allow:
+        from textractssmlprocessor_spark.operators.langid import (
+            langid_scores,
+            train_langid_nb,
+        )
+
+        weights, stats = train_langid_nb(
+            langid_labeled, label_col=lang_col, id_col=id_col,
+            text_col=text_col, buckets=langid_buckets,
+        )
+        k = keepers()
+        bad = (
+            langid_scores(k, weights, stats, id_col=id_col,
+                          text_col=text_col, buckets=langid_buckets)
+            .filter(~F.col("lang_model_pred").isin(list(langid_allow)))
+            .select(F.col("id").alias(id_col))
+        )
+        manifest = cut(apply_drops(bad, "language_model"))
 
     if max_per_host and url_col:
         from textractssmlprocessor_spark.operators.weburl import cap_per_host
@@ -212,6 +254,16 @@ def main() -> None:
                    help="parquet path of the high-quality target corpus")
     p.add_argument("--dsir-min", type=float, default=None,
                    help="drop docs with DSIR log-ratio below this floor")
+    p.add_argument("--c4", action="store_true",
+                   help="apply the C4 line/page rules (Raffel et al. 2020) "
+                        "as a map-side drop stage")
+    p.add_argument("--langid-labeled", default=None,
+                   help="parquet path of a lang-labeled corpus; fits the "
+                        "NB char-trigram lang-ID and gates keepers by "
+                        "--langid-allow (for inputs WITHOUT a lang column)")
+    p.add_argument("--langid-allow", default=None,
+                   help="comma-separated language allowlist for the trained "
+                        "lang-ID gate")
     p.add_argument("--history-dir", default=None,
                    help="dir with fingerprints.parquet / bands.parquet from "
                         "prior passes; enables the seen_exact / seen_near "
@@ -268,6 +320,14 @@ def main() -> None:
         dsir_min=args.dsir_min,
         history_fingerprints=hist_fp,
         history_bands=hist_bands,
+        c4=args.c4,
+        langid_labeled=(
+            spark.read.parquet(args.langid_labeled)
+            if args.langid_labeled else None
+        ),
+        langid_allow=(
+            args.langid_allow.split(",") if args.langid_allow else None
+        ),
     )
     # the manifest is consumed up to three times (write, kept count, kept
     # join) — write it FIRST, then serve the other consumers from a

@@ -147,3 +147,53 @@ def test_spark_null_and_corrupt_payloads(spark):
         "url string, payload binary",
     )
     assert pdf_blocks(df).count() == 0
+
+
+# --- property: writer -> parser roundtrip over randomized content ----------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# Latin-1-encodable text incl. the chars that need escaping in literal
+# strings, plus accented WinAnsi-range letters
+_PDF_TEXT = st.text(
+    alphabet=st.sampled_from(
+        list("abcXYZ0189 ()\\\t") + ["é", "ü", "ß", "ñ"]
+    ),
+    min_size=1,
+    max_size=40,
+).filter(lambda s: s.strip())
+
+_BLOCK = st.tuples(
+    st.integers(min_value=0, max_value=500),   # x
+    st.integers(min_value=20, max_value=770),  # y
+    st.sampled_from([8.0, 10.5, 12.0, 24.0]),  # font size
+    _PDF_TEXT,
+)
+
+_PAGES = st.lists(
+    st.lists(_BLOCK, min_size=1, max_size=6), min_size=1, max_size=4
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(_PAGES, st.booleans())
+def test_roundtrip_property(pages, compress):
+    """Every written block comes back on the right page, in emit order,
+    with byte-identical text and exact left fraction — under arbitrary
+    escapes (parens, backslash, tab) and Latin-1 accents."""
+    pdf = build_simple_pdf(
+        [[(float(x), float(y), s, t) for x, y, s, t in page] for page in pages],
+        compress=compress,
+    )
+    blocks = parse_pdf_blocks(pdf)
+    expected = [
+        (pno, t) for pno, page in enumerate(pages) for (_x, _y, _s, t) in page
+    ]
+    assert [(b[0], b[6]) for b in blocks] == expected
+    # left fraction of the first block on each page
+    k = 0
+    for pno, page in enumerate(pages):
+        x = page[0][0]
+        assert blocks[k][2] == round(x / 612, 6)
+        k += len(page)

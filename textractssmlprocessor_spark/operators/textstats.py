@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 WORD_RE = r"\b[\w-]+\b"
@@ -637,12 +637,14 @@ def with_compression_ratio(
 # Scale shape: no per-row array nested loops anywhere (the dup-line pass
 # is explode -> (id, line) count -> per-id char sums, NOT the O(lines^2)
 # array-lambda form — same reasoning as the drop_repeated_lines_within
-# cap, but here the aggregation form costs nothing). One word posexplode
-# is shared by every n level; gram keys slice the bound _ws attribute
-# (attribute-bound lambda, PLANS.md rule); duplicate coverage re-joins
-# narrow (id, n, gram) dup keys to occurrences and explodes positions
-# before a distinct. Every shuffle keys on (id, ...): high-cardinality,
-# map-side partials, nothing corpus-wide.
+# cap, but here the aggregation form costs nothing). Gram STRINGS are
+# built only for the top {2,3,4} levels (their output needs char length
+# + tie-break text); the dup {5..10} levels hash each word once and form
+# 8-byte keys from window leads of the word hashes — no string concat,
+# no 6-level text explode. Duplicate coverage re-joins narrow
+# (id, n, key) dup keys to occurrences and explodes positions before a
+# distinct. Every shuffle keys on (id, ...): high-cardinality, map-side
+# partials, nothing corpus-wide; the only window partitions by doc id.
 
 
 def _dup_char_cols(
@@ -709,7 +711,6 @@ def gopher_repetition(
         .cast("double")
         .alias("total_chars")
     )
-    all_ns = sorted(set(top_ns) | set(dup_ns))
 
     def _gram_lambda(n: int):
         # factory closure, NOT `lambda i, n=n`: F.transform inspects the
@@ -745,7 +746,7 @@ def gopher_repetition(
                             )
                             .alias("grams"),
                         )
-                        for n in all_ns
+                        for n in top_ns
                     ]
                 )
             ).alias("lvl"),
@@ -753,19 +754,54 @@ def gopher_repetition(
         .select("id", F.col("lvl.n").alias("n"), F.explode("lvl.grams").alias("gr"))
         .select("id", "n", F.col("gr.i").alias("i"), F.col("gr.g").alias("g"))
     )
-    # top levels keep the gram TEXT (the output needs its char length and
-    # a deterministic tie-break); dup levels only need count>1 membership
-    # and positions, so their shuffle key is xxhash64 of the gram — 8
-    # bytes instead of a 5-10-word string (~4-8x narrower on the heaviest
-    # shuffle; the hash never reaches an output value, and a 64-bit
-    # within-document collision is ~(grams^2)/2^65: negligible)
-    top_counts = (
-        occs.filter(F.col("n").isin(list(top_ns)))
-        .groupBy("id", "n", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
+    # Only the top levels (n=2..4) keep gram TEXT — their output needs the
+    # char length and a deterministic tie-break — so only they pay for
+    # string construction, and the explode above materializes 3 levels,
+    # not 9.
+    top_counts = occs.groupBy("id", "n", "g").agg(
+        F.count(F.lit(1)).alias("c")
     )
-    dup_occs = occs.filter(F.col("n").isin(list(dup_ns))).select(
-        "id", "n", "i", F.xxhash64("g").alias("gk")
+    # Dup levels (n=5..10) never build gram strings: each word hashes
+    # ONCE, a per-document window supplies the next max(dup_ns)-1 word
+    # hashes, and each position's n-gram key is xxhash64 over its n word
+    # hashes — 8-byte keys end to end, no per-level string concat, no
+    # 6-level explode of word text (the round-4 A/B found string
+    # construction + the 9-level explode dominating this query). The
+    # window partitions by doc id: bounded by document length, the same
+    # per-doc assumption as the ocr line windows — never corpus-global.
+    # Key equality still matches exactly the same grams; distinct grams
+    # collide with ~(grams^2)/2^65 probability, and the key never reaches
+    # an output value.
+    max_n = max(dup_ns)
+    wwin = Window.partitionBy("id").orderBy("pos")
+    wh = words.filter(F.col("w").isNotNull()).select(
+        "id", "pos", F.length("w").alias("wl"), F.xxhash64("w").alias("h0")
+    )
+    leads = wh.select(
+        "id",
+        "pos",
+        "wl",
+        "h0",
+        *[F.lead("h0", k).over(wwin).alias(f"h{k}") for k in range(1, max_n)],
+    )
+    key_structs = F.array(
+        *[
+            F.when(
+                F.col(f"h{n - 1}").isNotNull(),
+                F.struct(
+                    F.lit(n).alias("n"),
+                    F.xxhash64(*[F.col(f"h{k}") for k in range(n)]).alias("gk"),
+                ),
+            )
+            for n in dup_ns
+        ]
+    )
+    dup_occs = (
+        leads.select(
+            "id", F.col("pos").alias("i"), F.explode(key_structs).alias("s")
+        )
+        .filter(F.col("s").isNotNull())
+        .select("id", F.col("s.n").alias("n"), "i", F.col("s.gk").alias("gk"))
     )
     # top-{n}-gram chars: count * gram chars (minus the n-1 separators),
     # deterministic tie-break toward the lexicographically larger gram via
@@ -801,9 +837,9 @@ def gopher_repetition(
             ).alias("pos"),
         )
         .distinct()
-        .join(words, ["id", "pos"])
+        .join(wh.select("id", "pos", "wl"), ["id", "pos"])
         .groupBy("id", "n")
-        .agg(F.sum(F.length("w")).cast("double").alias("chars"))
+        .agg(F.sum("wl").cast("double").alias("chars"))
         .groupBy("id")
         .pivot("n", list(dup_ns))
         .agg(F.first("chars"))

@@ -632,10 +632,56 @@ def q_url_normalize(spark, sf_dir):
         F.col("host_rank").alias("n2"),
         nulls["matched"],
     )
+    # (10) sitemap entries (robots.sitemap_entries): each doc hosts a
+    # seeded sitemap.xml with its own <url> entry (lastmod on the %2
+    # slice, priority on the %3 slice) plus an entity-escaped second loc;
+    # a <sitemapindex> block in front must be ignored (urlset subset).
+    # Column mapping for the union: canonical_url=loc, matched=lastmod,
+    # n = priority*10 as bigint (0.8 -> 8; NULL passes through).
+    from textractssmlprocessor_spark.operators.robots import sitemap_entries
+
+    sm_xml = F.concat(
+        F.lit('<?xml version="1.0"?>'
+              "<sitemapindex><sitemap><loc>https://ignored.example.org/"
+              "deeper.xml</loc></sitemap></sitemapindex><urlset>"
+              "<url><loc>https://host-"),
+        F.col("source"),
+        F.lit(".example.org/sm/"), F.col("doc_id").cast("string"),
+        F.lit("</loc>"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("<lastmod>2024-0"),
+                ((F.col("doc_id") % 9) + 1).cast("string"),
+                F.lit("-01</lastmod>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("<priority>0.8</priority>"))
+        .otherwise(F.lit("")),
+        F.lit("</url><url><loc>https://host-"),
+        F.col("source"),
+        F.lit(".example.org/sm/amp&amp;ersand</loc></url></urlset>"),
+    )
+    sm_in = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("host-"), F.col("source"), F.lit(".example.org")).alias(
+            "host"
+        ),
+        sm_xml.alias("sitemap_xml"),
+    )
+    sm = sitemap_entries(sm_in).select(
+        F.lit("sitemap").alias("variant"),
+        nulls["doc_id"],
+        F.col("loc").alias("canonical_url"),
+        "host",
+        (F.col("priority") * 10).cast("bigint").alias("n"),
+        nulls["n2"],
+        F.col("lastmod").alias("matched"),
+    )
     return (
         norm.unionByName(st).unionByName(dd).unionByName(ds).unionByName(bl)
         .unionByName(hc).unionByName(cd).unionByName(rb).unionByName(cn)
-        .unionByName(fr)
+        .unionByName(fr).unionByName(sm)
     )
 
 
@@ -2860,6 +2906,25 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (ORDER BY host_rank, host, doc_id)::BIGINT AS frontier_pos
                 FROM fr
             )
+            UNION ALL
+            -- sitemap variant (robots.sitemap_entries): expected rows
+            -- stated DIRECTLY from the seed parameters, independent of
+            -- the XML parser under test (n = priority*10, matched =
+            -- lastmod; the <sitemapindex> loc must NOT appear)
+            SELECT 'sitemap', NULL::BIGINT,
+                   'https://host-' || source || '.example.org/sm/' || doc_id::VARCHAR,
+                   'host-' || source || '.example.org',
+                   (CASE WHEN doc_id % 3 = 0 THEN 8 END)::BIGINT,
+                   NULL::BIGINT,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN '2024-0' || ((doc_id % 9) + 1)::VARCHAR || '-01' END
+            FROM documents
+            UNION ALL
+            SELECT 'sitemap', NULL::BIGINT,
+                   'https://host-' || source || '.example.org/sm/amp&ersand',
+                   'host-' || source || '.example.org',
+                   NULL::BIGINT, NULL::BIGINT, NULL::VARCHAR
+            FROM documents
         """,
         "gopher_quality": """
             WITH base AS (

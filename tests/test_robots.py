@@ -210,3 +210,32 @@ def test_url_quality_columns(spark):
     assert got[2]["url_suspect"] is None
     assert got[3]["path_depth"] == 0 and got[3]["query_param_count"] == 0
     assert got[4]["url_suspect"] is None and got[4]["path_depth"] == 1
+
+
+def test_sitemap_entries(spark):
+    from textractssmlprocessor_spark.operators.robots import sitemap_entries
+
+    xml = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        "<sitemapindex><sitemap><loc>https://h/nested.xml</loc></sitemap>"
+        "</sitemapindex>"
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc> https://h/a?x=1&amp;y=2 </loc>"
+        "<lastmod>2024-03-01</lastmod><priority>0.8</priority></url>"
+        "<url><loc>https://h/b</loc></url>"
+        "<url><lastmod>2024-01-01</lastmod></url>"  # loc-less: dropped
+        "</urlset>"
+    )
+    df = spark.createDataFrame(
+        [("h.example.org", xml), ("empty.example.org", "<urlset></urlset>")],
+        "host string, sitemap_xml string",
+    )
+    rows = sorted(
+        sitemap_entries(df).collect(), key=lambda r: (r["host"], r["loc"])
+    )
+    assert len(rows) == 2  # nested sitemap loc + loc-less entry excluded
+    a, b = rows
+    assert a["loc"] == "https://h/a?x=1&y=2"  # trimmed + &amp; unescaped
+    assert a["lastmod"] == "2024-03-01" and a["priority"] == 0.8
+    assert b["loc"] == "https://h/b"
+    assert b["lastmod"] is None and b["priority"] is None

@@ -37,9 +37,19 @@ def test_flagship_has_exactly_one_arrow_node_and_one_exchange(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan
 
 
-def test_parquet_scan_pushdown(spark, sf_dir):
+def test_parquet_scan_pushdown(spark, tmp_path):
+    # own parquet file: reading the shared sf_dir here is flaky — any
+    # other test that .cache()d a DataFrame over the same path makes the
+    # cache manager substitute an InMemoryRelation (all columns) for the
+    # file scan, and the pushdown/pruning assertions see no FileScan
+    src = str(tmp_path / "docs.parquet")
+    spark.range(100).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'fr' END AS lang",
+        "repeat('x', 50) AS text",
+    ).write.parquet(src)
     df = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        spark.read.parquet(src)
         .filter(F.col("doc_id") % 2 == 0)
         .filter(F.col("lang") == "en")
         .select("doc_id", "lang")

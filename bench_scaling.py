@@ -295,8 +295,10 @@ for what the mp pool does not: Arrow transport of every document into and
 out of the Python workers plus (salted only) a full shuffle — all through
 the same shared memory subsystem the 32 workers compute on. On a real
 4N-executor cluster those bytes move on the added executors' own memory
-channels and NICs; the in-socket 4 -> 16 pair, where per-core bandwidth
-stays constant, is the faithful single-box analogue and meets the target.
+channels and NICs; the in-socket 4 -> 16 pair is the faithful single-box
+analogue — judge it against the SAME-pass mp control (the salted/mp
+ratio), since on some boots the box's own per-core bandwidth rolls off
+between 4 and 16 cores and no framework can scale past the machine.
 The skew tail never stragglers: with thousands of 64x docs spread by url
 hash, every partition carries an equal share (the `cores`-partition choice
 is deliberate — finer fan-out only adds task overhead at this density).

@@ -1,0 +1,176 @@
+"""Write-audit-publish snapshot commits (snapshots.py): the transactional
+behaviors the Iceberg deployment config (jobs/iceberg.py) promises, proven
+over plain parquet — atomic publish, idempotent re-commit, snapshot-isolated
+readers, time travel, rollback, lost-race rebase, and GC safety."""
+
+import json
+import os
+
+import pytest
+
+from textractssmlprocessor_spark import snapshots as snap
+
+
+def _df(spark, ids):
+    return spark.createDataFrame([(i, f"doc{i}") for i in ids], "id int, text string")
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_append_commits_and_reads(spark, tmp_path):
+    table = str(tmp_path / "t")
+    v1 = snap.commit(_df(spark, [1, 2]), table, "s1")
+    v2 = snap.commit(_df(spark, [3]), table, "s2")
+    assert (v1, v2) == (1, 2)
+    assert _ids(snap.read_snapshot(spark, table)) == [1, 2, 3]
+    # time travel: v1 still reads its original file set
+    assert _ids(snap.read_snapshot(spark, table, version=1)) == [1, 2]
+
+
+def test_commit_is_idempotent_on_snapshot_id(spark, tmp_path):
+    table = str(tmp_path / "t")
+    snap.commit(_df(spark, [1]), table, "job-a")
+    # replay of the same job id: no new version, no new data
+    assert snap.commit(_df(spark, [1]), table, "job-a") == 1
+    assert snap.current_version(table) == 1
+    assert _ids(snap.read_snapshot(spark, table)) == [1]
+
+
+def test_overwrite_replaces_live_set_but_keeps_history(spark, tmp_path):
+    table = str(tmp_path / "t")
+    snap.commit(_df(spark, [1, 2]), table, "s1")
+    snap.commit(_df(spark, [9]), table, "s2", mode="overwrite")
+    assert _ids(snap.read_snapshot(spark, table)) == [9]
+    assert _ids(snap.read_snapshot(spark, table, version=1)) == [1, 2]
+    ops = [m["op"] for m in snap.history(table)]
+    assert ops == ["append", "overwrite"]
+
+
+def test_reader_is_isolated_from_concurrent_overwrite(spark, tmp_path):
+    table = str(tmp_path / "t")
+    snap.commit(_df(spark, [1, 2]), table, "s1")
+    pinned = snap.read_snapshot(spark, table)  # plan fixes the file set
+    snap.commit(_df(spark, [9]), table, "s2", mode="overwrite")
+    # the pre-overwrite DataFrame still reads v1's files, uncorrupted
+    assert _ids(pinned) == [1, 2]
+
+
+def test_lost_publish_race_rebases_onto_winner(spark, tmp_path):
+    table = str(tmp_path / "t")
+    snap.commit(_df(spark, [1]), table, "s1")
+    # simulate a concurrent winner claiming v2 between stage and publish:
+    # publish v2 by hand with a distinct file set
+    winner = {
+        "version": 2,
+        "parent": 1,
+        "snapshot_id": "rival",
+        "op": "append",
+        "files": snap._load_manifest(table, 1)["files"],
+        "schema": snap._load_manifest(table, 1)["schema"],
+    }
+    snap._publish(table, winner, "rival")
+    v = snap.commit(_df(spark, [3]), table, "s3")
+    assert v == 3  # rebased past the rival's v2
+    assert _ids(snap.read_snapshot(spark, table)) == [1, 3]
+
+
+def test_empty_snapshot_reads_with_schema(spark, tmp_path):
+    table = str(tmp_path / "t")
+    empty = _df(spark, []).filter("id > 0")
+    snap.commit(empty, table, "s1", mode="overwrite")
+    out = snap.read_snapshot(spark, table)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id", "text"]
+
+
+def test_rollback_publishes_new_version_with_old_files(spark, tmp_path):
+    table = str(tmp_path / "t")
+    snap.commit(_df(spark, [1, 2]), table, "s1")
+    snap.commit(_df(spark, [9]), table, "s2", mode="overwrite")
+    v3 = snap.rollback(table, 1, "undo-s2")
+    assert v3 == 3
+    assert _ids(snap.read_snapshot(spark, table)) == [1, 2]
+    # rollback is itself idempotent on its snapshot_id
+    assert snap.rollback(table, 1, "undo-s2") == 3
+
+
+def test_expire_deletes_only_unreferenced_files(spark, tmp_path):
+    table = str(tmp_path / "t")
+    snap.commit(_df(spark, [1]), table, "s1")
+    snap.commit(_df(spark, [2]), table, "s2")  # v2 references s1's files too
+    snap.commit(_df(spark, [9]), table, "s3", mode="overwrite")  # drops both
+    removed = snap.expire_snapshots(table, keep_last=1)
+    assert removed > 0
+    # the retained head still reads; the expired versions are gone
+    assert _ids(snap.read_snapshot(spark, table)) == [9]
+    assert snap._versions(table) == [3]
+    with pytest.raises(FileNotFoundError):
+        snap._load_manifest(table, 1)
+
+
+def test_expire_keeps_files_shared_with_retained_versions(spark, tmp_path):
+    table = str(tmp_path / "t")
+    snap.commit(_df(spark, [1]), table, "s1")
+    snap.commit(_df(spark, [2]), table, "s2")  # v2 = s1 files + s2 files
+    removed = snap.expire_snapshots(table, keep_last=1)
+    # v1's files are all still live in v2: nothing deleted
+    assert removed == 0
+    assert _ids(snap.read_snapshot(spark, table)) == [1, 2]
+
+
+def test_manifest_files_are_relative_so_table_relocates(spark, tmp_path):
+    import shutil
+
+    table = str(tmp_path / "t")
+    snap.commit(_df(spark, [1, 2]), table, "s1")
+    for m in snap.history(table):
+        assert all(not os.path.isabs(f) for f in m["files"])
+    moved = str(tmp_path / "moved")
+    shutil.copytree(table, moved)
+    assert _ids(snap.read_snapshot(spark, moved)) == [1, 2]
+
+
+def test_crashed_stage_is_reclaimed_by_rerun(spark, tmp_path):
+    table = str(tmp_path / "t")
+    # simulate crash-after-stage-before-publish: data dir exists, no manifest
+    _df(spark, [1]).write.parquet(os.path.join(table, "data", "s1"))
+    assert snap.current_version(table) == 0
+    v = snap.commit(_df(spark, [1, 2]), table, "s1")
+    assert v == 1
+    # the reclaimed staging dir holds ONLY the re-run's rows
+    assert _ids(snap.read_snapshot(spark, table)) == [1, 2]
+
+
+def test_pages_source_sink_snapshot_seam(spark, tmp_path):
+    """read_pages/write_pages_output dispatch on format='snapshot': the
+    same seam jobs/iceberg.py documents for the catalog swap."""
+    from textractssmlprocessor_spark import sources
+    from textractssmlprocessor_spark.schema import PAGES_SCHEMA
+
+    table = str(tmp_path / "pages")
+    pages = spark.createDataFrame(
+        [("http://a", None, None, "hello", "en")], PAGES_SCHEMA
+    )
+    snap.commit(pages, table, "ingest-1")
+    out = sources.read_pages(spark, table, format="snapshot")
+    assert out.columns == [f.name for f in PAGES_SCHEMA.fields]
+    assert out.count() == 1
+
+    sink = str(tmp_path / "chunks")
+    sources.write_pages_output(out, sink, format="snapshot:run-1")
+    # idempotent rerun: same run id, still one version / one row
+    sources.write_pages_output(out, sink, format="snapshot:run-1")
+    assert snap.current_version(sink) == 1
+    assert snap.read_snapshot(spark, sink).count() == 1
+
+
+def test_manifest_publish_is_full_content_atomic(spark, tmp_path):
+    table = str(tmp_path / "t")
+    snap.commit(_df(spark, [1]), table, "s1")
+    # every published manifest parses as complete JSON (link-not-rename
+    # publish means no reader can ever observe a partial body)
+    with open(snap._manifest_path(table, 1), encoding="utf-8") as f:
+        m = json.load(f)
+    assert set(m) == {"version", "parent", "snapshot_id", "op", "files", "schema"}

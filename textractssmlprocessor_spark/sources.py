@@ -23,9 +23,11 @@ def read_pages(
 ) -> DataFrame:
     """Load the pages table.
 
-    ``format``: "iceberg" (catalog table name), "parquet" (path), or None to
-    infer — a source containing a path separator reads as parquet, otherwise
-    as an Iceberg table identifier. Column pruning to the pages schema is
+    ``format``: "iceberg" (catalog table name), "parquet" (path),
+    "snapshot" (a snapshots.py table root — manifest-listed files, read
+    isolation and time travel without a catalog), or None to infer — a
+    source containing a path separator reads as parquet, otherwise as an
+    Iceberg table identifier. Column pruning to the pages schema is
     applied so accidental extra columns never flow downstream.
     """
     fmt = format or (
@@ -33,6 +35,10 @@ def read_pages(
     )
     if fmt == "iceberg":
         df = spark.read.format("iceberg").load(source)
+    elif fmt == "snapshot":
+        from . import snapshots
+
+        df = snapshots.read_snapshot(spark, source)
     elif fmt == "parquet":
         df = spark.read.parquet(source)
     else:
@@ -195,13 +201,22 @@ def write_pages_output(
 ) -> None:
     """Write the extraction output table (url, chunk_number, extracted_text,
     ssml, spans). Iceberg targets get an overwritePartitions-style dynamic
-    overwrite (idempotent reruns); parquet targets partition by url bucket
-    via the lineage module instead (lineage.run_with_lineage)."""
+    overwrite (idempotent reruns); "snapshot:<id>" targets an atomic
+    idempotent snapshots.py commit (pass the run id after the colon);
+    parquet targets partition by url bucket via the lineage module instead
+    (lineage.run_with_lineage)."""
     fmt = format or (
         "parquet" if "/" in target or target.endswith(".parquet") else "iceberg"
     )
     if fmt == "iceberg":
         chunks.writeTo(target).overwritePartitions()
+    elif fmt.startswith("snapshot"):
+        from . import snapshots
+
+        _, _, run_id = fmt.partition(":")
+        snapshots.commit(
+            chunks, target, run_id or "write_pages_output", mode="overwrite"
+        )
     elif fmt == "parquet":
         chunks.write.mode("overwrite").parquet(target)
     else:

@@ -98,6 +98,13 @@ def make_training_sequences(
     d = df.select(
         F.col(id_col).alias("id"), token_count(F.col(text_col)).alias("n_tokens")
     )
+    return _sequence_assignments(d, seq_len)
+
+
+def _sequence_assignments(d: DataFrame, seq_len: int) -> DataFrame:
+    """Core fragment math over an (id, n_tokens) table — shared by the
+    text-proxy assignment view (make_training_sequences) and the real
+    token-id writer (assemble_training_sequences)."""
     run = blocked_running_sum(d, block_of("id"), ["id"], "n_tokens", out="_incl")
     s = F.col("_incl") - F.col("n_tokens")
     L = F.lit(seq_len)
@@ -120,6 +127,50 @@ def make_training_sequences(
         (lo - F.col("_s")).cast("bigint").alias("frag_start"),
         (hi - lo).cast("bigint").alias("frag_len"),
         (lo - F.col("seq_id") * L).cast("bigint").alias("seq_offset"),
+    )
+
+
+def assemble_training_sequences(
+    tokenized: DataFrame,
+    seq_len: int,
+    id_col: str = "id",
+    tokens_col: str = "token_ids",
+) -> DataFrame:
+    """The writer itself: (seq_id, token_ids) rows of EXACTLY ``seq_len``
+    tokens (the one global tail sequence may be shorter) — the corpus's
+    token stream in global id order, concat-and-chunk, materialized from
+    per-document token arrays (``textstats.tokenize_bpe`` output).
+
+    Unlike ``make_training_sequences`` (an assignment VIEW whose counts
+    come from the text proxy), this computes fragment spans from the REAL
+    array lengths, slices each document's contribution natively
+    (``F.slice``), and reassembles per sequence. One corpus shuffle — the
+    groupBy(seq_id) — which is inherent: it IS the re-layout from
+    document order to training order. Per-group state is bounded by
+    seq_len tokens (a sequence receives at most seq_len single-token
+    fragments), so there is no skew cliff; sequences land pre-sorted for
+    a shard writer via sort WITHIN partitions downstream if needed."""
+    d = tokenized.select(
+        F.col(id_col).alias("id"),
+        F.col(tokens_col).alias("_toks"),
+        F.size(F.col(tokens_col)).cast("bigint").alias("n_tokens"),
+    )
+    frags = _sequence_assignments(d.select("id", "n_tokens"), seq_len).join(
+        d.select("id", "_toks"), "id"
+    )
+    piece = F.slice(
+        F.col("_toks"), (F.col("frag_start") + 1).cast("int"), F.col("frag_len").cast("int")
+    )
+    return (
+        frags.select("seq_id", F.struct(F.col("seq_offset"), piece.alias("_p")).alias("_f"))
+        .groupBy("seq_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list("_f")), lambda x: x["_p"]
+                )
+            ).alias("token_ids")
+        )
     )
 
 

@@ -115,10 +115,12 @@ def train_bpe_merges(
     return merges
 
 
-def bpe_piece_count(word: str, ranks: dict[tuple[str, str], int]) -> int:
-    """Number of BPE pieces for one lowercased alpha word under a trained
-    merges table: greedy lowest-rank-first merging (the standard apply
-    algorithm), char-level + ``</w>`` start symbols."""
+def bpe_pieces(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """BPE pieces for one lowercased alpha word under a trained merges
+    table: greedy lowest-rank-first merging (the standard apply
+    algorithm), char-level + ``</w>`` start symbols. A bare trailing
+    ``</w>`` (nothing merged into it) is dropped — the marker is part of
+    the last piece, never a token of its own."""
     pieces = list(word) + ["</w>"]
     while len(pieces) > 1:
         best_rank, best_pair = None, None
@@ -138,9 +140,15 @@ def bpe_piece_count(word: str, ranks: dict[tuple[str, str], int]) -> int:
                 out.append(pieces[i])
                 i += 1
         pieces = out
-    # the </w> marker is part of the last piece, not a token of its own —
-    # unless nothing merged into it (then it contributed no extra piece)
-    return len(pieces) - (1 if pieces and pieces[-1] == "</w>" else 0)
+    if pieces and pieces[-1] == "</w>":
+        pieces = pieces[:-1]
+    return pieces
+
+
+def bpe_piece_count(word: str, ranks: dict[tuple[str, str], int]) -> int:
+    """Number of BPE pieces for one lowercased alpha word (see
+    ``bpe_pieces``)."""
+    return len(bpe_pieces(word, ranks))
 
 
 def count_tokens_bpe(
@@ -201,6 +209,88 @@ def count_tokens_bpe(
             .cast("bigint")
             .alias(out_col),
         )
+    )
+
+
+def bpe_vocab(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """Deterministic piece -> id table for a trained merges list: ids
+    0-25 are the base chars a-z, 26 is the bare ``</w>`` marker, then one
+    id per merge product in merge order (first occurrence wins when two
+    merges produce the same string through different splits). Kilobytes,
+    ships inside UDF closures."""
+    vocab: dict[str, int] = {c: i for i, c in enumerate("abcdefghijklmnopqrstuvwxyz")}
+    vocab["</w>"] = 26
+    for left, right in merges:
+        piece = left + right
+        if piece not in vocab:
+            vocab[piece] = len(vocab)
+    return vocab
+
+
+def tokenize_bpe(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "token_ids",
+    fallback_buckets: int = 1 << 16,
+) -> DataFrame:
+    """Text -> trainer-ready token-id arrays: (id, out_col array<int>).
+
+    The order-preserving companion of ``count_tokens_bpe`` (which only
+    counts): the text is scanned with the same PRETOK_RE pre-tokenizer,
+    alpha runs are lowercased and BPE-merged to pieces mapped through
+    ``bpe_vocab``, and non-alpha pre-tokens (digit runs / single symbols)
+    take hash-bucket fallback ids in [len(vocab), len(vocab) +
+    fallback_buckets) — md5-keyed, so deterministic across runs and
+    cluster sizes (the HashingVectorizer trade: no fallback decode; real
+    deployments swap in byte-fallback ids on the same seam). Invariant
+    tested in tests/test_tokenize.py: size(token_ids) equals
+    count_tokens_bpe's count for every document.
+
+    Scale shape: pure map-side — ONE Arrow-batched pandas UDF whose
+    closure carries the kilobyte ranks+vocab tables; no shuffle, no
+    distinct-word join (token ORDER matters here, unlike the count path).
+    Per-batch word->ids memoization makes the per-word BPE cost
+    vocabulary-bounded within each Arrow batch (Zipfian hit rate)."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    vocab = bpe_vocab(merges)
+    n_vocab = len(vocab)
+    pretok = re.compile(PRETOK_RE)
+    alpha = re.compile(r"[A-Za-z]+")
+
+    def _encode_factory():
+        cache: dict[str, list[int]] = {}
+
+        def encode(text):
+            if text is None:
+                return []
+            out: list[int] = []
+            for tok in pretok.findall(text):
+                if alpha.fullmatch(tok):
+                    w = tok.lower()
+                    ids = cache.get(w)
+                    if ids is None:
+                        ids = [vocab[p] for p in bpe_pieces(w, ranks)]
+                        cache[w] = ids
+                    out.extend(ids)
+                else:
+                    h = hashlib.md5(tok.encode("utf-8")).hexdigest()
+                    out.append(n_vocab + int(h[:8], 16) % fallback_buckets)
+            return out
+
+        return encode
+
+    @pandas_udf("array<int>")
+    def _tokenize(s):
+        return s.map(_encode_factory())
+
+    return df.select(
+        F.col(id_col).alias("id"), _tokenize(F.col(text_col)).alias(out_col)
     )
 
 

@@ -104,6 +104,9 @@ def test_curate_job_spark_submit(spark, tmp_path):
             "--kept-output", kept_out,
             "--near-dup",
             "--threshold", "0.5",
+            "--sequences-output", str(tmp_path / "seqs"),
+            "--seq-len", "64",
+            "--n-merges", "30",
         ],
         cwd=str(stage),
         env=env,
@@ -121,6 +124,34 @@ def test_curate_job_spark_submit(spark, tmp_path):
     assert got == expected
     kept_ids = {r["doc_id"] for r in spark.read.parquet(kept_out).collect()}
     assert kept_ids == {i for (i, k, _) in expected if k}
+
+    # the trainer handoff: fixed-length sequences + the merges table
+    seqs = spark.read.parquet(str(tmp_path / "seqs")).collect()
+    lens = [len(r["token_ids"]) for r in sorted(seqs, key=lambda r: r["seq_id"])]
+    assert all(n == 64 for n in lens[:-1]) and 0 < lens[-1] <= 64
+    merges = spark.read.parquet(str(tmp_path / "seqs") + ".merges.parquet")
+    assert merges.count() > 0
+    assert merges.columns == ["rank", "left", "right"]
+
+
+def test_tokenize_and_pack_conserves_tokens(spark):
+    from textractssmlprocessor_spark.jobs.curate_job import tokenize_and_pack
+    from textractssmlprocessor_spark.operators.textstats import (
+        count_tokens_bpe,
+        tokenize_bpe,  # noqa: F401  (documents the stage's building block)
+    )
+
+    docs = _corpus(spark).limit(80)
+    seqs, merges = tokenize_and_pack(docs, seq_len=32, n_merges=40)
+    import pyspark.sql.functions as F
+
+    total_seq = seqs.select(
+        F.sum(F.size("token_ids")).cast("bigint").alias("n")
+    ).collect()[0]["n"]
+    total_docs = count_tokens_bpe(docs, merges).select(
+        F.sum("n_tokens_bpe").cast("bigint").alias("n")
+    ).collect()[0]["n"]
+    assert total_seq == total_docs > 0
 
 
 def test_build_manifest_host_cap_and_dsir_stages(spark):

@@ -16,6 +16,11 @@ Stages (each a documented operator, composed here):
    non-representative cluster members drop with reason 'near_duplicate'.
 3. manifest write (the audit artifact: one row per input doc, never
    filtered away), plus optional filtered-corpus write of the keepers.
+4. optional `--sequences-output`: the trainer handoff — BPE merges
+   trained ON the kept corpus, map-side tokenization to ids, and
+   fixed-`--seq-len` (seq_id, token_ids) sequence assembly, with the
+   merges table written alongside so the trainer can reproduce the
+   tokenizer.
 
 The manifest-first design is what makes reruns and audits tractable at
 10^12 docs: the drop decision is data, joinable and diffable, instead of
@@ -228,6 +233,32 @@ def build_manifest(
     return manifest
 
 
+def tokenize_and_pack(
+    kept,
+    seq_len: int = 2048,
+    n_merges: int = 8000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Kept corpus -> (sequences DataFrame, merges list): the trainer
+    handoff stage. Merges train on the corpus itself (distributed
+    word-frequency agg, bounded driver merge loop), tokenization is one
+    map-side Arrow pass with the kilobyte ranks table in the closure, and
+    assembly is the blocked-running-sum concat-and-chunk writer — total
+    token count is conserved exactly (tests/test_curate_job.py)."""
+    from textractssmlprocessor_spark.operators.shards import (
+        assemble_training_sequences,
+    )
+    from textractssmlprocessor_spark.operators.textstats import (
+        tokenize_bpe,
+        train_bpe_merges,
+    )
+
+    merges = train_bpe_merges(kept, text_col=text_col, n_merges=n_merges)
+    tokenized = tokenize_bpe(kept, merges, id_col=id_col, text_col=text_col)
+    return assemble_training_sequences(tokenized, seq_len), merges
+
+
 def main() -> None:
     _setup_paths()
     p = argparse.ArgumentParser()
@@ -268,6 +299,13 @@ def main() -> None:
                    help="dir with fingerprints.parquet / bands.parquet from "
                         "prior passes; enables the seen_exact / seen_near "
                         "incremental gates (whichever tables exist)")
+    p.add_argument("--sequences-output", default=None,
+                   help="write trainer-ready (seq_id, token_ids) parquet: "
+                        "trains BPE merges on the kept corpus, tokenizes "
+                        "map-side, assembles fixed --seq-len sequences; the "
+                        "merges table lands at <path>.merges.parquet")
+    p.add_argument("--seq-len", type=int, default=2048)
+    p.add_argument("--n-merges", type=int, default=8000)
     p.add_argument("--write-history-dir", default=None,
                    help="write THIS pass's kept docs' fingerprint + MinHash "
                         "band tables here (the artifacts the next pass's "
@@ -344,6 +382,22 @@ def main() -> None:
             args.id_col,
         )
         kept.write.mode("overwrite").parquet(args.kept_output)
+    if args.sequences_output:
+        kept_docs = docs.join(
+            written.filter(F.col("kept")).select(F.col("id").alias(args.id_col)),
+            args.id_col,
+        )
+        seqs, merges = tokenize_and_pack(
+            kept_docs, seq_len=args.seq_len, n_merges=args.n_merges,
+            id_col=args.id_col, text_col=args.text_col,
+        )
+        seqs.write.mode("overwrite").parquet(args.sequences_output)
+        spark.createDataFrame(
+            [(i, l, r) for i, (l, r) in enumerate(merges)],
+            "rank int, left string, right string",
+        ).write.mode("overwrite").parquet(
+            args.sequences_output + ".merges.parquet"
+        )
     if args.write_history_dir:
         import os
 

@@ -137,6 +137,14 @@ def _publish(table: str, manifest: dict[str, Any], snapshot_id: str) -> int:
         raise
     finally:
         os.unlink(tmp)
+    # fsync the directory so the publish survives power loss (the data
+    # file contents were fsynced above; without this the dirent itself
+    # can be lost and a committed snapshot silently vanish)
+    dfd = os.open(mdir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
     return version
 
 

@@ -132,15 +132,46 @@ def test_manifest_files_are_relative_so_table_relocates(spark, tmp_path):
     assert _ids(snap.read_snapshot(spark, moved)) == [1, 2]
 
 
-def test_crashed_stage_is_reclaimed_by_rerun(spark, tmp_path):
+def test_crashed_stage_becomes_orphan_and_rerun_succeeds(spark, tmp_path):
     table = str(tmp_path / "t")
     # simulate crash-after-stage-before-publish: data dir exists, no manifest
-    _df(spark, [1]).write.parquet(os.path.join(table, "data", "s1"))
+    _df(spark, [1]).write.parquet(os.path.join(table, "data", "s1.deadbeef"))
     assert snap.current_version(table) == 0
     v = snap.commit(_df(spark, [1, 2]), table, "s1")
     assert v == 1
-    # the reclaimed staging dir holds ONLY the re-run's rows
+    # the re-run staged fresh: only ITS rows are live, the crashed
+    # attempt's dir is a listed orphan (never silently deleted)
     assert _ids(snap.read_snapshot(spark, table)) == [1, 2]
+    orphans = snap.orphan_dirs(table)
+    assert len(orphans) == 1 and orphans[0].endswith("s1.deadbeef")
+
+
+def test_duplicate_commit_converges_even_after_staging(spark, tmp_path):
+    """Two attempts of the same snapshot_id: the second discovers the
+    winner on its publish-loop recheck (simulated by publishing between
+    its staging and its loop via the marker), returns the winner's
+    version, and never clobbers the winner's files."""
+    table = str(tmp_path / "t")
+    v1 = snap.commit(_df(spark, [1]), table, "job-x")
+    winner_files = set(snap.snapshot_files(table))
+    # a replay with DIFFERENT (buggy-duplicate) content still converges
+    # on the committed version and leaves the live file set untouched
+    v2 = snap.commit(_df(spark, [7, 8]), table, "job-x")
+    assert (v1, v2) == (1, 1)
+    assert set(snap.snapshot_files(table)) == winner_files
+    assert _ids(snap.read_snapshot(spark, table)) == [1]
+
+
+def test_expire_forgets_markers_with_their_manifests(spark, tmp_path):
+    """After expiry, a replayed snapshot_id must NOT resolve to the
+    deleted version — the marker dies with the manifest."""
+    table = str(tmp_path / "t")
+    snap.commit(_df(spark, [1]), table, "s1")
+    snap.commit(_df(spark, [9]), table, "s2", mode="overwrite")
+    snap.expire_snapshots(table, keep_last=1)
+    v = snap.commit(_df(spark, [1]), table, "s1")  # replay of expired id
+    assert v == 3  # a NEW version, not the dead v1
+    assert _ids(snap.read_snapshot(spark, table)) == [1, 9]
 
 
 def test_pages_source_sink_snapshot_seam(spark, tmp_path):

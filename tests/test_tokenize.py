@@ -21,6 +21,10 @@ TEXTS = [
     (4, None),
     (5, "mixed CASE words & symbols: 12345 -- okay?"),
     (6, "über café naïve"),  # non-ASCII letters are NOT [A-Za-z]
+    # Unicode whitespace (NBSP, LINE SEPARATOR, IDEOGRAPHIC SPACE): Java/
+    # RE2 \s is ASCII, so these count as SYMBOL pre-tokens in both the
+    # count path and (via re.ASCII) the id path — the divergence trap
+    (7, "a\xa0b c\u2028d e\u3000f"),
 ]
 
 
@@ -104,6 +108,41 @@ def test_assembly_agrees_with_assignment_view_counts(spark, merges):
     seqs = assemble_training_sequences(tokenized, seq_len=5)
     total_tokens = sum(len(r["token_ids"]) for r in tokenized.collect())
     assert seqs.count() == (total_tokens + 4) // 5
+
+
+def test_assembly_cuts_tokenizer_from_the_fanout(spark, merges):
+    """materialize=True localCheckpoints the tokenized input before the
+    three-branch fragment fan-out: the Arrow tokenizer UDF must appear
+    NOWHERE in the assembled plan (it ran exactly once, at the cut), and
+    the uncut plan must produce identical sequences."""
+    df = spark.createDataFrame(
+        [t for t in TEXTS if t[1]], "doc_id int, text string"
+    )
+    cut = assemble_training_sequences(ts.tokenize_bpe(df, merges), seq_len=7)
+    plan = cut._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "EvalPython" not in plan
+    uncut = assemble_training_sequences(
+        ts.tokenize_bpe(df, merges), seq_len=7, materialize=False
+    )
+    as_rows = lambda d: sorted(  # noqa: E731
+        (r["seq_id"], tuple(r["token_ids"])) for r in d.collect()
+    )
+    assert as_rows(cut) == as_rows(uncut)
+
+
+def test_null_text_counts_zero_tokens_in_packing(spark):
+    """NULL text must pack as 0 tokens, not poison the running sum
+    (size(NULL) is NULL under ANSI, -1 legacy)."""
+    from textractssmlprocessor_spark.operators.shards import pack_shards
+
+    df = spark.createDataFrame(
+        [(1, "three words here"), (2, None), (3, "more words")],
+        "doc_id int, text string",
+    )
+    rows = {r["id"]: r for r in pack_shards(df, tokens_per_shard=4).collect()}
+    assert rows[2]["n_tokens"] == 0
+    assert rows[2]["shard_id"] is not None
+    assert make_training_sequences(df, seq_len=3).filter("id = 2").count() == 0
 
 
 def test_assignment_view_unchanged_by_refactor(spark):

@@ -19,13 +19,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .ordering import block_of, blocked_running_sum
-from .textstats import WORD_RE
+from .textstats import count_words
 
 
 def token_count(col: Column) -> Column:
-    return F.size(F.regexp_extract_all(col, F.lit(WORD_RE), F.lit(0))).cast(
-        "bigint"
-    )
+    # one definition of word-count semantics (textstats.count_words);
+    # NULL text counts 0 tokens — without the coalesce, size(NULL) is
+    # NULL (ANSI) or -1 (legacy), which would poison the blocked running
+    # sums every consumer below builds on
+    return count_words(F.coalesce(col, F.lit(""))).cast("bigint")
 
 
 def pack_shards(
@@ -135,6 +137,7 @@ def assemble_training_sequences(
     seq_len: int,
     id_col: str = "id",
     tokens_col: str = "token_ids",
+    materialize=True,
 ) -> DataFrame:
     """The writer itself: (seq_id, token_ids) rows of EXACTLY ``seq_len``
     tokens (the one global tail sequence may be shorter) — the corpus's
@@ -149,12 +152,24 @@ def assemble_training_sequences(
     document order to training order. Per-group state is bounded by
     seq_len tokens (a sequence receives at most seq_len single-token
     fragments), so there is no skew cliff; sequences land pre-sorted for
-    a shard writer via sort WITHIN partitions downstream if needed."""
+    a shard writer via sort WITHIN partitions downstream if needed.
+
+    ``materialize`` (default True -> localCheckpoint; 'persist' ->
+    reliable checkpoint; False -> leave the plan uncut) cuts the
+    tokenized input ONCE before the fan-out: the fragment math reads it
+    on three branches (the running sum's two passes + the token-array
+    join side), and without the cut Spark would re-run the upstream
+    tokenizer UDF — the most expensive map stage in the pipeline — for
+    each branch."""
     d = tokenized.select(
         F.col(id_col).alias("id"),
         F.col(tokens_col).alias("_toks"),
         F.size(F.col(tokens_col)).cast("bigint").alias("n_tokens"),
     )
+    if materialize:
+        from .graph import _truncate
+
+        d = _truncate(d, materialize)
     frags = _sequence_assignments(d.select("id", "n_tokens"), seq_len).join(
         d.select("id", "_toks"), "id"
     )

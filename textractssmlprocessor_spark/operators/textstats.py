@@ -260,7 +260,11 @@ def tokenize_bpe(
     ranks = {p: i for i, p in enumerate(merges)}
     vocab = bpe_vocab(merges)
     n_vocab = len(vocab)
-    pretok = re.compile(PRETOK_RE)
+    # re.ASCII: Python's \s is Unicode-aware but Java's (Spark) and RE2's
+    # (DuckDB) are ASCII — without the flag, NBSP/U+2028-class codepoints
+    # would vanish here while count_tokens_bpe counts them as symbol
+    # pre-tokens, silently breaking the length invariant on web text
+    pretok = re.compile(PRETOK_RE, re.ASCII)
     alpha = re.compile(r"[A-Za-z]+")
 
     def _encode_factory():

@@ -37,17 +37,24 @@ single-level variant here is honest about that bound in
 ``commit``'s docstring.
 
 Idempotency contract: ``snapshot_id`` is the unit. A re-run of a failed
-or duplicated job with the same snapshot_id either finds its manifest
-already published (returns that version, writes nothing) or re-stages
-its data dir with mode=overwrite (crash-before-publish leaves only an
-orphaned staging dir, which the re-run reclaims in place).
+or duplicated job with the same snapshot_id either finds it already
+published (O(1) marker check, re-checked on every publish retry —
+returns that version, writes nothing) or stages under a fresh
+unique-suffixed data dir and publishes. Crashed or duplicate-loser
+attempts leave orphaned staging dirs that no manifest references —
+``orphan_dirs`` lists them for operator-scheduled deletion; they are
+never reclaimed in place, so a published manifest's files can never be
+rewritten underneath it.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import re
 import shutil
+import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -59,6 +66,45 @@ _DATA_DIR = "data"
 
 def _manifest_path(table: str, version: int) -> str:
     return os.path.join(table, _MANIFEST_DIR, "v%012d.json" % version)
+
+
+def _id_marker_path(table: str, snapshot_id: str) -> str:
+    """O(1) idempotency index: one marker file per committed snapshot_id
+    holding its version, so commit/rollback replays don't JSON-parse
+    every manifest (the full-history scan remains the fallback for a
+    crash between publish and marker write)."""
+    safe = (
+        snapshot_id
+        if re.fullmatch(r"[A-Za-z0-9._-]{1,80}", snapshot_id)
+        else "x" + hashlib.md5(snapshot_id.encode("utf-8")).hexdigest()
+    )
+    return os.path.join(table, _MANIFEST_DIR, ".ids", safe)
+
+
+def _committed_version_of(table: str, snapshot_id: str) -> int | None:
+    """Version already committed under ``snapshot_id``, else None.
+    Marker fast path first; full manifest scan as the crash-safe
+    fallback (backfills the marker when it finds one)."""
+    marker = _id_marker_path(table, snapshot_id)
+    try:
+        with open(marker, encoding="utf-8") as f:
+            return int(f.read())
+    except (FileNotFoundError, ValueError):
+        pass
+    for m in history(table):
+        if m["snapshot_id"] == snapshot_id:
+            _write_id_marker(table, snapshot_id, m["version"])
+            return m["version"]
+    return None
+
+
+def _write_id_marker(table: str, snapshot_id: str, version: int) -> None:
+    path = _id_marker_path(table, snapshot_id)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + "." + uuid.uuid4().hex[:8]
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(str(version))
+    os.replace(tmp, path)
 
 
 def _versions(table: str) -> list[int]:
@@ -137,9 +183,11 @@ def _publish(table: str, manifest: dict[str, Any], snapshot_id: str) -> int:
         raise
     finally:
         os.unlink(tmp)
-    # fsync the directory so the publish survives power loss (the data
-    # file contents were fsynced above; without this the dirent itself
-    # can be lost and a committed snapshot silently vanish)
+    # fsync the directory so the publish survives power loss (the
+    # manifest BODY was fsynced above; without this the dirent itself
+    # can be lost and a committed snapshot silently vanish — data-file
+    # durability is the parquet writer's filesystem's concern, see
+    # commit())
     dfd = os.open(mdir, os.O_RDONLY)
     try:
         os.fsync(dfd)
@@ -160,27 +208,41 @@ def commit(
     ``mode``: "append" unions the parent's live set with the new files;
     "overwrite" replaces it. Idempotent on ``snapshot_id``: if a manifest
     with this id is already published the call is a no-op returning its
-    version. Concurrent committers race on the version file; losers
-    rebase (append re-reads the new parent's file set; overwrite is
-    declared last-writer-wins) and retry. Single-level manifests bound
-    this table at ~10^6 live files (a ~100 MB JSON) — compact with an
+    version — checked O(1) via a marker file, re-checked on every retry,
+    so even two CONCURRENT duplicates of the same job converge on one
+    version (the loser's staged files become an orphan dir, listable via
+    ``orphan_dirs``; each attempt stages under a unique suffix, so no
+    attempt can clobber files a published manifest names). Other
+    committers race on the version file; losers rebase (append re-reads
+    the new parent's file set; overwrite is declared last-writer-wins)
+    and retry. Durability split: the manifest body and dirent are
+    fsynced here; DATA-file durability belongs to the parquet writer's
+    filesystem (object stores are durable on PUT; plain disks should
+    mount with barriers) — the protocol never claims a version whose
+    data it did not finish writing. Single-level manifests bound this
+    table at ~10^6 live files (a ~100 MB JSON) — compact with an
     ``overwrite`` rewrite, or move to Iceberg (jobs/iceberg.py) past
     that."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown commit mode: {mode!r}")
-    for m in history(table):
-        if m["snapshot_id"] == snapshot_id:
-            return m["version"]
-    staging = os.path.join(table, _DATA_DIR, snapshot_id)
-    # overwrite mode on the staging dir reclaims a crashed prior attempt
+    done = _committed_version_of(table, snapshot_id)
+    if done is not None:
+        return done
+    staging_rel = os.path.join(
+        _DATA_DIR, f"{snapshot_id}.{uuid.uuid4().hex[:8]}"
+    )
+    staging = os.path.join(table, staging_rel)
     df.write.mode("overwrite").parquet(staging)
     new_files = sorted(
-        os.path.join(_DATA_DIR, snapshot_id, name)
+        os.path.join(staging_rel, name)
         for name in os.listdir(staging)
         if name.endswith(".parquet")
     )
     schema_json = df.schema.json()
     for _ in range(max_retries):
+        done = _committed_version_of(table, snapshot_id)
+        if done is not None:
+            return done  # a concurrent duplicate won; ours is an orphan
         parent = current_version(table)
         if mode == "append" and parent:
             parent_files = _load_manifest(table, parent)["files"]
@@ -196,22 +258,26 @@ def commit(
             "schema": schema_json,
         }
         try:
-            return _publish(table, manifest, snapshot_id)
+            version = _publish(table, manifest, snapshot_id)
         except FileExistsError:
             continue  # lost the race: rebase on the new parent
+        _write_id_marker(table, snapshot_id, version)
+        return version
     raise RuntimeError(
         f"commit {snapshot_id!r} lost the publish race {max_retries} times"
     )
 
 
-def rollback(table: str, to_version: int, snapshot_id: str) -> int:
+def rollback(table: str, to_version: int, snapshot_id: str, max_retries: int = 20) -> int:
     """Publish a NEW version whose live set is ``to_version``'s (history
-    is append-only — a rollback never deletes manifests or data)."""
+    is append-only — a rollback never deletes manifests or data).
+    Idempotent on ``snapshot_id`` and bounded like ``commit``. Do not run
+    concurrently with ``expire_snapshots`` (see its docstring)."""
     target = _load_manifest(table, to_version)
-    for m in history(table):
-        if m["snapshot_id"] == snapshot_id:
-            return m["version"]
-    while True:
+    for _ in range(max_retries):
+        done = _committed_version_of(table, snapshot_id)
+        if done is not None:
+            return done
         parent = current_version(table)
         manifest = {
             "version": parent + 1,
@@ -222,9 +288,14 @@ def rollback(table: str, to_version: int, snapshot_id: str) -> int:
             "schema": target["schema"],
         }
         try:
-            return _publish(table, manifest, snapshot_id)
+            version = _publish(table, manifest, snapshot_id)
         except FileExistsError:
             continue
+        _write_id_marker(table, snapshot_id, version)
+        return version
+    raise RuntimeError(
+        f"rollback {snapshot_id!r} lost the publish race {max_retries} times"
+    )
 
 
 def expire_snapshots(table: str, keep_last: int = 1) -> int:
@@ -234,7 +305,14 @@ def expire_snapshots(table: str, keep_last: int = 1) -> int:
     Safe GC rule: a file is deleted only if some EXPIRED manifest
     references it AND no retained manifest does — never by directory
     scan, so an in-flight committer's staged-but-unpublished files are
-    untouched (its publish will still win or rebase normally)."""
+    untouched (its publish will still win or rebase normally). Expired
+    MANIFESTS are unlinked before their data files, so a crash mid-GC
+    leaves only unreferenced orphan files, never a manifest naming
+    deleted data. This is a MAINTENANCE op with the standard lakehouse
+    contract: run it single-writer, and not concurrently with a
+    ``rollback`` targeting (or a reader pinned to) a version older than
+    the retained window — expiry deletes exactly the data those depend
+    on (same caveat as Iceberg's expire_snapshots)."""
     vs = _versions(table)
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
@@ -247,6 +325,13 @@ def expire_snapshots(table: str, keep_last: int = 1) -> int:
     dead: set[str] = set()
     for v in expired:
         dead.update(f for f in _load_manifest(table, v)["files"] if f not in live)
+    for v in expired:
+        # marker first: a surviving marker for a deleted manifest would
+        # make a replay of that snapshot_id "succeed" at a dead version
+        marker = _id_marker_path(table, _load_manifest(table, v)["snapshot_id"])
+        if os.path.exists(marker):
+            os.unlink(marker)
+        os.unlink(_manifest_path(table, v))
     for rel in dead:
         path = os.path.join(table, rel)
         if os.path.exists(path):
@@ -254,6 +339,26 @@ def expire_snapshots(table: str, keep_last: int = 1) -> int:
         parent = os.path.dirname(path)
         if os.path.isdir(parent) and not os.listdir(parent):
             shutil.rmtree(parent)
-    for v in expired:
-        os.unlink(_manifest_path(table, v))
     return len(dead)
+
+
+def orphan_dirs(table: str) -> list[str]:
+    """Staging dirs under data/ that NO committed manifest references —
+    leftovers of crashed or duplicate-loser commit attempts. Listed, not
+    deleted: an IN-FLIGHT committer's staging dir is indistinguishable
+    from a crashed one without wall-clock heuristics, so deletion is the
+    operator's call (delete when no commits are running — the same
+    contract as Iceberg's remove_orphan_files)."""
+    data = os.path.join(table, _DATA_DIR)
+    if not os.path.isdir(data):
+        return []
+    referenced = {
+        os.path.dirname(rel)
+        for v in _versions(table)
+        for rel in _load_manifest(table, v)["files"]
+    }
+    return sorted(
+        os.path.join(data, d)
+        for d in os.listdir(data)
+        if os.path.join(_DATA_DIR, d) not in referenced
+    )

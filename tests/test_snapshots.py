@@ -205,3 +205,53 @@ def test_manifest_publish_is_full_content_atomic(spark, tmp_path):
     with open(snap._manifest_path(table, 1), encoding="utf-8") as f:
         m = json.load(f)
     assert set(m) == {"version", "parent", "snapshot_id", "op", "files", "schema"}
+
+
+# --- streaming sink (streaming/snapshot_sink.py) -------------------------
+
+
+def _drop(spark, path, ids, n=None):
+    _df(spark, ids).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_stream_to_snapshots_drains_into_versioned_table(spark, tmp_path):
+    from textractssmlprocessor_spark.streaming.snapshot_sink import (
+        stream_to_snapshots,
+    )
+
+    land = str(tmp_path / "land")
+    table = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    _drop(spark, land, [1, 2])
+    stream = spark.readStream.schema("id int, text string").parquet(land)
+    stream_to_snapshots(stream, table, ckpt).awaitTermination(120)
+    assert _ids(snap.read_snapshot(spark, table)) == [1, 2]
+    assert snap.history(table)[0]["snapshot_id"].startswith("stream-b")
+
+    # restart with the SAME checkpoint after a new file drop: only the
+    # new batch commits — the drained batch is not replayed, no dupes
+    _drop(spark, land, [3])
+    stream2 = spark.readStream.schema("id int, text string").parquet(land)
+    stream_to_snapshots(stream2, table, ckpt).awaitTermination(120)
+    assert _ids(snap.read_snapshot(spark, table)) == [1, 2, 3]
+
+
+def test_snapshot_sink_body_replay_is_exactly_once(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash between commit and
+    checkpoint advance replays the batch with the SAME batch_id. The
+    replay must be a no-op at the table."""
+    from textractssmlprocessor_spark.streaming.snapshot_sink import (
+        snapshot_sink_body,
+    )
+
+    table = str(tmp_path / "t")
+    body = snapshot_sink_body(table, "run")
+    body(_df(spark, [1, 2]), 0)
+    body(_df(spark, [1, 2]), 0)  # replayed batch
+    body(_df(spark, [3]), 1)
+    assert snap.current_version(table) == 2
+    assert _ids(snap.read_snapshot(spark, table)) == [1, 2, 3]
+    # the replay short-circuited on the marker BEFORE staging: it wrote
+    # nothing at all (orphans only arise from concurrent duplicates that
+    # stage before the winner publishes — covered above)
+    assert snap.orphan_dirs(table) == []

@@ -1,0 +1,92 @@
+"""REAL-thread concurrency over the snapshot commit protocol.
+
+test_snapshots.py proves the race rules by simulation (publish between a
+loser's staging and its retry loop); these tests run actual concurrent
+committers in threads against one table — the closest a single process
+gets to two jobs racing on a shared filesystem. Spark is driver-side
+here only to produce DataFrames; the contention is all in snapshots.py's
+version-file link race.
+"""
+
+from __future__ import annotations
+
+import threading
+
+from textractssmlprocessor_spark import snapshots as snap
+
+
+def _df(spark, ids):
+    return spark.createDataFrame(
+        [(i, f"doc{i}") for i in ids], "id int, text string"
+    )
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def _run_threads(fns):
+    errs: list[BaseException] = []
+
+    def wrap(fn):
+        try:
+            fn()
+        except BaseException as e:  # noqa: BLE001 - surfaced to the test
+            errs.append(e)
+
+    ts = [threading.Thread(target=wrap, args=(fn,)) for fn in fns]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(300)
+    assert errs == []
+
+
+def test_concurrent_distinct_commits_all_land(spark, tmp_path):
+    """N threads, N distinct snapshot_ids: every committer must win some
+    version (losers rebase), the final live set is the union, and every
+    version's file set is readable (no torn manifests)."""
+    table = str(tmp_path / "t")
+    n = 6
+    results: dict[int, int] = {}
+
+    def committer(i):
+        def run():
+            results[i] = snap.commit(
+                _df(spark, [i]), table, f"job-{i}", mode="append"
+            )
+
+        return run
+
+    _run_threads([committer(i) for i in range(n)])
+    assert sorted(results.values()) == list(range(1, n + 1))
+    assert _ids(snap.read_snapshot(spark, table)) == list(range(n))
+    for v in range(1, n + 1):
+        snap.read_snapshot(spark, table, version=v).count()
+
+
+def test_concurrent_same_id_commits_converge_to_one_version(spark, tmp_path):
+    """N threads replaying ONE snapshot_id (a duplicated job): exactly
+    one version publishes, all callers return it, and losers' staging
+    dirs are orphans that a GC-safe expire never touches."""
+    table = str(tmp_path / "t")
+    barrier = threading.Barrier(4)
+    got: list[int] = []
+
+    def run():
+        barrier.wait(60)
+        got.append(snap.commit(_df(spark, [1, 2]), table, "job-x"))
+
+    _run_threads([run] * 4)
+    assert got == [1, 1, 1, 1]
+    assert snap.current_version(table) == 1
+    assert _ids(snap.read_snapshot(spark, table)) == [1, 2]
+    # every loser staged under its own suffix: 0-3 orphans, none live
+    orphans = snap.orphan_dirs(table)
+    assert len(orphans) <= 3
+    live = set(snap.snapshot_files(table))
+    import os
+
+    assert all(
+        not any(f.startswith(o + os.sep) for f in live) for o in orphans
+    )

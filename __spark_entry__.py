@@ -2489,7 +2489,7 @@ def oracle_sql() -> dict[str, str]:
 
         "pack_shards": """
             WITH t AS (
-                SELECT doc_id, len(regexp_extract_all(text, '\\b[\\w-]+\\b'))::BIGINT AS n_tokens
+                SELECT doc_id, len(regexp_extract_all(coalesce(text, ''), '\\b[\\w-]+\\b'))::BIGINT AS n_tokens
                 FROM documents
             ),
             r AS (
@@ -2544,9 +2544,9 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY gram ORDER BY count(*) DESC, gram LIMIT 1
             )
             SELECT count(*)::BIGINT AS n_docs,
-                   sum(len(regexp_extract_all(text, '\\b[\\w-]+\\b')))::BIGINT AS n_tokens,
-                   min(len(regexp_extract_all(text, '\\b[\\w-]+\\b')))::BIGINT AS min_tokens,
-                   max(len(regexp_extract_all(text, '\\b[\\w-]+\\b')))::BIGINT AS max_tokens,
+                   sum(len(regexp_extract_all(coalesce(text, ''), '\\b[\\w-]+\\b')))::BIGINT AS n_tokens,
+                   min(len(regexp_extract_all(coalesce(text, ''), '\\b[\\w-]+\\b')))::BIGINT AS min_tokens,
+                   max(len(regexp_extract_all(coalesce(text, ''), '\\b[\\w-]+\\b')))::BIGINT AS max_tokens,
                    count(DISTINCT lang)::BIGINT AS n_langs,
                    sum(length(text))::BIGINT AS total_character_count,
                    round(sum(length(text))/1000000.0*20, 6) AS total_gpt_cost,

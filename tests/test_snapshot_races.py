@@ -90,3 +90,54 @@ def test_concurrent_same_id_commits_converge_to_one_version(spark, tmp_path):
     assert all(
         not any(f.startswith(o + os.sep) for f in live) for o in orphans
     )
+
+
+def test_stale_empty_marker_from_crashed_claimant_heals(spark, tmp_path):
+    """A crash after _id_lock created the marker but before publish
+    leaves an EMPTY marker file (flock died with the process). The next
+    attempt must lock it, find no version anywhere, and publish."""
+    import os
+
+    table = str(tmp_path / "t")
+    snap.commit(_df(spark, [1]), table, "other")  # table exists
+    marker = snap._id_marker_path(table, "job-x")
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    open(marker, "w").close()  # crashed claimant's leftover
+    assert snap.commit(_df(spark, [2]), table, "job-x") == 2
+    assert _ids(snap.read_snapshot(spark, table)) == [1, 2]
+    # and the marker now records the version for O(1) replays
+    assert snap.commit(_df(spark, [7]), table, "job-x") == 2
+
+
+def test_crash_between_publish_and_marker_heals_via_history(spark, tmp_path):
+    """Publish succeeded, marker write never happened (crash window):
+    the replay's in-lock history scan must find the manifest and return
+    its version instead of double-publishing."""
+    import os
+
+    table = str(tmp_path / "t")
+    snap.commit(_df(spark, [1]), table, "job-x")
+    os.unlink(snap._id_marker_path(table, "job-x"))  # simulate the crash
+    assert snap.commit(_df(spark, [9]), table, "job-x") == 1
+    assert snap.current_version(table) == 1
+    assert _ids(snap.read_snapshot(spark, table)) == [1]
+
+
+def test_hostile_snapshot_ids_route_to_hashed_markers(spark, tmp_path):
+    """Ids that are not safe filenames ('.', '..', slashes, leading
+    dots) must not traverse out of the .ids dir or collide with other
+    marker files — they hash to fixed-width names."""
+    table = str(tmp_path / "t")
+    v = {}
+    for i, sid in enumerate([".", "..", "a/b", ".hidden", "x" * 200]):
+        v[sid] = snap.commit(_df(spark, [i]), table, sid)
+    assert sorted(v.values()) == [1, 2, 3, 4, 5]
+    # replays converge per id, and every marker lives inside .ids
+    for sid, ver in v.items():
+        assert snap.commit(_df(spark, [99]), table, sid) == ver
+        import os
+
+        p = snap._id_marker_path(table, sid)
+        assert os.path.dirname(p).endswith(os.path.join("_manifests", ".ids"))
+        assert os.path.basename(p) not in (".", "..")
+    assert _ids(snap.read_snapshot(spark, table)) == [0, 1, 2, 3, 4]

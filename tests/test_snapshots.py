@@ -70,7 +70,7 @@ def test_lost_publish_race_rebases_onto_winner(spark, tmp_path):
         "files": snap._load_manifest(table, 1)["files"],
         "schema": snap._load_manifest(table, 1)["schema"],
     }
-    snap._publish(table, winner, "rival")
+    snap._publish(table, winner)
     v = snap.commit(_df(spark, [3]), table, "s3")
     assert v == 3  # rebased past the rival's v2
     assert _ids(snap.read_snapshot(spark, table)) == [1, 3]
@@ -210,7 +210,7 @@ def test_manifest_publish_is_full_content_atomic(spark, tmp_path):
 # --- streaming sink (streaming/snapshot_sink.py) -------------------------
 
 
-def _drop(spark, path, ids, n=None):
+def _drop(spark, path, ids):
     _df(spark, ids).coalesce(1).write.mode("append").parquet(path)
 
 
@@ -224,15 +224,15 @@ def test_stream_to_snapshots_drains_into_versioned_table(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     _drop(spark, land, [1, 2])
     stream = spark.readStream.schema("id int, text string").parquet(land)
-    stream_to_snapshots(stream, table, ckpt).awaitTermination(120)
+    stream_to_snapshots(stream, table, ckpt, "ingest").awaitTermination(120)
     assert _ids(snap.read_snapshot(spark, table)) == [1, 2]
-    assert snap.history(table)[0]["snapshot_id"].startswith("stream-b")
+    assert snap.history(table)[0]["snapshot_id"].startswith("ingest-b")
 
     # restart with the SAME checkpoint after a new file drop: only the
     # new batch commits — the drained batch is not replayed, no dupes
     _drop(spark, land, [3])
     stream2 = spark.readStream.schema("id int, text string").parquet(land)
-    stream_to_snapshots(stream2, table, ckpt).awaitTermination(120)
+    stream_to_snapshots(stream2, table, ckpt, "ingest").awaitTermination(120)
     assert _ids(snap.read_snapshot(spark, table)) == [1, 2, 3]
 
 

@@ -239,6 +239,7 @@ def tokenize_and_pack(
     n_merges: int = 8000,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize=True,
 ):
     """Kept corpus -> (sequences DataFrame, merges list): the trainer
     handoff stage. Merges train on the corpus itself (distributed
@@ -256,7 +257,10 @@ def tokenize_and_pack(
 
     merges = train_bpe_merges(kept, text_col=text_col, n_merges=n_merges)
     tokenized = tokenize_bpe(kept, merges, id_col=id_col, text_col=text_col)
-    return assemble_training_sequences(tokenized, seq_len), merges
+    return (
+        assemble_training_sequences(tokenized, seq_len, materialize=materialize),
+        merges,
+    )
 
 
 def main() -> None:
@@ -390,6 +394,10 @@ def main() -> None:
         seqs, merges = tokenize_and_pack(
             kept_docs, seq_len=args.seq_len, n_merges=args.n_merges,
             id_col=args.id_col, text_col=args.text_col,
+            # same contract as the near-dup stage: --materialize persist
+            # upgrades the assembly's tokenizer cut from localCheckpoint
+            # to a reliable checkpoint (survives executor loss)
+            materialize="persist" if args.materialize == "persist" else True,
         )
         seqs.write.mode("overwrite").parquet(args.sequences_output)
         spark.createDataFrame(

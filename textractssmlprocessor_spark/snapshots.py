@@ -38,22 +38,30 @@ single-level variant here is honest about that bound in
 
 Idempotency contract: ``snapshot_id`` is the unit. A re-run of a failed
 or duplicated job with the same snapshot_id either finds it already
-published (O(1) marker check, re-checked on every publish retry —
-returns that version, writes nothing) or stages under a fresh
-unique-suffixed data dir and publishes. Crashed or duplicate-loser
-attempts leave orphaned staging dirs that no manifest references —
-``orphan_dirs`` lists them for operator-scheduled deletion; they are
-never reclaimed in place, so a published manifest's files can never be
-rewritten underneath it.
+published (O(1) marker check — returns that version, writes nothing) or
+stages under a fresh unique-suffixed data dir and publishes. The
+publish itself runs under an ``flock`` of the id's marker file, so even
+two committers of the same snapshot_id racing in the same instant
+serialize: the loser blocks through the winner's (fast, metadata-only)
+publish, then reads the winner's version out of the marker — one
+version per snapshot_id, guaranteed, with crash safety for free (the
+OS releases a dead holder's flock, and an empty marker left by a crash
+just sends the next attempt through the history-scan fallback).
+Crashed or duplicate-loser attempts leave orphaned staging dirs that no
+manifest references — ``orphan_dirs`` lists them for operator-scheduled
+deletion; they are never reclaimed in place, so a published manifest's
+files can never be rewritten underneath it.
 """
 
 from __future__ import annotations
 
+import fcntl
 import hashlib
 import json
 import os
 import re
 import shutil
+import time
 import uuid
 from typing import Any
 
@@ -72,19 +80,57 @@ def _id_marker_path(table: str, snapshot_id: str) -> str:
     """O(1) idempotency index: one marker file per committed snapshot_id
     holding its version, so commit/rollback replays don't JSON-parse
     every manifest (the full-history scan remains the fallback for a
-    crash between publish and marker write)."""
+    crash between publish and marker write). The marker file doubles as
+    the per-id publish LOCK (flock) — see ``_id_lock``. Ids that are not
+    safe filenames (path separators, leading dots — '.' and '..' would
+    traverse) hash to a fixed-width name."""
     safe = (
         snapshot_id
-        if re.fullmatch(r"[A-Za-z0-9._-]{1,80}", snapshot_id)
+        if re.fullmatch(r"[A-Za-z0-9_-][A-Za-z0-9._-]{0,79}", snapshot_id)
         else "x" + hashlib.md5(snapshot_id.encode("utf-8")).hexdigest()
     )
     return os.path.join(table, _MANIFEST_DIR, ".ids", safe)
 
 
+def _marker_version(fd: int) -> int | None:
+    """Parse the version out of an (open) marker file, None if empty or
+    torn (a crash between publish and marker write leaves it empty; the
+    history scan is the fallback)."""
+    try:
+        return int(os.pread(fd, 64, 0))
+    except ValueError:
+        return None
+
+
+def _id_lock(table: str, snapshot_id: str, timeout: float = 600.0) -> int:
+    """Open-or-create the id's marker file and take an exclusive flock
+    on it; returns the locked fd (caller closes, which releases). The
+    lock only ever spans a publish loop — metadata-only, no data I/O —
+    so contention is milliseconds; the timeout is a deadlock backstop,
+    not a tuning knob. Crash-safe: the OS drops a dead holder's lock."""
+    path = _id_marker_path(table, snapshot_id)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd = os.open(path, os.O_RDWR | os.O_CREAT, 0o644)
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            return fd
+        except BlockingIOError:
+            if time.monotonic() >= deadline:
+                os.close(fd)
+                raise RuntimeError(
+                    f"timed out waiting for the publish lock on "
+                    f"snapshot_id {snapshot_id!r}"
+                )
+            time.sleep(0.02)
+
+
 def _committed_version_of(table: str, snapshot_id: str) -> int | None:
     """Version already committed under ``snapshot_id``, else None.
     Marker fast path first; full manifest scan as the crash-safe
-    fallback (backfills the marker when it finds one)."""
+    fallback (backfills the marker when it finds one). Lock-free — the
+    authoritative recheck happens under ``_id_lock`` in the writers."""
     marker = _id_marker_path(table, snapshot_id)
     try:
         with open(marker, encoding="utf-8") as f:
@@ -93,18 +139,32 @@ def _committed_version_of(table: str, snapshot_id: str) -> int | None:
         pass
     for m in history(table):
         if m["snapshot_id"] == snapshot_id:
-            _write_id_marker(table, snapshot_id, m["version"])
+            _backfill_id_marker(table, snapshot_id, m["version"])
             return m["version"]
     return None
 
 
-def _write_id_marker(table: str, snapshot_id: str, version: int) -> None:
+def _backfill_id_marker(table: str, snapshot_id: str, version: int) -> None:
+    """Create-if-absent marker backfill (crash recovery / pre-marker
+    tables). O_EXCL, never replace: swapping the inode under a live
+    ``_id_lock`` holder would split the lock."""
     path = _id_marker_path(table, snapshot_id)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + "." + uuid.uuid4().hex[:8]
-    with open(tmp, "w", encoding="utf-8") as f:
-        f.write(str(version))
-    os.replace(tmp, path)
+    try:
+        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+    except FileExistsError:
+        return
+    try:
+        os.write(fd, str(version).encode())
+    finally:
+        os.close(fd)
+
+
+def _marker_write_locked(fd: int, version: int) -> None:
+    """Record the committed version in the (flock-held) marker fd."""
+    os.ftruncate(fd, 0)
+    os.pwrite(fd, str(version).encode(), 0)
+    os.fsync(fd)
 
 
 def _versions(table: str) -> list[int]:
@@ -163,13 +223,15 @@ def read_snapshot(
     return spark.read.schema(schema).parquet(*files)
 
 
-def _publish(table: str, manifest: dict[str, Any], snapshot_id: str) -> int:
+def _publish(table: str, manifest: dict[str, Any]) -> int:
     """Claim the next version atomically; on a lost race, the caller
-    rebases. Returns the committed version."""
+    rebases. Returns the committed version. The tmp body is
+    uuid-suffixed so concurrent committers (any ids) can never share —
+    and truncate — one tmp inode another already linked live."""
     mdir = os.path.join(table, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     version = manifest["version"]
-    tmp = os.path.join(mdir, f".{snapshot_id}.v{version}.tmp")
+    tmp = os.path.join(mdir, f".v{version}.{uuid.uuid4().hex}.tmp")
     body = json.dumps(manifest, sort_keys=True)
     with open(tmp, "w", encoding="utf-8") as f:
         f.write(body)
@@ -208,21 +270,24 @@ def commit(
     ``mode``: "append" unions the parent's live set with the new files;
     "overwrite" replaces it. Idempotent on ``snapshot_id``: if a manifest
     with this id is already published the call is a no-op returning its
-    version — checked O(1) via a marker file, re-checked on every retry,
-    so even two CONCURRENT duplicates of the same job converge on one
-    version (the loser's staged files become an orphan dir, listable via
-    ``orphan_dirs``; each attempt stages under a unique suffix, so no
-    attempt can clobber files a published manifest names). Other
-    committers race on the version file; losers rebase (append re-reads
-    the new parent's file set; overwrite is declared last-writer-wins)
-    and retry. Durability split: the manifest body and dirent are
-    fsynced here; DATA-file durability belongs to the parquet writer's
-    filesystem (object stores are durable on PUT; plain disks should
-    mount with barriers) — the protocol never claims a version whose
-    data it did not finish writing. Single-level manifests bound this
-    table at ~10^6 live files (a ~100 MB JSON) — compact with an
-    ``overwrite`` rewrite, or move to Iceberg (jobs/iceberg.py) past
-    that."""
+    version (O(1) marker fast path), and the publish loop itself runs
+    under an flock of the id's marker file, so even two CONCURRENT
+    duplicates of the same job serialize and converge on ONE version
+    (the loser blocks through the winner's metadata-only publish, then
+    reads the version from the marker; its staged files become an
+    orphan dir, listable via ``orphan_dirs`` — each attempt stages under
+    a unique suffix, so no attempt can clobber files a published
+    manifest names). Committers of DIFFERENT ids don't contend on the
+    lock; they race on the version file, and losers rebase (append
+    re-reads the new parent's file set; overwrite is declared
+    last-writer-wins) and retry. Durability split: the manifest body
+    and dirent are fsynced here; DATA-file durability belongs to the
+    parquet writer's filesystem (object stores are durable on PUT;
+    plain disks should mount with barriers) — the protocol never claims
+    a version whose data it did not finish writing. Single-level
+    manifests bound this table at ~10^6 live files (a ~100 MB JSON) —
+    compact with an ``overwrite`` rewrite, or move to Iceberg
+    (jobs/iceberg.py) past that."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown commit mode: {mode!r}")
     done = _committed_version_of(table, snapshot_id)
@@ -239,33 +304,52 @@ def commit(
         if name.endswith(".parquet")
     )
     schema_json = df.schema.json()
-    for _ in range(max_retries):
-        done = _committed_version_of(table, snapshot_id)
+    fd = _id_lock(table, snapshot_id)
+    try:
+        # authoritative duplicate check, now race-free: a winner's
+        # version is in the marker; a crashed winner (empty marker)
+        # shows up in the history scan
+        done = _marker_version(fd)
+        if done is None:
+            done = next(
+                (
+                    m["version"]
+                    for m in history(table)
+                    if m["snapshot_id"] == snapshot_id
+                ),
+                None,
+            )
+            if done is not None:
+                _marker_write_locked(fd, done)
         if done is not None:
-            return done  # a concurrent duplicate won; ours is an orphan
-        parent = current_version(table)
-        if mode == "append" and parent:
-            parent_files = _load_manifest(table, parent)["files"]
-            files = sorted(set(parent_files) | set(new_files))
-        else:
-            files = new_files
-        manifest = {
-            "version": parent + 1,
-            "parent": parent,
-            "snapshot_id": snapshot_id,
-            "op": mode,
-            "files": files,
-            "schema": schema_json,
-        }
-        try:
-            version = _publish(table, manifest, snapshot_id)
-        except FileExistsError:
-            continue  # lost the race: rebase on the new parent
-        _write_id_marker(table, snapshot_id, version)
-        return version
-    raise RuntimeError(
-        f"commit {snapshot_id!r} lost the publish race {max_retries} times"
-    )
+            return done  # a duplicate won; our staging dir is an orphan
+        for _ in range(max_retries):
+            parent = current_version(table)
+            if mode == "append" and parent:
+                parent_files = _load_manifest(table, parent)["files"]
+                files = sorted(set(parent_files) | set(new_files))
+            else:
+                files = new_files
+            manifest = {
+                "version": parent + 1,
+                "parent": parent,
+                "snapshot_id": snapshot_id,
+                "op": mode,
+                "files": files,
+                "schema": schema_json,
+            }
+            try:
+                version = _publish(table, manifest)
+            except FileExistsError:
+                continue  # lost the race to ANOTHER id: rebase, retry
+            _marker_write_locked(fd, version)
+            return version
+        raise RuntimeError(
+            f"commit {snapshot_id!r} lost the publish race "
+            f"{max_retries} times"
+        )
+    finally:
+        os.close(fd)  # releases the flock
 
 
 def rollback(table: str, to_version: int, snapshot_id: str, max_retries: int = 20) -> int:
@@ -274,28 +358,46 @@ def rollback(table: str, to_version: int, snapshot_id: str, max_retries: int = 2
     Idempotent on ``snapshot_id`` and bounded like ``commit``. Do not run
     concurrently with ``expire_snapshots`` (see its docstring)."""
     target = _load_manifest(table, to_version)
-    for _ in range(max_retries):
-        done = _committed_version_of(table, snapshot_id)
+    done = _committed_version_of(table, snapshot_id)
+    if done is not None:
+        return done
+    fd = _id_lock(table, snapshot_id)
+    try:
+        done = _marker_version(fd)
+        if done is None:
+            done = next(
+                (
+                    m["version"]
+                    for m in history(table)
+                    if m["snapshot_id"] == snapshot_id
+                ),
+                None,
+            )
         if done is not None:
+            _marker_write_locked(fd, done)
             return done
-        parent = current_version(table)
-        manifest = {
-            "version": parent + 1,
-            "parent": parent,
-            "snapshot_id": snapshot_id,
-            "op": f"rollback:{to_version}",
-            "files": target["files"],
-            "schema": target["schema"],
-        }
-        try:
-            version = _publish(table, manifest, snapshot_id)
-        except FileExistsError:
-            continue
-        _write_id_marker(table, snapshot_id, version)
-        return version
-    raise RuntimeError(
-        f"rollback {snapshot_id!r} lost the publish race {max_retries} times"
-    )
+        for _ in range(max_retries):
+            parent = current_version(table)
+            manifest = {
+                "version": parent + 1,
+                "parent": parent,
+                "snapshot_id": snapshot_id,
+                "op": f"rollback:{to_version}",
+                "files": target["files"],
+                "schema": target["schema"],
+            }
+            try:
+                version = _publish(table, manifest)
+            except FileExistsError:
+                continue
+            _marker_write_locked(fd, version)
+            return version
+        raise RuntimeError(
+            f"rollback {snapshot_id!r} lost the publish race "
+            f"{max_retries} times"
+        )
+    finally:
+        os.close(fd)
 
 
 def expire_snapshots(table: str, keep_last: int = 1) -> int:

@@ -45,13 +45,21 @@ def batch_snapshot_id(prefix: str, batch_id: int) -> str:
     """Deterministic per-batch idempotency key. The streaming checkpoint
     guarantees batch ids are assigned once and replayed verbatim, so the
     (prefix, batch_id) pair is stable across restarts — exactly what
-    commit() needs to dedup a replay."""
+    commit() needs to dedup a replay.
+
+    ``prefix`` is REQUIRED and must be unique per (query, checkpoint)
+    writing into the table: batch ids restart at 0 for every new
+    checkpoint, so a second query (or a rerun after deleting the
+    checkpoint) reusing a prefix would collide with the first query's
+    committed ids and have its batches silently dropped as replays.
+    Name it after the checkpoint (e.g. the checkpoint dir's basename)."""
     return "%s-b%012d" % (prefix, batch_id)
 
 
-def snapshot_sink_body(table: str, prefix: str = "stream"):
+def snapshot_sink_body(table: str, prefix: str):
     """The importable/unit-testable foreachBatch body: commit the batch
-    DataFrame into ``table`` as an append snapshot keyed by batch id."""
+    DataFrame into ``table`` as an append snapshot keyed by batch id.
+    See ``batch_snapshot_id`` for the prefix-uniqueness contract."""
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
         snapshots.commit(
@@ -65,13 +73,15 @@ def stream_to_snapshots(
     stream_df: DataFrame,
     table: str,
     checkpoint_path: str,
-    prefix: str = "stream",
+    prefix: str,
     available_now: bool = True,
 ) -> StreamingQuery:
     """Wire a (possibly transformed) streaming DataFrame into a
-    snapshot-committed table. ``available_now=True`` drains everything
-    currently available and stops — the incremental-batch-job mode; pass
-    False for a continuous micro-batch query."""
+    snapshot-committed table. ``prefix`` must be unique per
+    (query, checkpoint) on this table — see ``batch_snapshot_id``.
+    ``available_now=True`` drains everything currently available and
+    stops — the incremental-batch-job mode; pass False for a continuous
+    micro-batch query."""
     writer = (
         stream_df.writeStream.foreachBatch(snapshot_sink_body(table, prefix))
         .option("checkpointLocation", checkpoint_path)

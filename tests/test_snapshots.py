@@ -255,3 +255,42 @@ def test_snapshot_sink_body_replay_is_exactly_once(spark, tmp_path):
     # nothing at all (orphans only arise from concurrent duplicates that
     # stage before the winner publishes — covered above)
     assert snap.orphan_dirs(table) == []
+
+
+def test_read_changes_is_exact_cdc_on_append_only(spark, tmp_path):
+    table = str(tmp_path / "t")
+    v1 = snap.commit(_df(spark, [1, 2]), table, "b0")
+    v2 = snap.commit(_df(spark, [3]), table, "b1")
+    snap.commit(_df(spark, [4, 5]), table, "b2")
+    # consumer processed v1: sees exactly the rows landed after it
+    assert _ids(snap.read_changes(spark, table, since_version=v1)) == [3, 4, 5]
+    assert _ids(snap.read_changes(spark, table, since_version=v2)) == [4, 5]
+    # caught up: empty WITH the table schema
+    head = snap.current_version(table)
+    caught = snap.read_changes(spark, table, since_version=head)
+    assert caught.count() == 0
+    assert [f.name for f in caught.schema.fields] == ["id", "text"]
+    # since 0 = the full snapshot; bounded window via version=
+    assert _ids(snap.read_changes(spark, table, 0)) == [1, 2, 3, 4, 5]
+    assert _ids(snap.read_changes(spark, table, v1, version=v2)) == [3]
+
+
+def test_compact_preserves_content_and_shrinks_file_count(spark, tmp_path):
+    table = str(tmp_path / "t")
+    all_ids = list(range(15))
+    for b in range(5):  # a streaming sink's worth of small appends
+        ids = all_ids[3 * b : 3 * b + 3]
+        snap.commit(_df(spark, ids).repartition(3), table, f"b{b}")
+    before = len(snap.snapshot_files(table))
+    assert before >= 10
+    v = snap.compact(spark, table, "compact-1", num_files=1)
+    assert len(snap.snapshot_files(table)) == 1
+    assert _ids(snap.read_snapshot(spark, table)) == all_ids
+    # time travel to the pre-compaction head still works...
+    assert _ids(snap.read_snapshot(spark, table, version=v - 1)) == all_ids
+    # ...until expiry reclaims the small files
+    removed = snap.expire_snapshots(table, keep_last=1)
+    assert removed == before
+    assert _ids(snap.read_snapshot(spark, table)) == all_ids
+    # compaction is an ordinary idempotent commit
+    assert snap.compact(spark, table, "compact-1", num_files=1) == v

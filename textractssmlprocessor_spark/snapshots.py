@@ -444,6 +444,72 @@ def expire_snapshots(table: str, keep_last: int = 1) -> int:
     return len(dead)
 
 
+def added_files(table: str, since_version: int, version: int | None = None) -> list[str]:
+    """Relative paths of data files live at ``version`` (default latest)
+    but NOT at ``since_version`` — the incremental-consumer diff. On an
+    append-only table (e.g. the streaming snapshot sink) this is exact
+    change capture: precisely the rows committed after ``since_version``.
+    After an overwrite it still lists only NEW files (rewritten rows
+    reappear; deletions are invisible) — additions-only semantics, the
+    same contract as Iceberg's incremental append scan.
+    ``since_version=0`` diffs against the empty table (full snapshot)."""
+    v = current_version(table) if version is None else version
+    if v == 0:
+        raise ValueError(f"{table!r} has no committed snapshot")
+    now = set(_load_manifest(table, v)["files"])
+    before = (
+        set(_load_manifest(table, since_version)["files"])
+        if since_version
+        else set()
+    )
+    return sorted(now - before)
+
+
+def read_changes(
+    spark: SparkSession,
+    table: str,
+    since_version: int,
+    version: int | None = None,
+) -> DataFrame:
+    """Incremental read: rows in files added after ``since_version`` (see
+    ``added_files`` for the exact additions-only contract). The consumer
+    loop is: remember the version you processed, call this with it, then
+    advance — no directory listing, no reprocessing, snapshot-isolated
+    like read_snapshot."""
+    v = current_version(table) if version is None else version
+    files = added_files(table, since_version, v)
+    m = _load_manifest(table, v)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(table, rel) for rel in files]
+    )
+
+
+def compact(
+    spark: SparkSession,
+    table: str,
+    snapshot_id: str,
+    num_files: int = 32,
+) -> int:
+    """Rewrite the live set into ``num_files`` files as one overwrite
+    commit — the small-file compaction a long-running streaming sink
+    needs (every micro-batch appends its own files; a month of 5-minute
+    batches is ~8k tiny parquets and an 8k-entry manifest). Content is
+    preserved exactly; the old files stay referenced by HISTORY versions
+    only, so ``expire_snapshots`` reclaims them once the pre-compaction
+    versions age out. Idempotent on ``snapshot_id`` like any commit.
+    Scale: one full-table shuffle-free rewrite (coalesce, no
+    repartition) — run it from maintenance, not the ingest path."""
+    return commit(
+        read_snapshot(spark, table).coalesce(num_files),
+        table,
+        snapshot_id,
+        mode="overwrite",
+    )
+
+
 def orphan_dirs(table: str) -> list[str]:
     """Staging dirs under data/ that NO committed manifest references —
     leftovers of crashed or duplicate-loser commit attempts. Listed, not

@@ -233,3 +233,21 @@ def test_malformed_utf8_html_degrades_not_fails(spark):
     assert "�" in got["u1"] and got["u1"].endswith("after invalid bytes</speak>")
     assert got["u2"] == "<speak>clean page</speak>"
     assert got["u3"] == "<speak>plain text row</speak>"
+
+
+def test_run_with_lineage_observed_metrics(spark, pages, tmp_path):
+    """metrics_out counters are observed during the write action (no
+    extra pass) and must agree with the durable outputs."""
+    from textractssmlprocessor_spark import lineage
+
+    out = str(tmp_path / "chunks_m")
+    lin = str(tmp_path / "lineage_m")
+    metrics = {}
+    written = lineage.run_with_lineage(
+        pages.limit(60), spark, out, lin, n_buckets=8, metrics_out=metrics
+    )
+    assert metrics["n_chunks"] == written.count() > 0
+    # approx distinct (observe forbids exact distinct aggs): sanity band
+    n_docs = written.select("url").distinct().count()
+    assert 0.8 * n_docs <= metrics["n_docs_approx"] <= 1.2 * n_docs
+    assert metrics["ssml_bytes"] > 0

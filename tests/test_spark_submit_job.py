@@ -91,7 +91,8 @@ def test_spark_submit_py_files_end_to_end(spark, tmp_path):
         timeout=360,
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
-    assert "chunks written this run:" in proc.stdout
+    assert "extract_run metrics:" in proc.stdout
+    assert "'n_chunks':" in proc.stdout  # observed during the write action
 
     got = {
         (r["url"], r["chunk_number"]): (r["extracted_text"], r["ssml"])

@@ -98,7 +98,8 @@ def main() -> None:
     else:
         pages = read_pages(spark, args.input, format=input_format)
     langs = args.languages.split(",") if args.languages else None
-    written = L.run_with_lineage(
+    metrics: dict = {}
+    L.run_with_lineage(
         pages,
         spark,
         output_path=args.output,
@@ -106,8 +107,10 @@ def main() -> None:
         n_buckets=args.buckets,
         languages=langs,
         num_partitions=args.partitions,
+        metrics_out=metrics,
     )
-    print(f"chunks written this run: {written.count()}")
+    # observed during the write action itself — no post-hoc count() pass
+    print(f"extract_run metrics: {metrics}")
     spark.stop()
 
 

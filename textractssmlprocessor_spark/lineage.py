@@ -75,10 +75,18 @@ def run_with_lineage(
     n_buckets: int = N_BUCKETS_DEFAULT,
     languages: list[str] | None = None,
     num_partitions: int | None = None,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """Checkpoint-resumable extraction: skip completed buckets, extract the
     rest, append output partitioned by bucket, then append lineage rows.
-    Returns the chunks written in this run."""
+    Returns the chunks written in this run.
+
+    ``metrics_out``: pass a dict to receive run counters (n_chunks,
+    n_docs_approx, ssml_bytes) observed DURING the write action itself
+    (Spark's Observation API — accumulator-backed, zero extra passes over
+    the data; distinct aggregates aren't allowed there, hence the approx
+    doc count). These are the job-level metrics; the durable per-bucket
+    counts/checksums live in the lineage rows."""
     from .operators.extract import DEFAULT_SALT_PARTITIONS, extract_chunks
 
     # The buckets this run owns are knowable BEFORE any scan: every bucket
@@ -100,12 +108,25 @@ def run_with_lineage(
         ),
         n_buckets,
     )
+    obs = None
+    if metrics_out is not None:
+        from pyspark.sql import Observation
+
+        obs = Observation("extract_run")
+        chunks = chunks.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.approx_count_distinct("url").alias("n_docs_approx"),
+            F.sum(F.octet_length("ssml")).alias("ssml_bytes"),
+        )
     # Dynamic partition overwrite makes bucket writes idempotent: a rerun of
     # a bucket that crashed between its data write and its lineage append
     # REPLACES the partial partition instead of appending duplicates.
     chunks.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("bucket").parquet(output_path)
+    if obs is not None:
+        metrics_out.update(obs.get)  # ready: the write action completed
     # Lineage rows come from the files just written (the durable truth, not
     # a recompute of the UDF pipeline); the isin filter prunes the read to
     # this run's bucket partitions only.

@@ -141,3 +141,23 @@ def test_hostile_snapshot_ids_route_to_hashed_markers(spark, tmp_path):
         assert os.path.dirname(p).endswith(os.path.join("_manifests", ".ids"))
         assert os.path.basename(p) not in (".", "..")
     assert _ids(snap.read_snapshot(spark, table)) == [0, 1, 2, 3, 4]
+
+
+def test_id_lock_timeout_backstop(tmp_path):
+    """A held lock times a second claimant out with a clear error (the
+    deadlock backstop; real contention is metadata-fast and never hits
+    it). Same-process double-flock needs two distinct fds — which
+    _id_lock opens — so this exercises the real wait loop."""
+    import os
+
+    import pytest
+
+    table = str(tmp_path / "t")
+    fd = snap._id_lock(table, "job-x")
+    try:
+        with pytest.raises(RuntimeError, match="publish lock"):
+            snap._id_lock(table, "job-x", timeout=0.2)
+    finally:
+        os.close(fd)
+    # released: the next claim succeeds instantly
+    os.close(snap._id_lock(table, "job-x", timeout=0.2))

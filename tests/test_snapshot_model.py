@@ -73,7 +73,9 @@ def test_snapshot_protocol_matches_model(spark, tmp_path_factory, ops):
             parent = versions[-1] if versions else 0
             base = live_at.get(parent, []) if kind == "append" else []
             v = (max(versions) if versions else 0) + 1
-            live_at[v] = sorted(set(base) | set(b))
+            # rows are a MULTISET: a table stores what was committed,
+            # duplicates included (dedup is an operator, not the store)
+            live_at[v] = sorted(base + list(b))
             committed[sid] = v
             versions.append(v)
             assert got == v

@@ -141,6 +141,18 @@ def test_hostile_snapshot_ids_route_to_hashed_markers(spark, tmp_path):
         assert os.path.dirname(p).endswith(os.path.join("_manifests", ".ids"))
         assert os.path.basename(p) not in (".", "..")
     assert _ids(snap.read_snapshot(spark, table)) == [0, 1, 2, 3, 4]
+    # staging dirs are FLAT under data/ with hashed-safe names (an 'a/b'
+    # id must not nest — orphan_dirs would misreport the parent dir of
+    # LIVE data as deletable — and '..' must not escape the table root)
+    import os
+    import re
+
+    data = os.path.join(table, "data")
+    assert all(
+        re.fullmatch(r"[A-Za-z0-9_-][A-Za-z0-9._-]*\.[0-9a-f]{8}", d)
+        for d in os.listdir(data)
+    )
+    assert snap.orphan_dirs(table) == []
 
 
 def test_id_lock_timeout_backstop(tmp_path):

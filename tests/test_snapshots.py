@@ -294,3 +294,51 @@ def test_compact_preserves_content_and_shrinks_file_count(spark, tmp_path):
     assert _ids(snap.read_snapshot(spark, table)) == all_ids
     # compaction is an ordinary idempotent commit
     assert snap.compact(spark, table, "compact-1", num_files=1) == v
+
+
+def test_require_parent_conflicts_instead_of_rebasing(spark, tmp_path):
+    """A read-modify-write commit pinned to a stale parent must raise,
+    never silently drop the concurrent append's rows."""
+    table = str(tmp_path / "t")
+    snap.commit(_df(spark, [1]), table, "b0")
+    snap.commit(_df(spark, [2]), table, "b1")  # table advances to v2
+    with pytest.raises(snap.SnapshotConflict):
+        snap.commit(
+            _df(spark, [1]), table, "rewrite", mode="overwrite",
+            require_parent=1,
+        )
+    # nothing was lost or published by the failed attempt
+    assert snap.current_version(table) == 2
+    assert _ids(snap.read_snapshot(spark, table)) == [1, 2]
+    # with the CURRENT head it commits fine
+    assert (
+        snap.commit(
+            _df(spark, [1, 2]), table, "rewrite", mode="overwrite",
+            require_parent=2,
+        )
+        == 3
+    )
+
+
+def test_compact_replay_after_target_expiry_and_rollback_replay(spark, tmp_path):
+    """Replays of rollback and compact stay idempotent even after the
+    versions they referenced were expired."""
+    table = str(tmp_path / "t")
+    snap.commit(_df(spark, [1]), table, "s1")
+    snap.commit(_df(spark, [9]), table, "s2", mode="overwrite")
+    v3 = snap.rollback(table, 1, "undo")
+    snap.expire_snapshots(table, keep_last=1)  # v1 (undo's target) is gone
+    # replay of the committed rollback: returns v3, does NOT reload v1
+    assert snap.rollback(table, 1, "undo") == v3
+    v4 = snap.compact(spark, table, "compact-x", num_files=1)
+    snap.expire_snapshots(table, keep_last=1)
+    assert snap.compact(spark, table, "compact-x") == v4
+
+
+def test_read_changes_expired_since_version_is_a_clear_error(spark, tmp_path):
+    table = str(tmp_path / "t")
+    snap.commit(_df(spark, [1]), table, "b0")
+    snap.commit(_df(spark, [2]), table, "b1")
+    snap.expire_snapshots(table, keep_last=1)
+    with pytest.raises(ValueError, match="expired"):
+        snap.read_changes(spark, table, since_version=1)

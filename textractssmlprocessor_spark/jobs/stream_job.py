@@ -21,20 +21,34 @@ Downstream consumers read incrementally with snapshots.read_changes
 maintenance cadence of snapshots.compact + expire_snapshots keeps the
 file count bounded.
 
-``--prefix`` defaults to the checkpoint dir's basename — unique per
-(query, checkpoint) as batch_snapshot_id requires; pass it explicitly
-when two checkpoints could share a basename.
+``--prefix`` defaults to a hash of the checkpoint dir's ABSOLUTE path
+(printed at startup) — unique per checkpoint location as
+batch_snapshot_id requires, even when two checkpoints share a
+basename. CAUTION: deleting the checkpoint to reprocess restarts batch
+ids at 0 under the SAME default prefix, and every reprocessed batch
+would no-op against the old commits — when you reset a checkpoint,
+pass a fresh --prefix (or target a fresh table).
 """
 
 from __future__ import annotations
 
 import argparse
+import hashlib
 import os
 import sys
 
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
+
+
+def default_prefix(checkpoint_path: str) -> str:
+    """Hash of the checkpoint's absolute path: unique per checkpoint
+    LOCATION (basenames collide: /jobA/ckpt vs /jobB/ckpt). A reset
+    checkpoint at the same path keeps the same prefix — see the module
+    docstring's caution."""
+    abspath = os.path.abspath(checkpoint_path)
+    return "ck" + hashlib.md5(abspath.encode("utf-8")).hexdigest()[:12]
 
 
 def _setup_paths() -> None:
@@ -84,9 +98,8 @@ def main() -> None:
     spark = builder.getOrCreate()
 
     langs = args.languages.split(",") if args.languages else None
-    prefix = args.prefix or os.path.basename(
-        os.path.normpath(args.checkpoint)
-    )
+    prefix = args.prefix or default_prefix(args.checkpoint)
+    print(f"snapshot_id prefix: {prefix}")
 
     def body(batch_df, batch_id):
         chunks = extract_chunks(

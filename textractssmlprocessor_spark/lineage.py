@@ -117,7 +117,11 @@ def run_with_lineage(
             obs,
             F.count(F.lit(1)).alias("n_chunks"),
             F.approx_count_distinct("url").alias("n_docs_approx"),
-            F.sum(F.octet_length("ssml")).alias("ssml_bytes"),
+            # coalesce: sum over an empty run is NULL, and the metrics
+            # contract is integers (a pure-resume rerun writes 0 rows)
+            F.coalesce(F.sum(F.octet_length("ssml")), F.lit(0)).alias(
+                "ssml_bytes"
+            ),
         )
     # Dynamic partition overwrite makes bucket writes idempotent: a rerun of
     # a bucket that crashed between its data write and its lineage append

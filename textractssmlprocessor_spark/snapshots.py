@@ -76,20 +76,57 @@ def _manifest_path(table: str, version: int) -> str:
     return os.path.join(table, _MANIFEST_DIR, "v%012d.json" % version)
 
 
+class SnapshotConflict(RuntimeError):
+    """The table advanced past ``require_parent`` during a commit — the
+    caller's input snapshot is stale; re-read and retry."""
+
+
+def _safe_name(snapshot_id: str) -> str:
+    """Filesystem-safe rendering of a snapshot_id, used for BOTH the
+    marker file and the staging dir: ids that are not safe filenames
+    (path separators — 'a/b' would nest and '..' would traverse — or
+    leading dots) hash to a fixed-width name."""
+    if re.fullmatch(r"[A-Za-z0-9_-][A-Za-z0-9._-]{0,79}", snapshot_id):
+        return snapshot_id
+    return "x" + hashlib.md5(snapshot_id.encode("utf-8")).hexdigest()
+
+
 def _id_marker_path(table: str, snapshot_id: str) -> str:
     """O(1) idempotency index: one marker file per committed snapshot_id
     holding its version, so commit/rollback replays don't JSON-parse
     every manifest (the full-history scan remains the fallback for a
     crash between publish and marker write). The marker file doubles as
-    the per-id publish LOCK (flock) — see ``_id_lock``. Ids that are not
-    safe filenames (path separators, leading dots — '.' and '..' would
-    traverse) hash to a fixed-width name."""
-    safe = (
-        snapshot_id
-        if re.fullmatch(r"[A-Za-z0-9_-][A-Za-z0-9._-]{0,79}", snapshot_id)
-        else "x" + hashlib.md5(snapshot_id.encode("utf-8")).hexdigest()
-    )
-    return os.path.join(table, _MANIFEST_DIR, ".ids", safe)
+    the per-id publish LOCK (flock) — see ``_id_lock``."""
+    return os.path.join(table, _MANIFEST_DIR, ".ids", _safe_name(snapshot_id))
+
+
+def _marker_peek(table: str, snapshot_id: str) -> int | None:
+    """Lock-free O(1) fast path: the committed version if the marker
+    exists and parses, else None (which only means 'not via marker' —
+    the authoritative check is the in-lock ``_resolve_committed_locked``,
+    whose history scan also covers a crash between publish and marker
+    write)."""
+    try:
+        with open(_id_marker_path(table, snapshot_id), encoding="utf-8") as f:
+            return int(f.read())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def _resolve_committed_locked(fd: int, table: str, snapshot_id: str) -> int | None:
+    """Authoritative committed-version check, called with the id's flock
+    held: marker content first, then ONE full history scan (backfilling
+    the marker so the next replay is O(1)). The scan is O(versions) of
+    driver JSON parse — acceptable once per fresh id under the lock, and
+    the reason the lock-free path above never scans."""
+    done = _marker_version(fd)
+    if done is not None:
+        return done
+    for m in history(table):
+        if m["snapshot_id"] == snapshot_id:
+            _marker_write_locked(fd, m["version"])
+            return m["version"]
+    return None
 
 
 def _marker_version(fd: int) -> int | None:
@@ -131,12 +168,9 @@ def _committed_version_of(table: str, snapshot_id: str) -> int | None:
     Marker fast path first; full manifest scan as the crash-safe
     fallback (backfills the marker when it finds one). Lock-free — the
     authoritative recheck happens under ``_id_lock`` in the writers."""
-    marker = _id_marker_path(table, snapshot_id)
-    try:
-        with open(marker, encoding="utf-8") as f:
-            return int(f.read())
-    except (FileNotFoundError, ValueError):
-        pass
+    done = _marker_peek(table, snapshot_id)
+    if done is not None:
+        return done
     for m in history(table):
         if m["snapshot_id"] == snapshot_id:
             _backfill_id_marker(table, snapshot_id, m["version"])
@@ -264,8 +298,15 @@ def commit(
     snapshot_id: str,
     mode: str = "append",
     max_retries: int = 20,
+    require_parent: int | None = None,
 ) -> int:
     """Commit ``df`` as one atomic snapshot; returns the version.
+
+    ``require_parent``: raise ``SnapshotConflict`` instead of rebasing
+    if the table's head is no longer this version at publish time — for
+    read-modify-write callers (``compact``) whose rewrite is only valid
+    against the snapshot they read (a plain overwrite rebase would
+    silently drop rows a concurrent append landed in between).
 
     ``mode``: "append" unions the parent's live set with the new files;
     "overwrite" replaces it. Idempotent on ``snapshot_id``: if a manifest
@@ -290,11 +331,13 @@ def commit(
     (jobs/iceberg.py) past that."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown commit mode: {mode!r}")
-    done = _committed_version_of(table, snapshot_id)
+    # lock-free O(1) replay fast path; a crash-after-publish replay that
+    # misses here just stages once more and is caught by the in-lock scan
+    done = _marker_peek(table, snapshot_id)
     if done is not None:
         return done
     staging_rel = os.path.join(
-        _DATA_DIR, f"{snapshot_id}.{uuid.uuid4().hex[:8]}"
+        _DATA_DIR, f"{_safe_name(snapshot_id)}.{uuid.uuid4().hex[:8]}"
     )
     staging = os.path.join(table, staging_rel)
     df.write.mode("overwrite").parquet(staging)
@@ -306,25 +349,19 @@ def commit(
     schema_json = df.schema.json()
     fd = _id_lock(table, snapshot_id)
     try:
-        # authoritative duplicate check, now race-free: a winner's
-        # version is in the marker; a crashed winner (empty marker)
-        # shows up in the history scan
-        done = _marker_version(fd)
-        if done is None:
-            done = next(
-                (
-                    m["version"]
-                    for m in history(table)
-                    if m["snapshot_id"] == snapshot_id
-                ),
-                None,
-            )
-            if done is not None:
-                _marker_write_locked(fd, done)
+        # authoritative duplicate check, race-free under the lock: a
+        # winner's version is in the marker; a crashed winner (published,
+        # no marker) shows up in the one in-lock history scan
+        done = _resolve_committed_locked(fd, table, snapshot_id)
         if done is not None:
             return done  # a duplicate won; our staging dir is an orphan
         for _ in range(max_retries):
             parent = current_version(table)
+            if require_parent is not None and parent != require_parent:
+                raise SnapshotConflict(
+                    f"table advanced to v{parent} past required parent "
+                    f"v{require_parent} during commit {snapshot_id!r}"
+                )
             if mode == "append" and parent:
                 parent_files = _load_manifest(table, parent)["files"]
                 files = sorted(set(parent_files) | set(new_files))
@@ -357,25 +394,18 @@ def rollback(table: str, to_version: int, snapshot_id: str, max_retries: int = 2
     is append-only — a rollback never deletes manifests or data).
     Idempotent on ``snapshot_id`` and bounded like ``commit``. Do not run
     concurrently with ``expire_snapshots`` (see its docstring)."""
-    target = _load_manifest(table, to_version)
-    done = _committed_version_of(table, snapshot_id)
+    # idempotency check BEFORE loading the target: a replay of an
+    # already-committed rollback must return its version even after the
+    # target manifest itself has been expired
+    done = _marker_peek(table, snapshot_id)
     if done is not None:
         return done
     fd = _id_lock(table, snapshot_id)
     try:
-        done = _marker_version(fd)
-        if done is None:
-            done = next(
-                (
-                    m["version"]
-                    for m in history(table)
-                    if m["snapshot_id"] == snapshot_id
-                ),
-                None,
-            )
+        done = _resolve_committed_locked(fd, table, snapshot_id)
         if done is not None:
-            _marker_write_locked(fd, done)
             return done
+        target = _load_manifest(table, to_version)
         for _ in range(max_retries):
             parent = current_version(table)
             manifest = {
@@ -457,11 +487,18 @@ def added_files(table: str, since_version: int, version: int | None = None) -> l
     if v == 0:
         raise ValueError(f"{table!r} has no committed snapshot")
     now = set(_load_manifest(table, v)["files"])
-    before = (
-        set(_load_manifest(table, since_version)["files"])
-        if since_version
-        else set()
-    )
+    if since_version:
+        try:
+            before = set(_load_manifest(table, since_version)["files"])
+        except FileNotFoundError:
+            raise ValueError(
+                f"since_version {since_version} has been expired from "
+                f"{table!r}: the incremental window is gone — full-resync "
+                f"from since_version=0 (and size expire_snapshots' "
+                f"keep_last to cover the slowest consumer)"
+            ) from None
+    else:
+        before = set()
     return sorted(now - before)
 
 
@@ -492,6 +529,7 @@ def compact(
     table: str,
     snapshot_id: str,
     num_files: int = 32,
+    max_retries: int = 5,
 ) -> int:
     """Rewrite the live set into ``num_files`` files as one overwrite
     commit — the small-file compaction a long-running streaming sink
@@ -500,13 +538,28 @@ def compact(
     preserved exactly; the old files stay referenced by HISTORY versions
     only, so ``expire_snapshots`` reclaims them once the pre-compaction
     versions age out. Idempotent on ``snapshot_id`` like any commit.
-    Scale: one full-table shuffle-free rewrite (coalesce, no
-    repartition) — run it from maintenance, not the ingest path."""
-    return commit(
-        read_snapshot(spark, table).coalesce(num_files),
-        table,
-        snapshot_id,
-        mode="overwrite",
+    SAFE AGAINST CONCURRENT APPENDS: the rewrite is only valid against
+    the snapshot it read, so the overwrite pins ``require_parent`` to
+    that version — if the sink landed a batch in between, the publish
+    raises instead of silently dropping it, and compaction re-reads the
+    new head and retries. Scale: one full-table shuffle-free rewrite
+    (coalesce, no repartition) per attempt — run it from maintenance,
+    not the ingest path."""
+    for _ in range(max_retries):
+        head = current_version(table)
+        try:
+            return commit(
+                read_snapshot(spark, table, version=head).coalesce(num_files),
+                table,
+                snapshot_id,
+                mode="overwrite",
+                require_parent=head,
+            )
+        except SnapshotConflict:
+            continue  # a concurrent append advanced the head: re-read
+    raise RuntimeError(
+        f"compact {snapshot_id!r}: table advanced {max_retries} "
+        f"consecutive times — quiesce the ingest or raise max_retries"
     )
 
 

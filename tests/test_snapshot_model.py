@@ -36,6 +36,7 @@ _OP = st.one_of(
     st.tuples(st.just("replay"), st.integers(0, 10), st.just(None)),
     st.tuples(st.just("rollback"), st.integers(0, 10), st.just(None)),
     st.tuples(st.just("expire"), st.integers(1, 3), st.just(None)),
+    st.tuples(st.just("compact"), st.just(None), st.just(None)),
 )
 
 
@@ -104,6 +105,17 @@ def test_snapshot_protocol_matches_model(spark, tmp_path_factory, ops):
                 continue
             snap.expire_snapshots(table, keep_last=a)
             versions = versions[-a:]
+        elif kind == "compact":
+            if not versions:
+                continue
+            sid = f"compact-{seq}"
+            seq += 1
+            got = snap.compact(spark, table, sid, num_files=1)
+            v = max(versions) + 1
+            live_at[v] = live_at[versions[-1]]  # content preserved exactly
+            committed[sid] = v
+            versions.append(v)
+            assert got == v
 
         # invariants after EVERY step
         assert snap._versions(table) == versions

@@ -197,3 +197,92 @@ def test_roundtrip_property(pages, compress):
         x = page[0][0]
         assert blocks[k][2] == round(x / 612, 6)
         k += len(page)
+
+
+def test_cyclic_pages_tree_terminates():
+    """A /Pages node listing itself (or an ancestor) as a kid must not
+    wedge the task in an infinite walk."""
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Count 1 /Kids [2 0 R 3 0 R] >>",  # self-cycle
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>",
+        b"<< /Length 29 >>\nstream\nBT /F1 12 Tf 72 720 Td (x) Tj\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for num, obj in enumerate(objs, start=1):
+        out += b"%d 0 obj\n" % num + obj + b"\nendobj\n"
+    blocks = parse_pdf_blocks(bytes(out))
+    assert [b[6] for b in blocks] == ["x"]
+
+
+def test_truncated_trailing_backslash_is_tolerated():
+    # a literal string cut off right after a backslash: the file drops,
+    # never an uncaught AttributeError out of the scanner
+    assert parse_pdf_blocks(b"%PDF-1.4\n1 0 obj\n<< /X (abc\\") == []
+
+
+def test_tokenizer_damage_keeps_earlier_text():
+    """Stray binary / unterminated hex AFTER real text: keep the text
+    emitted so far instead of dropping the document."""
+    content = b"BT /F1 12 Tf 72 720 Td (kept) Tj ET\n<dead beef"  # no '>'
+    blocks = parse_pdf_blocks(_pdf_with_content(content))
+    assert [b[6] for b in blocks] == ["kept"]
+
+
+def test_inline_image_bytes_are_skipped():
+    content = (
+        b"BT /F1 12 Tf 72 720 Td (before) Tj ET\n"
+        b"BI /W 2 /H 2 ID \x00\xff(\x29\\ EI\n"
+        b"BT /F1 12 Tf 72 700 Td (after) Tj ET\n"
+    )
+    blocks = parse_pdf_blocks(_pdf_with_content(content))
+    assert [b[6] for b in blocks] == ["before", "after"]
+
+
+def test_contents_as_indirect_array_object():
+    """/Contents -> ref to an ARRAY object of stream refs (spec-valid)."""
+    stream = b"BT /F1 12 Tf 72 720 Td (via array) Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Count 1 /Kids [3 0 R] >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>",
+        b"[5 0 R]",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for num, obj in enumerate(objs, start=1):
+        out += b"%d 0 obj\n" % num + obj + b"\nendobj\n"
+    blocks = parse_pdf_blocks(bytes(out))
+    assert [b[6] for b in blocks] == ["via array"]
+
+
+def test_mediabox_inherited_from_pages_root():
+    """A4 defined once on /Pages; the page dict carries no own MediaBox —
+    fractions must use 595x842, not the US-Letter default."""
+    stream = b"BT /F1 12 Tf 119 720 Td (a4) Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Count 1 /Kids [3 0 R] /MediaBox [0 0 595 842] >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for num, obj in enumerate(objs, start=1):
+        out += b"%d 0 obj\n" % num + obj + b"\nendobj\n"
+    blocks = parse_pdf_blocks(bytes(out))
+    assert blocks[0][2] == round(119 / 595, 6)
+    assert blocks[0][5] == round(12 / 842, 6)
+
+
+def test_flipped_ctm_emits_positive_size():
+    content = b"1 0 0 -1 0 792 cm BT /F1 12 Tf 72 72 Td (flip) Tj ET"
+    blocks = parse_pdf_blocks(_pdf_with_content(content))
+    assert [b[6] for b in blocks] == ["flip"]
+    assert blocks[0][5] == round(12 / 792, 6)  # height positive
+    assert blocks[0][4] > 0  # width positive
+
+
+def test_writer_replaces_non_latin1_instead_of_crashing():
+    pdf = build_simple_pdf([[(72, 720, 12, "em—dash “quoted”")]])
+    blocks = parse_pdf_blocks(pdf)
+    assert blocks[0][6] == "em?dash ?quoted?"

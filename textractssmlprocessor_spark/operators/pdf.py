@@ -146,7 +146,10 @@ def _parse_literal_string(data: bytes, i: int):
             if nxt in esc:
                 out += esc[nxt]
                 i += 2
-            elif nxt in b"01234567":
+            # nxt may be b"" at EOF — and b"" is "in" every bytes, so the
+            # emptiness check must come first or the octal branch matches
+            # nothing and crashes on a truncated file ending in backslash
+            elif nxt and nxt in b"01234567":
                 m = re.match(rb"[0-7]{1,3}", data[i + 1 : i + 4])
                 out.append(int(m.group(0), 8) & 0xFF)
                 i += 1 + m.end()
@@ -193,8 +196,15 @@ def _scan_objects(data: bytes) -> dict[int, tuple[dict, bytes | None]]:
         num = int(m.group(1))
         i = _skip_ws(data, m.end())
         try:
+            if data[i : i + 1] == b"[":
+                # top-level ARRAY object: /Contents may be an indirect
+                # reference to an array of stream refs (spec-valid) —
+                # store it so _page_content can resolve through it
+                arr, _ = _parse_object(data, i)
+                objs[num] = (arr, None)
+                continue
             if data[i : i + 2] != b"<<":
-                continue  # scalar objects carry no page structure we need
+                continue  # other scalar objects carry no page structure
             d, j = _parse_dict(data, i)
         except (ValueError, IndexError):
             continue
@@ -226,6 +236,10 @@ def _deref(objs, v):
 def _page_content(objs, page_dict) -> bytes:
     """Concatenated, decompressed content stream(s) of one page."""
     contents = page_dict.get("Contents")
+    if isinstance(contents, _Ref):
+        got = objs.get(contents.num)
+        if got is not None and isinstance(got[0], list):
+            contents = got[0]  # indirect array of stream refs
     refs = contents if isinstance(contents, list) else [contents]
     out = b""
     for r in refs:
@@ -249,31 +263,43 @@ def _page_content(objs, page_dict) -> bytes:
 
 def _pages_in_order(objs) -> list[dict]:
     """Walk /Root -> /Pages -> /Kids depth-first (the document's page
-    order). Fallback when no catalog parses: every /Type /Page dict in
-    object-number order."""
+    order), carrying the INHERITED /MediaBox down (a page attribute
+    commonly defined once on the /Pages root; without inheritance an A4
+    file would silently get US-Letter geometry). A visited set breaks
+    /Kids cycles — a corrupt/adversarial file listing an ancestor as its
+    own kid must not wedge the Spark task in an infinite walk. Fallback
+    when no catalog parses: every /Type /Page dict in object-number
+    order."""
     root = None
     for d, _ in objs.values():
-        if str(d.get("Type")) == "Catalog" and "Pages" in d:
+        if isinstance(d, dict) and str(d.get("Type")) == "Catalog" and "Pages" in d:
             root = _deref(objs, d["Pages"])
             break
     pages: list[dict] = []
-    if root is not None:
-        stack = [root]
+    if isinstance(root, dict):
+        seen: set[int] = set()
+        stack: list[tuple[dict, object]] = [(root, root.get("MediaBox"))]
         while stack:
-            node = stack.pop(0)
-            if node is None:
+            node, box = stack.pop(0)
+            if not isinstance(node, dict) or id(node) in seen:
                 continue
-            t = str(node.get("Type"))
-            if t == "Page":
+            seen.add(id(node))
+            if str(node.get("Type")) == "Page":
+                if "MediaBox" not in node and box is not None:
+                    node["MediaBox"] = box
                 pages.append(node)
             else:
+                inherited = node.get("MediaBox", box)
                 kids = node.get("Kids") or []
-                stack = [_deref(objs, k) for k in kids] + stack
+                if isinstance(kids, list):
+                    stack = [
+                        (_deref(objs, k), inherited) for k in kids
+                    ] + stack
     if not pages:
         pages = [
             d
             for _, (d, _s) in sorted(objs.items())
-            if str(d.get("Type")) == "Page"
+            if isinstance(d, dict) and str(d.get("Type")) == "Page"
         ]
     return pages
 
@@ -321,36 +347,47 @@ def _interpret(content: bytes) -> list[tuple[float, float, float, str]]:
 
     def emit(raw: bytes):
         m = _mat_mul(tm, ctm)
-        out.append((m[4], m[5], size * m[3] if m[3] else size, _decode_string(raw)))
+        # abs: a flipped CTM (the common top-down `1 0 0 -1 0 H cm`)
+        # must not emit negative font sizes/heights into the block table
+        out.append(
+            (m[4], m[5], size * abs(m[3]) if m[3] else size, _decode_string(raw))
+        )
 
     while i < n:
         c = content[i : i + 1]
         if c in _WS:
             i += 1
             continue
-        if c == b"(":
-            s, i = _parse_literal_string(content, i)
-            stack.append(s)
-            continue
-        if c == b"<" and content[i : i + 2] != b"<<":
-            j = content.index(b">", i + 1)
-            hexs = re.sub(rb"\s", b"", content[i + 1 : j])
-            if len(hexs) % 2:
-                hexs += b"0"
-            stack.append(bytes.fromhex(hexs.decode("ascii")))
-            i = j + 1
-            continue
-        if c == b"[":
-            arr, i = _parse_object(content, i)
-            stack.append(arr)
-            continue
-        if c == b"<":  # inline dict (BDC etc.) — parse and ignore
-            _, i = _parse_dict(content, i)
-            continue
-        if c == b"/":
-            v, i = _parse_object(content, i)
-            stack.append(v)
-            continue
+        try:
+            if c == b"(":
+                s, i = _parse_literal_string(content, i)
+                stack.append(s)
+                continue
+            if c == b"<" and content[i : i + 2] != b"<<":
+                j = content.index(b">", i + 1)
+                hexs = re.sub(rb"\s", b"", content[i + 1 : j])
+                if len(hexs) % 2:
+                    hexs += b"0"
+                stack.append(bytes.fromhex(hexs.decode("ascii")))
+                i = j + 1
+                continue
+            if c == b"[":
+                arr, i = _parse_object(content, i)
+                stack.append(arr)
+                continue
+            if c == b"<":  # inline dict (BDC etc.) — parse and ignore
+                _, i = _parse_dict(content, i)
+                continue
+            if c == b"/":
+                v, i = _parse_object(content, i)
+                stack.append(v)
+                continue
+        except (ValueError, IndexError, AttributeError):
+            # tokenizer-level damage (unterminated string/hex, stray
+            # binary): keep the text emitted so far rather than dropping
+            # the whole document — the per-operator guard below cannot
+            # catch errors raised while TOKENIZING
+            break
         m = re.match(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)", content[i:])
         if m:
             tok = m.group(0)
@@ -363,6 +400,13 @@ def _interpret(content: bytes) -> list[tuple[float, float, float, str]]:
             continue
         op = m.group(0)
         i += m.end()
+        if op == b"BI":
+            # inline image: raw binary until EI — skip it entirely, or
+            # its bytes would be tokenized as (garbage) operators
+            j = content.find(b"EI", i)
+            i = n if j < 0 else j + 2
+            stack = []
+            continue
         try:
             if op == b"q":
                 gstack.append(ctm)
@@ -512,9 +556,11 @@ def build_simple_pdf(
     w, h = page_size
 
     def esc(s: str) -> bytes:
+        # 'replace': the single-font writer can only carry Latin-1; a
+        # curly quote or em dash becomes '?' instead of aborting the sink
         return (
             s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
-        ).encode("latin-1")
+        ).encode("latin-1", "replace")
 
     objs: list[bytes] = []  # 1-indexed by position
     page_count = len(pages)

@@ -2378,10 +2378,11 @@ def oracle_sql() -> dict[str, str]:
                    < (CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 5000
                                   WHEN 'src2' THEN 7500 ELSE 10000 END) AS mix_keep,
                    length(u)::BIGINT AS url_len,
-                   len(list_filter(string_split(string_split(string_split(rest, '?')[1], '#')[1], '/'), p -> p != ''))::BIGINT AS path_depth,
+                   len(list_filter(string_split(string_split(string_split(rest, '#')[1], '?')[1], '/'), p -> p != ''))::BIGINT AS path_depth,
                    round(length(regexp_replace(u, '[^0-9]', '', 'g')) / length(u)::DOUBLE, 6) AS url_digit_ratio,
-                   (CASE WHEN strpos(rest, '?') > 0
-                         THEN len(list_filter(string_split(string_split(string_split(rest, '?')[-1], '#')[1], '&'), p -> p != ''))
+                   (CASE WHEN strpos(string_split(rest, '#')[1], '?') > 0
+                         THEN len(list_filter(string_split(substr(string_split(rest, '#')[1],
+                              strpos(string_split(rest, '#')[1], '?') + 1), '&'), p -> p != ''))
                          ELSE 0 END)::BIGINT AS query_param_count,
                    nullif(lower(regexp_extract(lower(u), '(ads|tracker|clickbait|redirect|popup)', 1)), '') AS url_suspect
             FROM dq
@@ -2726,18 +2727,27 @@ def oracle_sql() -> dict[str, str]:
             params AS (
                 SELECT variant, doc_id, scheme_host, rest,
                        list_sort(list_filter(string_split(q, '&'),
-                           p -> p != '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|msclkid|mc_cid|mc_eid|igshid)='))) AS ps
+                           p -> p != '' AND NOT regexp_matches(p, '(?i)^(utm_[^=&]*|fbclid|gclid|msclkid|mc_cid|mc_eid|igshid)(=|$)'))) AS ps
                 FROM norm
             ),
             outp AS (
                 SELECT variant, doc_id,
                        scheme_host || rest ||
                        (CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END) AS canonical_url,
-                       substr(regexp_replace(scheme_host, '^[a-z][a-z0-9+.\\-]*://', ''), 1,
-                              CASE WHEN strpos(regexp_replace(scheme_host, '^[a-z][a-z0-9+.\\-]*://', ''), ':') > 0
-                                   THEN strpos(regexp_replace(scheme_host, '^[a-z][a-z0-9+.\\-]*://', ''), ':') - 1
-                                   ELSE length(regexp_replace(scheme_host, '^[a-z][a-z0-9+.\\-]*://', '')) END) AS host
-                FROM params
+                       -- url_host mirror: userinfo strips before the port
+                       -- split; bracketed IPv6 hosts keep their brackets
+                       CASE WHEN hp00 LIKE '[%'
+                            THEN regexp_extract(hp00, '^(\\[[^\\]]*\\])', 1)
+                            ELSE substr(hp00, 1,
+                                 CASE WHEN strpos(hp00, ':') > 0
+                                      THEN strpos(hp00, ':') - 1
+                                      ELSE length(hp00) END) END AS host
+                FROM (
+                    SELECT *,
+                           regexp_replace(regexp_replace(scheme_host,
+                               '^[a-z][a-z0-9+.\\-]*://', ''), '^[^@]*@', '') AS hp00
+                    FROM params
+                ) params_h
             )
             , bdocs AS (
                 SELECT doc_id,

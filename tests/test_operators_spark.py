@@ -2241,3 +2241,45 @@ def test_decode_jpeg_progressive_real_fixtures():
         import pytest as _pytest
 
         _pytest.skip("no system progressive-JPEG fixtures present")
+
+
+def test_url_host_userinfo_ipv6_and_tracking_case(spark):
+    """url_host strips userinfo before the port split (a blocklist must
+    not be evadable via an '@'-spelling) and keeps bracketed IPv6 hosts
+    whole; normalize_url strips tracking params case-insensitively and
+    in valueless form."""
+    from textractssmlprocessor_spark.operators.weburl import (
+        normalize_url,
+        url_host,
+        url_quality_columns,
+    )
+
+    rows = spark.createDataFrame(
+        [
+            ("http://admin:pw@evil.example.org/x",),
+            ("http://user@plain.example.org:8080/y",),
+            ("http://[2001:db8::1]:8080/z",),
+            ("https://Ex.org/p?UTM_SOURCE=mail&fbclid&b=2",),
+            ("http://h.org/p#frag?x=1&y=2",),  # fragment, NOT a query
+            ("http://h.org/p?a=1&b=2?c=3",),  # literal '?' in a value
+        ],
+        "url string",
+    )
+    cols = url_quality_columns(F.col("url"))
+    got = rows.select(
+        "url",
+        url_host(F.col("url")).alias("host"),
+        normalize_url(F.col("url")).alias("canon"),
+        cols["query_param_count"].alias("qpc"),
+        cols["path_depth"].alias("depth"),
+    ).collect()
+    by = {r["url"]: r for r in got}
+    assert by["http://admin:pw@evil.example.org/x"]["host"] == "evil.example.org"
+    assert by["http://user@plain.example.org:8080/y"]["host"] == "plain.example.org"
+    assert by["http://[2001:db8::1]:8080/z"]["host"] == "[2001:db8::1]"
+    assert by["https://Ex.org/p?UTM_SOURCE=mail&fbclid&b=2"]["canon"] == (
+        "https://ex.org/p?b=2"
+    )
+    assert by["http://h.org/p#frag?x=1&y=2"]["qpc"] == 0
+    assert by["http://h.org/p#frag?x=1&y=2"]["depth"] == 1
+    assert by["http://h.org/p?a=1&b=2?c=3"]["qpc"] == 2

@@ -239,3 +239,12 @@ def test_sitemap_entries(spark):
     assert a["lastmod"] == "2024-03-01" and a["priority"] == 0.8
     assert b["loc"] == "https://h/b"
     assert b["lastmod"] is None and b["priority"] is None
+
+
+def test_bom_prefixed_robots_txt_still_parses(spark):
+    """A UTF-8 BOM before 'User-agent:' must not disable the whole file
+    (the first field would be unrecognizable and every URL allowed)."""
+    from textractssmlprocessor_spark.operators.robots import _parse_robots_txt
+
+    rules = _parse_robots_txt("\ufeffUser-agent: *\nDisallow: /private/\n")
+    assert rules == [("disallow", "/private/")]

@@ -223,3 +223,24 @@ def test_jsonl_sink_roundtrip(spark, tmp_path):
     orig = {r["doc_id"]: (r["text"], r["tags"]) for r in docs.collect()}
     got = {r["doc_id"]: (r["text"], r["tags"]) for r in back.collect()}
     assert got == orig
+
+
+def test_warc_negative_content_length_resyncs(spark, tmp_path):
+    """'Content-Length: -1' parses via int() but must be skipped like an
+    unparseable length — read(-1) would slurp the rest of the segment and
+    drop every later record."""
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://bad.example.org/neg\r\n"
+        b"Content-Length: -1\r\n\r\n"
+    )
+    records = bad + _record(
+        "resource", b"<p>after negative</p>", url="https://ok.example.org/1"
+    )
+    p = tmp_path / "neg.warc"
+    p.write_bytes(records)
+
+    from textractssmlprocessor_spark.sources import read_warc
+
+    urls = {r["url"] for r in read_warc(spark, str(p)).collect()}
+    assert urls == {"https://ok.example.org/1"}

@@ -49,11 +49,15 @@ def _parse_robots_txt(text: str, agent: str = "*") -> list[tuple[str, str]]:
     group. Per the RFC's group-selection rule, if ANY group names the
     agent exactly, only those groups apply; otherwise the ``*`` groups
     apply. Comments (#) stripped; field names case-insensitive; empty
-    Disallow (meaning allow-all) ignored. Returns [(rule, path)]."""
+    Disallow (meaning allow-all) ignored. Returns [(rule, path)]. A
+    UTF-8 BOM is stripped first: BOM-prefixed robots.txt is common in
+    the wild, and an unstripped BOM would make the first User-agent
+    line unrecognizable — the whole file would parse to zero rules and
+    silently allow everything."""
     groups: list[tuple[list[str], list[tuple[str, str]]]] = []
     agents: list[str] = []
     cur: list[tuple[str, str]] | None = None
-    for raw in (text or "").splitlines():
+    for raw in (text or "").lstrip("\ufeff").splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
             continue
@@ -102,9 +106,7 @@ def parse_robots(
                     hosts.append(host)
                     rules_.append(rule)
                     paths.append(path)
-            yield pd.DataFrame({"host": hosts, "rule": rules_, "paths": paths}).rename(
-                columns={"paths": "path"}
-            )
+            yield pd.DataFrame({"host": hosts, "rule": rules_, "path": paths})
 
     return df.select(host_col, text_col).mapInPandas(gen, ROBOTS_RULES_SCHEMA)
 
@@ -208,5 +210,7 @@ def sitemap_entries(
         "host",
         field("loc").alias("loc"),
         field("lastmod").alias("lastmod"),
-        F.round(field("priority").cast("double"), 6).alias("priority"),
+        # try_cast: ANSI is on in Spark 4 — '<priority>high</priority>'
+        # in one entry must yield NULL, not kill the scan
+        F.round(field("priority").try_cast("double"), 6).alias("priority"),
     ).filter(F.col("loc").isNotNull())

@@ -22,7 +22,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_cid|mc_eid|igshid)="
+# (?i): real-world tracking params arrive in any case (UTM_SOURCE=, Fbclid=);
+# (=|$): valueless forms ('?fbclid') must strip too. Keep this regex
+# RE2/Java-portable — the DuckDB oracle embeds the identical string.
+TRACKING_PARAM_RE = r"(?i)^(utm_[^=&]*|fbclid|gclid|msclkid|mc_cid|mc_eid|igshid)(=|$)"
 
 _SCHEME_HOST_RE = r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)"
 
@@ -61,11 +64,20 @@ def normalize_url(col: Column) -> Column:
 
 
 def url_host(col: Column) -> Column:
-    """Lowercased host (no port) — the skew/grouping key for host-level
-    statistics and per-host politeness budgets."""
+    """Lowercased host (no port, no userinfo) — the skew/grouping key for
+    host-level statistics and per-host politeness budgets. Userinfo is
+    stripped BEFORE the port split ('http://u:pw@h/' must group under
+    'h', not 'u' — and a blocklist must not be evadable by an
+    '@'-spelling). Bracketed IPv6 hosts keep their brackets as the key
+    (the ':' port split would otherwise truncate at the first colon)."""
     sh = F.lower(F.regexp_extract(col, _SCHEME_HOST_RE, 1))
-    host = F.regexp_replace(sh, r"^[a-z][a-z0-9+.\-]*://", "")
-    return F.substring_index(host, ":", 1)
+    hostport = F.regexp_replace(
+        F.regexp_replace(sh, r"^[a-z][a-z0-9+.\-]*://", ""), r"^[^@]*@", ""
+    )
+    return F.when(
+        hostport.startswith("["),
+        F.regexp_extract(hostport, r"^(\[[^\]]*\])", 1),
+    ).otherwise(F.substring_index(hostport, ":", 1))
 
 
 def with_canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
@@ -259,6 +271,19 @@ OG_URL_RE = (
 )
 
 
+def _canonical_signals(html_col: str):
+    """Shared link-rel/og:url extraction (first match wins, link tag
+    outranks og:url; '' normalized to NULL) — the ONE definition both
+    extract_canonical and canonical_url_dedup build on."""
+    h = F.col(html_col).cast("string")
+    link = F.coalesce(
+        F.nullif(F.regexp_extract(h, CANONICAL_REL_FIRST_RE, 1), F.lit("")),
+        F.nullif(F.regexp_extract(h, CANONICAL_HREF_FIRST_RE, 1), F.lit("")),
+    )
+    og = F.nullif(F.regexp_extract(h, OG_URL_RE, 1), F.lit(""))
+    return link, og
+
+
 def extract_canonical(
     df: DataFrame, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:
@@ -274,12 +299,7 @@ def extract_canonical(
     Python, no shuffle); first match wins per signal, link tag outranks
     og:url. Empty extracts are normalized to NULL (Spark returns '' on
     no-match; the DuckDB oracle mirrors with nullif)."""
-    h = F.col(html_col).cast("string")
-    link = F.coalesce(
-        F.nullif(F.regexp_extract(h, CANONICAL_REL_FIRST_RE, 1), F.lit("")),
-        F.nullif(F.regexp_extract(h, CANONICAL_HREF_FIRST_RE, 1), F.lit("")),
-    )
-    og = F.nullif(F.regexp_extract(h, OG_URL_RE, 1), F.lit(""))
+    link, og = _canonical_signals(html_col)
     return df.select(
         F.col(url_col).alias("url"),
         F.coalesce(link, og).alias("canonical_href"),
@@ -300,12 +320,7 @@ def canonical_url_dedup(
     single narrow groupBy as url_dedup (min-id survivor, group size); the
     canonical extraction rides the same map-side projection, so the only
     shuffle is the final aggregation on the canonical key."""
-    h = F.col(html_col).cast("string")
-    link = F.coalesce(
-        F.nullif(F.regexp_extract(h, CANONICAL_REL_FIRST_RE, 1), F.lit("")),
-        F.nullif(F.regexp_extract(h, CANONICAL_HREF_FIRST_RE, 1), F.lit("")),
-    )
-    og = F.nullif(F.regexp_extract(h, OG_URL_RE, 1), F.lit(""))
+    link, og = _canonical_signals(html_col)
     return (
         df.select(
             F.col(id_col),
@@ -420,10 +435,15 @@ def url_quality_columns(col: Column) -> dict[str, Column]:
     corpus-policy, not operator semantics)."""
     sh = F.regexp_extract(col, _SCHEME_HOST_RE, 1)
     rest = F.substring(col, F.length(sh) + 1, 1 << 30)
-    path = F.substring_index(F.substring_index(rest, "?", 1), "#", 1)
+    # fragment strips FIRST, and the query is everything after the FIRST
+    # '?' (a last-'?' split drops params when a '?' appears in a value,
+    # and a '#frag?x=1' fragment would count as params on a query-less
+    # url — same rule normalize_url documents)
+    nf = F.substring_index(rest, "#", 1)
+    path = F.substring_index(nf, "?", 1)
     query = F.when(
-        F.instr(rest, "?") > 0,
-        F.substring_index(F.substring_index(rest, "?", -1), "#", 1),
+        F.instr(nf, "?") > 0,
+        F.substring(nf, F.instr(nf, "?") + 1, 1 << 30),
     ).otherwise(F.lit(""))
     n = F.length(col)
     digits = F.length(F.regexp_replace(col, "[^0-9]", ""))
@@ -457,7 +477,9 @@ def surt_key(col: Column) -> Column:
     tracking-stripped query, fragment strip), then: host labels reversed,
     non-default port kept after the host, path+query lowercased, bare
     hosts keyed as ``host)/``. Honest subset of the IA spec: no userinfo
-    strip, no IDNA/punycode mapping, no %-encoding normalization —
+    strip, no bracketed-IPv6 handling (the ':' split garbles such hosts
+    — use :func:`url_host` for grouping keys, which handles both), no
+    IDNA/punycode mapping, no %-encoding normalization —
     deterministic and engine-portable (the DuckDB oracle replays the same
     string algebra). Map-side only.
 

@@ -52,6 +52,43 @@ def read_pages(
     return df.select(*PAGES_COLUMNS)
 
 
+def _parse_warc_date(raw_ts: str):
+    """WARC-Date -> aware UTC datetime, None when unparseable. WARC/1.0's
+    second-precision 'Z' form first; WARC/1.1 permits fractional seconds
+    and offsets (fromisoformat covers those). A naive result would be
+    re-interpreted in the session timezone and shift the instant, so tz
+    is always pinned. ONE definition shared by read_warc/read_wet/read_wat
+    — a fallback fix must not be appliable to one reader and not the
+    others."""
+    from datetime import datetime, timezone
+
+    try:
+        return datetime.strptime(raw_ts, "%Y-%m-%dT%H:%M:%SZ").replace(
+            tzinfo=timezone.utc
+        )
+    except ValueError:
+        try:
+            ts = datetime.fromisoformat(raw_ts.replace("Z", "+00:00"))
+            return ts if ts.tzinfo is not None else ts.replace(
+                tzinfo=timezone.utc
+            )
+        except ValueError:
+            return None
+
+
+def _record_stream(data: bytes):
+    """Binary segment -> byte stream for the record walker. Common Crawl
+    ships .warc.gz (multi-member gzip, one member per record); GzipFile
+    streams across members, so decompressed bytes are consumed
+    record-by-record instead of inflating the whole segment."""
+    import gzip
+    import io
+
+    if data[:2] == b"\x1f\x8b":
+        return gzip.GzipFile(fileobj=io.BytesIO(data))
+    return io.BytesIO(data)
+
+
 def _iter_warc_records(stream):
     """Minimal WARC/1.0-1.1 record walker (public ISO 28500 format) over a
     binary STREAM: 'WARC/…' header block terminated by a blank line,
@@ -87,6 +124,11 @@ def _iter_warc_records(stream):
             # generator, which would drop every well-formed record after a
             # single corrupt header mid-segment
             continue
+        if length < 0:
+            # negative lengths parse via int() but stream.read(-n) would
+            # slurp the REST of the segment as one body and silently drop
+            # every later record — same resync rule as unparseable
+            continue
         body = stream.read(length)
         if len(body) < length:
             return  # truncated body
@@ -120,50 +162,20 @@ def read_warc(
     files = spark.read.format("binaryFile").load(path)
 
     def parse(batches):
-        import gzip
-        import io
-        from datetime import datetime, timezone
-
         for pdf in batches:
             rows: dict[str, list] = {
                 "url": [], "warc_ts": [], "html": [], "text": [], "lang": [],
             }
             for content in pdf["content"]:
-                data = bytes(content)
-                if data[:2] == b"\x1f\x8b":
-                    # Common Crawl ships .warc.gz (multi-member gzip, one
-                    # member per record); GzipFile streams across members,
-                    # so decompressed bytes are consumed record-by-record
-                    stream = gzip.GzipFile(fileobj=io.BytesIO(data))
-                else:
-                    stream = io.BytesIO(data)
-                for headers, body in _iter_warc_records(stream):
+                for headers, body in _iter_warc_records(
+                    _record_stream(bytes(content))
+                ):
                     if headers.get("warc-type") not in record_types:
                         continue
                     url = headers.get("warc-target-uri")
                     if not url:
                         continue
-                    ts = None
-                    raw_ts = headers.get("warc-date", "")
-                    try:
-                        # WARC-Date is UTC ('Z'); a naive datetime would be
-                        # re-interpreted in the session timezone and shift
-                        # the instant
-                        ts = datetime.strptime(
-                            raw_ts, "%Y-%m-%dT%H:%M:%SZ"
-                        ).replace(tzinfo=timezone.utc)
-                    except ValueError:
-                        # WARC/1.1 permits fractional seconds
-                        # (2024-05-01T12:30:00.123456Z); fromisoformat
-                        # covers those (and offset forms) before giving up
-                        try:
-                            ts = datetime.fromisoformat(
-                                raw_ts.replace("Z", "+00:00")
-                            )
-                            if ts.tzinfo is None:
-                                ts = ts.replace(tzinfo=timezone.utc)
-                        except ValueError:
-                            ts = None
+                    ts = _parse_warc_date(headers.get("warc-date", ""))
                     payload = body
                     if headers.get("warc-type") == "response" and body[:5] == b"HTTP/":
                         sep = body.find(b"\r\n\r\n")
@@ -248,42 +260,22 @@ def read_wat(spark: SparkSession, path: str) -> DataFrame:
     )
 
     def parse(batches):
-        import gzip
-        import io
         import json
-        from datetime import datetime, timezone
 
         for pdf in batches:
             rows: dict[str, list] = {
                 "url": [], "warc_ts": [], "title": [], "n_links": [], "links": [],
             }
             for content in pdf["content"]:
-                data = bytes(content)
-                if data[:2] == b"\x1f\x8b":
-                    stream = gzip.GzipFile(fileobj=io.BytesIO(data))
-                else:
-                    stream = io.BytesIO(data)
-                for headers, body in _iter_warc_records(stream):
+                for headers, body in _iter_warc_records(
+                    _record_stream(bytes(content))
+                ):
                     if headers.get("warc-type") != "metadata":
                         continue
                     url = headers.get("warc-target-uri")
                     if not url:
                         continue
-                    ts = None
-                    raw_ts = headers.get("warc-date", "")
-                    try:
-                        ts = datetime.strptime(
-                            raw_ts, "%Y-%m-%dT%H:%M:%SZ"
-                        ).replace(tzinfo=timezone.utc)
-                    except ValueError:
-                        try:
-                            ts = datetime.fromisoformat(
-                                raw_ts.replace("Z", "+00:00")
-                            )
-                            if ts.tzinfo is None:
-                                ts = ts.replace(tzinfo=timezone.utc)
-                        except ValueError:
-                            ts = None
+                    ts = _parse_warc_date(headers.get("warc-date", ""))
                     title = None
                     links: list | None = None
                     try:

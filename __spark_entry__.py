@@ -2252,6 +2252,7 @@ def oracle_sql() -> dict[str, str]:
     from textractssmlprocessor_spark.operators.content import (
         ANCHOR_TEXT_RE as _MC_ANCHOR_RE,
         BLOCK_SPLIT_RE as _MC_BLOCK_RE,
+        SCRIPT_STYLE_RE as _MC_SCRIPT_RE,
         TAG_RE as _MC_TAG_RE,
     )
     from textractssmlprocessor_spark.operators.textstats import STOPWORDS
@@ -3360,7 +3361,9 @@ def oracle_sql() -> dict[str, str]:
                        || '{_MC_FOOTER}' AS html
                 FROM documents
             ),
-            b AS (SELECT url, string_split_regex(coalesce(html, ''), '{_MC_BLOCK_RE}') AS bl
+            b AS (SELECT url, string_split_regex(
+                         regexp_replace(coalesce(html, ''), '{_MC_SCRIPT_RE}', ' ', 'g'),
+                         '{_MC_BLOCK_RE}') AS bl
                   FROM pages),
             ex AS (SELECT url, unnest(bl) AS raw, generate_subscripts(bl, 1) AS pos FROM b),
             f AS (SELECT url, pos,
@@ -3745,7 +3748,8 @@ def oracle_sql() -> dict[str, str]:
             c4k AS (
                 SELECT doc_id,
                        list_filter(
-                           list_transform(string_split(tl, chr(10)), x -> trim(x)),
+                           list_transform(string_split(tl, chr(10)),
+                               x -> trim(regexp_replace(x, chr(13) || '+$', ''))),
                            x -> regexp_matches(x, '[.!?"'']$')
                                 AND len(list_filter(string_split_regex(x, '\\s+'), w -> w != '')) >= 3
                                 AND NOT contains(lower(x), 'javascript')) AS kept

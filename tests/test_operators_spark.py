@@ -2283,3 +2283,92 @@ def test_url_host_userinfo_ipv6_and_tracking_case(spark):
     assert by["http://h.org/p#frag?x=1&y=2"]["qpc"] == 0
     assert by["http://h.org/p#frag?x=1&y=2"]["depth"] == 1
     assert by["http://h.org/p?a=1&b=2?c=3"]["qpc"] == 2
+
+
+def test_multimodal_hostile_inputs_contained(spark):
+    """Untrusted-corpus containment: spurious MP3 syncs are not audio,
+    out-of-order JPEG markers return None (never UnboundLocal/TypeError),
+    a PNG decompression bomb stops at the declared geometry, and absurd
+    GIF header dims are rejected before allocation."""
+    import struct
+    import zlib
+
+    from textractssmlprocessor_spark.operators import multimodal as mm
+
+    junk = (
+        b"PK\x03\x04" + b"\x00" * 100 + b"\xff\xfb\x90\x00"
+        + b"\x00" * 500 + b"junk"
+    )
+    assert mm.audio_metadata(junk) is None
+
+    sof = (
+        b"\xff\xc0" + struct.pack(">H", 11) + bytes([8])
+        + struct.pack(">HH", 8, 8) + bytes([1, 0x11, 0])
+    )
+    assert mm.decode_jpeg_pixels(b"\xff\xd8" + sof + b"\xff\xd9tail") is None
+    sos = b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0, 0, 63, 0])
+    assert mm.decode_jpeg_pixels(b"\xff\xd8" + sos + b"\xff\xd9") is None
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + b"\x00" * 4
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * (50 << 20))  # inflates to 50 MB
+    png = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", bomb) + chunk(b"IEND", b"")
+    )
+    r = mm.decode_png_pixels(png)
+    assert r is not None and (r[0], r[1]) == (4, 4) and len(r[3]) == 16
+
+    gif = (
+        b"GIF89a" + struct.pack("<HH", 65535, 65535)
+        + bytes([0xF0, 0, 0]) + b"\x00" * 6
+        + b"," + struct.pack("<HHHH", 0, 0, 65535, 65535)
+        + bytes([0, 8]) + b"\x01\x00\x00;"
+    )
+    assert mm.decode_gif_pixels(gif) is None
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        mm.dhash_near_dupes(
+            spark.createDataFrame([("u", 1)], "url string, dhash long"),
+            max_hamming=4,
+        )
+
+
+def test_main_content_strips_script_and_style(spark):
+    """JS/CSS source must not count as visible text: a long script body
+    inside a block cannot carry the block past the word-count gate."""
+    from textractssmlprocessor_spark.operators.content import main_content
+
+    js = "var config = { " + "key: 1, " * 30 + "};"
+    html = (
+        f"<div><script>{js}</script>Short caption</div>"
+        "<p>This paragraph has enough real words to be kept as the main"
+        " content of the page today.</p>"
+    )
+    row = main_content(
+        spark.createDataFrame([("u", html)], "url string, html string")
+    ).collect()[0]
+    assert "var config" not in row["main_text"]
+    assert "Short caption" not in row["main_text"]  # 2 words: dropped
+    assert row["main_text"].startswith("This paragraph")
+
+
+def test_c4_lines_crlf_documents(spark):
+    """CRLF text must behave exactly like LF text (the '\\r' would
+    otherwise defeat the terminal-punctuation rule differently per
+    engine)."""
+    from textractssmlprocessor_spark.operators.content import c4_line_columns
+
+    text = "One good sentence is here.\r\nshort\r\nAnother full line ends well.\r\n"
+    cols = c4_line_columns(F.col("t"))
+    row = (
+        spark.createDataFrame([(text,)], "t string")
+        .select(*[v.alias(k) for k, v in cols.items()])
+        .collect()[0]
+    )
+    assert row["c4_n_lines_kept"] == 2
+    assert "\r" not in row["c4_text"]

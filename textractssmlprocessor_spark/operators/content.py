@@ -44,6 +44,16 @@ _TAG_NAMES = (
 BLOCK_SPLIT_RE = rf"(?i)</?(?:{_TAG_NAMES})(?:\s[^>]*)?/?>|<br\s*/?>"
 ANCHOR_TEXT_RE = r"(?is)<a(?:\s[^>]*)?>(.*?)</a>"
 TAG_RE = r"(?is)<[^>]*>"
+# script/style/noscript BODIES are not visible text: stripping only the
+# tags would let JS/CSS source land in block text, pass the word-count
+# gate, and pollute main_text (every jusText-family extractor removes
+# these first). No backreferences — RE2 has none — so the close tag is
+# spelled out per element.
+SCRIPT_STYLE_RE = (
+    r"(?is)<script(?:\s[^>]*)?>.*?</script\s*>"
+    r"|<style(?:\s[^>]*)?>.*?</style\s*>"
+    r"|<noscript(?:\s[^>]*)?>.*?</noscript\s*>"
+)
 
 
 def _block_text(raw: Column) -> Column:
@@ -71,8 +81,14 @@ def main_content(
     rounded 6). NULL html behaves as empty (main_text '', counts 0).
     """
     blocks = df.withColumn(
-        "_blocks", F.split(F.coalesce(F.col(html_col), F.lit("")),
-                           BLOCK_SPLIT_RE, -1)
+        "_blocks",
+        F.split(
+            F.regexp_replace(
+                F.coalesce(F.col(html_col), F.lit("")), SCRIPT_STYLE_RE, " "
+            ),
+            BLOCK_SPLIT_RE,
+            -1,
+        ),
     )
     # one struct per block: visible text + anchor-text char count; the
     # lambda references ONLY its argument (re-evaluation rule)
@@ -154,7 +170,14 @@ def c4_line_columns(col: Column, min_words: int = 3) -> dict[str, Column]:
       "lorem ipsum", no "{") — bigint because the contract canonicalizer
       cannot hash nullable booleans portably (CLAUDE.md invariant).
     """
-    lines = F.transform(F.split(col, "\n", -1), lambda x: F.trim(x))
+    # '\r+$' strip BEFORE trim: CRLF documents otherwise leave every
+    # line ending in '\r', and the terminal-punct '$' then diverges
+    # between engines (Java '$' matches before a trailing \r, RE2 does
+    # not) — strip it explicitly so both see identical lines
+    lines = F.transform(
+        F.split(col, "\n", -1),
+        lambda x: F.trim(F.regexp_replace(x, "\r+$", "")),
+    )
     kept = F.filter(
         lines,
         lambda x: x.rlike(C4_TERMINAL_RE)

@@ -94,6 +94,15 @@ def decode_image_stub(payload: bytes, fake: bool = True) -> tuple[int, int]:
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
+# Pixel decoders allocate O(width*height) from HEADER-DECLARED dims, and
+# untrusted payloads declare whatever they like (a 64 KB GIF can claim
+# 65535x65535 = 17 GB of indices; a 10 MB PNG bomb inflates ~1000:1).
+# The per-image cap keeps one hostile payload from OOM-killing an
+# executor — an OOM kill is the one failure mode the per-row `except
+# Exception` guards cannot catch. 64 MP covers any real web image.
+_MAX_DECODE_PIXELS = 64 << 20
+
+
 def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes] | None:
     """REAL PNG pixel decode, pure stdlib: chunk walk -> zlib inflate of the
     concatenated IDAT stream -> per-scanline unfilter (all five public
@@ -130,15 +139,19 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes] | None:
     width, height, depth, color_type, _comp, _filt, interlace = hdr
     if depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
         return None
-    if not width or not height:
+    if not width or not height or width * height > _MAX_DECODE_PIXELS:
         return None
     bpp = _PNG_CHANNELS[color_type]
     stride = width * bpp
+    expected = height * (stride + 1)
     try:
-        raw = zlib.decompress(b"".join(idat))
+        # max_length caps the inflate at exactly the bytes the declared
+        # geometry needs — a decompression bomb stops at the cap instead
+        # of materializing gigabytes before the length check
+        raw = zlib.decompressobj().decompress(b"".join(idat), expected)
     except zlib.error:
         return None
-    if len(raw) < height * (stride + 1):
+    if len(raw) < expected:
         return None
     out = bytearray()
     prev = bytearray(stride)
@@ -289,6 +302,8 @@ def decode_gif_pixels(payload: bytes) -> tuple[int, int, int, bytes] | None:
                 return None
             pos += 3 * n
         if ct is None or not w or not h or pos >= len(b):
+            return None
+        if w * h > _MAX_DECODE_PIXELS:
             return None
         min_code = b[pos]
         pos += 1
@@ -481,11 +496,14 @@ def audio_metadata(payload: bytes) -> tuple[str, int, int, int] | None:
         while i + 8 <= len(b):
             tag = b[i : i + 4]
             size = struct.unpack("<I", b[i + 4 : i + 8])[0]
-            if tag == b"fmt " and i + 24 <= len(b):
+            if tag == b"fmt " and size >= 14 and i + 20 <= len(b):
                 channels, sample_rate, byte_rate = struct.unpack(
                     "<HII", b[i + 10 : i + 20]
                 )
-                if i + 24 <= len(b):
+                # bits exists only in fmt chunks >= 16 bytes — reading it
+                # from a 14-byte WAVE_FORMAT chunk would take the NEXT
+                # chunk's header bytes as the bit depth
+                if size >= 16 and i + 24 <= len(b):
                     bits = struct.unpack("<H", b[i + 22 : i + 24])[0]
             elif tag == b"data":
                 data_size = min(size, len(b) - i - 8)
@@ -532,7 +550,13 @@ def audio_metadata(payload: bytes) -> tuple[str, int, int, int] | None:
         samples_total += spf / sample_rate  # seconds, exact per frame
         frames += 1
         i += frame_len
-    if frames:
+    # >= 2 consecutive valid frames (or ONE frame spanning exactly to
+    # EOF): a single spurious 4-byte sync pattern occurs in arbitrary
+    # binary every ~15 KB, and accepting it would label zips/fonts/random
+    # bytes 'mp3' with fabricated durations — the opposite of this
+    # module's never-fabricate rule. The cost is rejecting a one-frame
+    # MP3 with a trailing tag, which does not occur in practice.
+    if frames >= 2 or (frames == 1 and i == len(b)):
         return ("mp3", int(samples_total * 1000), rate0, chans0)
     return None
 
@@ -787,6 +811,12 @@ def dhash_near_dupes(
     drops false candidates. No all-pairs join anywhere; ``max_bucket``
     caps degenerate buckets (e.g. millions of identical blank images)
     exactly like the embedding near-dup cap."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            "dhash_near_dupes guarantees candidate recall only for "
+            f"max_hamming <= 3 (4 bands x 16 bits); got {max_hamming} — "
+            "pairs differing in one bit per band would silently be missed"
+        )
     from .dedup import _cooccurrence_member_pairs
 
     h = hashed.filter(F.col(hash_col).isNotNull()).select(
@@ -964,6 +994,28 @@ def _jpeg_prog_scan(
     return _jpeg_next_marker(b, reader.pos)
 
 
+def _jpeg_parse_dht(seg: bytes, huff: dict) -> None:
+    """Parse one DHT segment (possibly several tables) into
+    ``huff[(table_class, table_id)] = {(bitlen, code): symbol}`` —
+    canonical Huffman per T.81 Annex C. ONE definition shared by the
+    baseline and progressive decoders (a fix here must reach both)."""
+    j = 0
+    while j < len(seg):
+        tc, th = seg[j] >> 4, seg[j] & 15
+        counts = seg[j + 1 : j + 17]
+        syms = seg[j + 17 : j + 17 + sum(counts)]
+        table: dict[tuple[int, int], int] = {}
+        code, k = 0, 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                table[(length, code)] = syms[k]
+                code += 1
+                k += 1
+            code <<= 1
+        huff[(tc, th)] = table
+        j += 17 + sum(counts)
+
+
 def decode_jpeg_progressive_pixels(
     payload: bytes,
 ) -> tuple[int, int, int, bytes] | None:
@@ -1001,6 +1053,9 @@ def decode_jpeg_progressive_pixels(
             i += 1
             continue
         marker = b[i + 1]
+        if marker == 0xFF:  # spec-legal fill byte (B.1.1.2)
+            i += 1
+            continue
         if marker == 0xD9:
             break
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -1025,7 +1080,7 @@ def decode_jpeg_progressive_pixels(
             if seg[0] != 8:
                 return None
             h, w = struct.unpack(">HH", seg[1:5])
-            if not h or not w:
+            if not h or not w or h * w > _MAX_DECODE_PIXELS:
                 return None
             comps = []
             for c in range(seg[5]):
@@ -1042,21 +1097,7 @@ def decode_jpeg_progressive_pixels(
                 cw, ch = -(-w * hs // hmax), -(-h * vs // vmax)
                 bdims.append((-(-cw // 8), -(-ch // 8)))
         elif marker == 0xC4:
-            j = 0
-            while j < len(seg):
-                tc, th = seg[j] >> 4, seg[j] & 15
-                counts = seg[j + 1 : j + 17]
-                syms = seg[j + 17 : j + 17 + sum(counts)]
-                table: dict[tuple[int, int], int] = {}
-                code, k = 0, 0
-                for length in range(1, 17):
-                    for _ in range(counts[length - 1]):
-                        table[(length, code)] = syms[k]
-                        code += 1
-                        k += 1
-                    code <<= 1
-                huff[(tc, th)] = table
-                j += 17 + sum(counts)
+            _jpeg_parse_dht(seg, huff)
         elif marker == 0xDD:
             (restart,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:
@@ -1210,12 +1251,19 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes] | None:
     huff: dict[tuple[int, int], dict] = {}
     frame = None  # (h, w, [(comp_id, hs, vs, tq)])
     restart = 0
+    scan = None
     i = 2
     while i + 4 <= len(b):
         if b[i] != 0xFF:
             i += 1
             continue
         marker = b[i + 1]
+        if marker == 0xFF:  # spec-legal fill byte (B.1.1.2)
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone markers carry no length field
+            continue
         if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                       0xCD, 0xCE, 0xCF):
             return None  # non-baseline frame
@@ -1235,6 +1283,8 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes] | None:
             if seg[0] != 8:
                 return None
             h, w = struct.unpack(">HH", seg[1:5])
+            if h * w > _MAX_DECODE_PIXELS:
+                return None
             ncomp = seg[5]
             comps = []
             for c in range(ncomp):
@@ -1242,24 +1292,12 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes] | None:
                 comps.append((cid, hv >> 4, hv & 15, tq_))
             frame = (h, w, comps)
         elif marker == 0xC4:  # DHT
-            j = 0
-            while j < len(seg):
-                tc, th = seg[j] >> 4, seg[j] & 15
-                counts = seg[j + 1 : j + 17]
-                syms = seg[j + 17 : j + 17 + sum(counts)]
-                table: dict[tuple[int, int], int] = {}
-                code, k = 0, 0
-                for length in range(1, 17):
-                    for _ in range(counts[length - 1]):
-                        table[(length, code)] = syms[k]
-                        code += 1
-                        k += 1
-                    code <<= 1
-                huff[(tc, th)] = table
-                j += 17 + sum(counts)
+            _jpeg_parse_dht(seg, huff)
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                return None  # SOS before SOF: malformed stream
             ncomp_s = seg[0]
             scan = []  # (comp index in frame, dc table, ac table)
             for c in range(ncomp_s):
@@ -1273,8 +1311,8 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes] | None:
         i += 2 + seglen
     else:
         return None
-    if frame is None:
-        return None
+    if frame is None or scan is None:
+        return None  # EOI (or EOF) before any SOS: nothing to decode
 
     h, w, comps = frame
     hmax = max(c[1] for c in comps)

@@ -697,6 +697,9 @@ def q_gopher_quality(spark, sf_dir):
 
     d = _docs(spark, sf_dir)
     cols = gopher_columns(F.col("text"))
+    # verdict flags cross the contract as bigint, never nullable boolean
+    # (CLAUDE.md: pandas renders NULL bool differently per engine)
+    cols["gopher_pass"] = cols["gopher_pass"].cast("bigint")
     g = d.select("doc_id", *[c.alias(name) for name, c in cols.items()])
     lm = lm_perplexity(d, id_col="doc_id", text_col="text").withColumnRenamed(
         "id", "doc_id"
@@ -2249,6 +2252,9 @@ def _golden(query: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from textractssmlprocessor_spark.operators.ocr import (
+        FOLIO_RE as _OCR_FOLIO_RE,
+    )
     from textractssmlprocessor_spark.operators.content import (
         ANCHOR_TEXT_RE as _MC_ANCHOR_RE,
         BLOCK_SPLIT_RE as _MC_BLOCK_RE,
@@ -2258,7 +2264,7 @@ def oracle_sql() -> dict[str, str]:
     from textractssmlprocessor_spark.operators.textstats import STOPWORDS
 
     lang_keys = ", ".join(
-        "lpad((100000 - len(regexp_extract_all(lower(text), '\\b(?:%s)\\b')))::VARCHAR, 6, '0') || '%s'"
+        "lpad(greatest(0, 100000 - len(regexp_extract_all(lower(text), '\\b(?:%s)\\b')))::VARCHAR, 6, '0') || '%s'"
         % ("|".join(STOPWORDS[lang]), lang)
         for lang in sorted(STOPWORDS)
     )
@@ -2322,7 +2328,7 @@ def oracle_sql() -> dict[str, str]:
         for s in sorted(SCRIPT_RANGES)
     )
     script_keys_sql = ", ".join(
-        f"lpad((10000000 - length(regexp_replace(st, {script_pat[s]}, '', 'g')))::VARCHAR, 8, '0') || '{s}'"
+        f"lpad(greatest(0, 10000000 - length(regexp_replace(st, {script_pat[s]}, '', 'g')))::VARCHAR, 8, '0') || '{s}'"
         for s in sorted(SCRIPT_RANGES)
     )
 
@@ -2944,7 +2950,7 @@ def oracle_sql() -> dict[str, str]:
                        length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
                        len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS syms,
                        string_split(text, chr(10)) AS lines,
-                       string_split_regex(trim(text), '\\s+') AS ws
+                       list_filter(string_split_regex(trim(text), '\\s+'), w -> w != '') AS ws
                 FROM documents
             ),
             m AS (
@@ -2968,7 +2974,7 @@ def oracle_sql() -> dict[str, str]:
                         AND bullet_line_frac <= 0.9
                         AND ellipsis_line_frac <= 0.3
                         AND alpha_word_frac >= 0.8
-                        AND n_stopwords_present >= 2) AS gopher_pass
+                        AND n_stopwords_present >= 2)::BIGINT AS gopher_pass
                 FROM m
             ),
             -- CCNet-style LM perplexity replay (operators/lm.py): same
@@ -3120,7 +3126,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        list_filter(list_transform(string_split(t, chr(10)), p -> trim(p)), p -> p != '') AS kl,
                        list_filter(list_transform(string_split_regex(t, '\\n{2,}'), p -> trim(p)), p -> p != '') AS kp,
-                       string_split_regex(trim(lower(t)), '\\s+') AS ws
+                       list_filter(string_split_regex(trim(lower(t)), '\\s+'), w -> w != '') AS ws
                 FROM d
             ),
             b AS (
@@ -4104,8 +4110,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM lines0
             ),
             nodigit AS (
+                -- folio strip only in the edge bands (ocr.FOLIO_RE shared
+                -- via import: the roman class matches real words)
                 SELECT * FROM lines
-                WHERE NOT regexp_matches(line_text, '^\\s*[-—.\\s]*(\\d+|[ivxlcdm]+)[-—.\\s]*\\s*$')
+                WHERE NOT (regexp_matches(line_text, '{_OCR_FOLIO_RE}')
+                           AND (top <= 0.08 OR top >= 0.9))
             ),
             npages AS (SELECT url, count(DISTINCT page_no) AS n_pages FROM nodigit GROUP BY url),
             edge AS (SELECT * FROM nodigit WHERE top <= 0.08 OR top >= 0.9),
@@ -4114,6 +4123,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM edge e
                 GROUP BY e.url, e.line_text
                 HAVING count(DISTINCT e.page_no) >= (SELECT n_pages FROM npages WHERE npages.url = e.url) * 0.5
+                   AND count(DISTINCT e.page_no) >= 2
             ),
             kept AS (
                 SELECT n.* FROM nodigit n

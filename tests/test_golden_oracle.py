@@ -131,3 +131,21 @@ def test_extract_mirror_matches_spark(spark):
         for r in G.extract_chunks_rows(mirror_pages)
     )
     assert got == exp
+
+
+def test_oracle_sql_shares_nonascii_literals_with_modules():
+    """Drift lock for hand-written non-ASCII in oracle SQL (CLAUDE.md
+    convention): the ellipsis/bullet/em-dash codepoints the Spark
+    operators use must appear byte-identically in the DuckDB replicas."""
+    import __spark_entry__ as e
+    from textractssmlprocessor_spark.operators.ocr import FOLIO_RE
+    from textractssmlprocessor_spark.operators.textstats import GOPHER_BULLETS
+
+    sqls = e.oracle_sql()
+    g = sqls["gopher_quality"]
+    assert "…" in g  # … in the symbol regex and ellipsis-end rule
+    for b in GOPHER_BULLETS:
+        assert f"'{b}'" in g
+    # the folio regex reaches the ocr oracle via the SHARED constant
+    assert FOLIO_RE in sqls["ocr_reconstruct"]
+    assert "—" in FOLIO_RE  # em dash lives in ONE place

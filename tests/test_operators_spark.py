@@ -2372,3 +2372,39 @@ def test_c4_lines_crlf_documents(spark):
     )
     assert row["c4_n_lines_kept"] == 2
     assert "\r" not in row["c4_text"]
+
+
+def test_ocr_short_docs_and_roman_word_body_lines_survive(spark):
+    """Two data-loss guards: (1) on a 1-2 page document the repeat
+    threshold n_pages*0.5 <= 1 must not strip every unique edge line;
+    (2) a BODY line that happens to be a valid roman-numeral word
+    ('mix') must survive — folio stripping applies only in the edge
+    bands (where a real folio like 'IV' still dies)."""
+    from textractssmlprocessor_spark.operators.ocr import (
+        strip_page_boilerplate,
+    )
+
+    rows = [
+        # 2-page doc: unique titles in the header band on each page
+        ("u1", 0, 1, "Unique Title Alpha", 0.05),
+        ("u1", 0, 2, "Body text of page one.", 0.5),
+        ("u1", 1, 1, "Unique Title Beta", 0.05),
+        ("u1", 1, 2, "Body text of page two.", 0.5),
+        # body line that is a roman-numeral word, plus a real edge folio
+        ("u2", 0, 1, "mix", 0.5),
+        ("u2", 0, 2, "IV", 0.95),
+        ("u2", 1, 1, "more body text here", 0.5),
+        ("u2", 1, 2, "V", 0.95),
+    ]
+    lines = spark.createDataFrame(
+        rows, "url string, page_no long, line_no long, line_text string, top double"
+    )
+    kept = {
+        (r["url"], r["line_text"])
+        for r in strip_page_boilerplate(lines).collect()
+    }
+    assert ("u1", "Unique Title Alpha") in kept
+    assert ("u1", "Unique Title Beta") in kept
+    assert ("u2", "mix") in kept  # body roman word survives
+    assert ("u2", "IV") not in kept  # edge folio dies
+    assert ("u2", "V") not in kept

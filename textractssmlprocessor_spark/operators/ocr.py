@@ -64,10 +64,19 @@ def blocks_to_lines(blocks: DataFrame, line_band: float = LINE_BAND) -> DataFram
     )
 
 
+# Shared with the DuckDB oracle via import (__spark_entry__.py) — the
+# em dash must not be hand-pasted into two engines' patterns (CLAUDE.md
+# non-ASCII convention). Uppercase folios (IV, XII) match too.
+FOLIO_RE = r"^\s*[-—.\s]*(\d+|[ivxlcdmIVXLCDM]+)[-—.\s]*\s*$"
+
+
 def is_page_number_line(col) -> F.Column:
-    """Pure page-number boilerplate: optional dashes/dots around digits or
-    bare roman-numeral folios."""
-    return col.rlike(r"^\s*[-—.\s]*(\d+|[ivxlcdm]+)[-—.\s]*\s*$")
+    """Pure page-number boilerplate SHAPE: optional dashes/dots around
+    digits or bare roman-numeral folios. The letter class necessarily
+    matches real words that are valid roman numerals ('mix' = 1009), so
+    strip_page_boilerplate applies this only inside the page-edge bands
+    where folios live — a body line is never deleted for matching."""
+    return col.rlike(FOLIO_RE)
 
 
 def strip_page_boilerplate(
@@ -80,18 +89,24 @@ def strip_page_boilerplate(
     the extreme top/bottom band repeating on >= min_page_fraction of the
     document's pages (the classic running-head detector). The repeat counts
     are a per-(url, text) aggregation broadcast back via join."""
-    lines = lines.filter(~is_page_number_line(F.col("line_text")))
+    in_edge = (F.col("top") <= header_top) | (F.col("top") >= footer_top)
+    # folio strip only in the edge bands: the roman class matches real
+    # words ('mix', 'di'), so a matching BODY line must survive
+    lines = lines.filter(~(is_page_number_line(F.col("line_text")) & in_edge))
     n_pages = lines.groupBy("url").agg(
         F.countDistinct("page_no").alias("n_pages")
     )
-    edge = lines.filter(
-        (F.col("top") <= header_top) | (F.col("top") >= footer_top)
-    )
+    edge = lines.filter(in_edge)
     repeats = (
         edge.groupBy("url", "line_text")
         .agg(F.countDistinct("page_no").alias("n_occ"))
         .join(n_pages, "url")
-        .filter(F.col("n_occ") >= F.col("n_pages") * min_page_fraction)
+        # n_occ >= 2: a line must actually REPEAT — on 1-2 page documents
+        # n_pages * 0.5 <= 1 would otherwise strip every unique edge line
+        .filter(
+            (F.col("n_occ") >= F.col("n_pages") * min_page_fraction)
+            & (F.col("n_occ") >= 2)
+        )
         .select("url", "line_text", F.lit(True).alias("is_boiler"))
     )
     out = lines.join(repeats, ["url", "line_text"], "left")

@@ -178,7 +178,6 @@ def count_tokens_bpe(
     def _pieces(s):
         return s.map(lambda w: bpe_piece_count(w, ranks))
 
-    ids = df.select(F.col(id_col).alias("id"))
     text = F.coalesce(F.col(text_col), F.lit(""))  # NULL text -> 0 tokens
     nonalpha = df.select(
         F.col(id_col).alias("id"),
@@ -200,9 +199,11 @@ def count_tokens_bpe(
         .groupBy("id")
         .agg(F.sum("_p").cast("bigint").alias("_n_alpha"))
     )
+    # nonalpha already carries exactly one row per input row — joining a
+    # bare ids projection back in was a redundant extra scan+shuffle (and
+    # would AMPLIFY rows under duplicate ids)
     return (
-        ids.join(nonalpha, "id")
-        .join(alpha, "id", "left")
+        nonalpha.join(alpha, "id", "left")
         .select(
             "id",
             (F.coalesce(F.col("_n_alpha"), F.lit(0)) + F.col("_n_other"))
@@ -323,7 +324,15 @@ def lang_id(col: Column) -> Column:
     oracle uses the identical expression)."""
     keys = [
         F.concat(
-            F.lpad((F.lit(100000) - stopword_hits(col, lang)).cast("string"), 6, "0"),
+            # greatest(0,...): past 100k hits the subtraction goes negative
+            # and the string min would pick the WRONG language
+            F.lpad(
+                F.greatest(
+                    F.lit(0), F.lit(100000) - stopword_hits(col, lang)
+                ).cast("string"),
+                6,
+                "0",
+            ),
             F.lit(lang),
         )
         for lang in sorted(STOPWORDS)
@@ -371,7 +380,9 @@ def gopher_columns(col: Column) -> dict[str, Column]:
     length window, symbol-to-word ratio, bullet-start and ellipsis-end
     line fractions, alphabetic-word fraction, distinct-stopword presence.
     `gopher_pass` is the conjunction with the paper's thresholds."""
-    words = F.split(F.trim(col), r"\s+")
+    # filter the split: Spark trim strips SPACES only, so text starting
+    # with \n/\t yields a phantom '' word that deflates alpha_word_frac
+    words = F.filter(F.split(F.trim(col), r"\s+"), lambda w: w != "")
     n_words = F.size(F.regexp_extract_all(col, F.lit(WORD_RE), F.lit(0)))
     alpha_chars = F.length(F.regexp_replace(col, r"[^A-Za-z]", ""))
     nzw = F.when(n_words > 0, n_words.cast("double")).otherwise(F.lit(None))
@@ -464,7 +475,9 @@ def repetition_stats(
         F.col(id_col).alias("id"),
         dup_frac(F.split(col, "\n")).alias("dup_line_frac"),
         dup_frac(F.split(col, r"\n{2,}")).alias("dup_para_frac"),
-        F.split(F.trim(F.lower(col)), r"\s+").alias("_ws"),
+        F.filter(
+            F.split(F.trim(F.lower(col)), r"\s+"), lambda w: w != ""
+        ).alias("_ws"),
     ).select(
         "id",
         "dup_line_frac",
@@ -668,7 +681,13 @@ def script_columns(col: Column) -> dict[str, Column]:
         fracs[f"{script}_frac"] = F.round(cnt / nz, 6)
     keys = [
         F.concat(
-            F.lpad((F.lit(10000000) - counts[s]).cast("string"), 8, "0"),
+            F.lpad(
+                F.greatest(F.lit(0), F.lit(10000000) - counts[s]).cast(
+                    "string"
+                ),
+                8,
+                "0",
+            ),
             F.lit(s),
         )
         for s in sorted(SCRIPT_RANGES)

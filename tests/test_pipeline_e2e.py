@@ -216,15 +216,23 @@ def test_lineage_crash_between_write_and_lineage_is_idempotent(spark, pages, tmp
 
 
 def test_malformed_utf8_html_degrades_not_fails(spark):
-    """A mis-encoded crawl page must yield replacement chars, not kill the
-    job (decode(..., 'UTF-8') raises MALFORMED_CHARACTER_CODING since
-    Spark 3.5 — fatal at web scale)."""
+    """A mis-encoded crawl page must never kill the job (strict decode
+    raises MALFORMED_CHARACTER_CODING since Spark 3.5 — fatal at web
+    scale). With charset sniffing fused into the extract UDF the legacy
+    tail now DECODES instead of degrading: undeclared non-UTF-8 bytes get
+    the windows-1252 browser fallback (u1, u4), and only bytes undefined
+    in the sniffed codec degrade to U+FFFD (u1's 0x81)."""
     from textractssmlprocessor_spark.operators.extract import extract_chunks
 
     rows = [
-        ("u1", bytes([0xFF, 0xFE, 0x80]) + b"<p>after invalid bytes</p>", None, "en"),
+        # 0x81 is invalid UTF-8 AND undefined in cp1252 -> one replacement
+        # char, rest of the page survives
+        ("u1", b"\x81<p>after invalid bytes</p>", None, "en"),
         ("u2", "<p>clean page</p>".encode(), None, "en"),
         ("u3", None, "plain text row", "en"),
+        # undeclared cp1252 page: E9 + space is invalid UTF-8, the cp1252
+        # fallback recovers the intended accent end-to-end
+        ("u4", b"caf\xe9 plain legacy row", None, "en"),
     ]
     df = spark.createDataFrame(
         rows, "url string, html binary, text string, lang string"
@@ -233,6 +241,7 @@ def test_malformed_utf8_html_degrades_not_fails(spark):
     assert "�" in got["u1"] and got["u1"].endswith("after invalid bytes</speak>")
     assert got["u2"] == "<speak>clean page</speak>"
     assert got["u3"] == "<speak>plain text row</speak>"
+    assert got["u4"] == "<speak>café plain legacy row</speak>"
 
 
 def test_run_with_lineage_observed_metrics(spark, pages, tmp_path):

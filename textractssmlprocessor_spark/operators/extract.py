@@ -8,13 +8,13 @@ Spark-first restatement of the reference's process_text_file lifecycle
     chunk+spans (X1) -> posexplode -> normalize SSML (T8 + T2/T3)
 
 Scale properties (the parts that must survive 1000 executors / 100 TB):
-- ``html`` binary is decoded JVM-side and dropped immediately — the widest
-  column never crosses into Python and never reaches a shuffle. Decoding is
-  ``make_valid_utf8(cast(html as string))``: the cast is an unvalidated
-  byte copy and make_valid_utf8 repairs malformed sequences to U+FFFD, so
-  one mis-encoded crawl page degrades to replacement chars instead of
-  failing the job (``decode(..., 'UTF-8')`` raises
-  MALFORMED_CHARACTER_CODING since Spark 3.5 — fatal at 10^12 documents);
+- ``html`` binary is charset-sniff decoded (WHATWG BOM/meta-prescan/utf-8/
+  cp1252 chain, operators/charset.py) INSIDE the one fused pandas UDF the
+  payload was already crossing into — the binary crosses Arrow instead of
+  the decoded string, so the legacy-encoding tail of a real crawl decodes
+  correctly at zero additional transfer, plan nodes, or scans. Decode is
+  errors='replace' throughout: one mis-encoded page degrades to U+FFFD
+  instead of failing the job (strict decode is fatal at 10^12 documents);
 - the only shuffle in the whole plan is the explicit salted repartition by
   url hash (host-level skew defusal per the north rule); everything after is
   narrow: UDF projections + posexplode pipeline in one stage;
@@ -57,11 +57,10 @@ def clean_pages(
     if languages:
         df = df.filter(F.col("lang").isin(languages))  # pushed into the scan
     df = df.filter(F.col("html").isNotNull() | F.col("text").isNotNull())
-    # Decode JVM-side, then drop the binary column before any UDF/shuffle.
-    payload = F.coalesce(F.make_valid_utf8(F.col("html").cast("string")), F.col("text"))
-    df = df.select("url", "warc_ts", "lang", payload.alias("payload"))
+    df = df.select("url", "warc_ts", "lang", "html", "text")
     df = salted_repartition(df, num_partitions)
-    cleaned = clean_document_udf(F.col("payload"))
+    # charset-sniffed decode happens inside the fused UDF (module docstring)
+    cleaned = clean_document_udf(F.col("html"), F.col("text"))
     if strip_boilerplate:
         cleaned = clean_plaintext_udf(cleaned)
     return df.select(
@@ -86,11 +85,14 @@ def extract_chunks(
     if languages:
         df = df.filter(F.col("lang").isin(languages))  # pushed into the scan
     df = df.filter(F.col("html").isNotNull() | F.col("text").isNotNull())
-    payload = F.coalesce(F.make_valid_utf8(F.col("html").cast("string")), F.col("text"))
-    df = df.select("url", payload.alias("payload"))
+    df = df.select("url", "html", "text")
     df = salted_repartition(df, num_partitions)
+    # charset-sniffed decode happens inside the fused UDF (module docstring)
     chunked = df.select(
-        "url", F.posexplode(extract_full_udf(F.col("payload"))).alias("pos", "c")
+        "url",
+        F.posexplode(
+            extract_full_udf(F.col("html"), F.col("text"))
+        ).alias("pos", "c"),
     )
     return chunked.select(
         "url",

@@ -39,43 +39,62 @@ EXTRACTED_CHUNK_TYPE = StructType(
 )
 
 
+def _page_payload(html: Optional[bytes], text: Optional[str]) -> Optional[str]:
+    """Raw page -> payload string: charset-sniffed decode of the html bytes
+    (WHATWG BOM/meta-prescan/utf-8/cp1252 chain, operators/charset.py) with
+    the text column as fallback. Decoding in-batch here costs nothing extra:
+    the payload already crossed Arrow into this UDF — the binary crosses
+    instead of the decoded string (for valid UTF-8, the overwhelming
+    majority, the decode attempt is one C-level call per row and the result
+    is byte-identical to the previous JVM make_valid_utf8(cast) path)."""
+    from .charset import decode_payload
+
+    if html is not None:
+        return decode_payload(html)[0]
+    return text
+
+
+def _full_extract(t: Optional[str]):
+    if t is None:
+        return None
+    cleaned = convert_html_to_ssml(t) if is_html(t) else t
+    return [
+        {
+            "chunk": c,
+            "ssml": normalize_ssml(expand_substitutions(c)),
+            "start": s,
+            "end": e,
+        }
+        for c, s, e in chunk_text_with_spans(cleaned)
+    ]
+
+
 @F.pandas_udf(ArrayType(EXTRACTED_CHUNK_TYPE))
-def extract_full_udf(payload: pd.Series) -> pd.Series:
-    """FUSED extraction: clean -> chunk+spans -> substitutions -> SSML
-    normalize in ONE Arrow round trip (the whole reference lifecycle
-    utils.py:278-319 per batch). Halves JVM<->Python traffic vs chaining
-    separate UDFs across the posexplode."""
-
-    def full(t):
-        if t is None:
-            return None
-        cleaned = convert_html_to_ssml(t) if is_html(t) else t
-        return [
-            {
-                "chunk": c,
-                "ssml": normalize_ssml(expand_substitutions(c)),
-                "start": s,
-                "end": e,
-            }
-            for c, s, e in chunk_text_with_spans(cleaned)
-        ]
-
-    return payload.map(full)
+def extract_full_udf(html: pd.Series, text: pd.Series) -> pd.Series:
+    """FUSED extraction: charset-sniff decode -> clean -> chunk+spans ->
+    substitutions -> SSML normalize in ONE Arrow round trip (the whole
+    reference lifecycle utils.py:278-319 per batch). Halves JVM<->Python
+    traffic vs chaining separate UDFs across the posexplode."""
+    return pd.Series(
+        [_full_extract(_page_payload(h, t)) for h, t in zip(html, text)]
+    )
 
 
 @F.pandas_udf(StringType())
-def clean_document_udf(payload: pd.Series) -> pd.Series:
-    """HTML branch of the reference's process_text_file (utils.py:284-287):
-    HTML payloads run the DOM heuristics, plain text passes through. The
-    result is the byte-identity anchor (the reference's latin-correlate
-    write, utils.py:289-291)."""
+def clean_document_udf(html: pd.Series, text: pd.Series) -> pd.Series:
+    """Charset-sniffed decode + HTML branch of the reference's
+    process_text_file (utils.py:284-287): HTML payloads run the DOM
+    heuristics, plain text passes through. The result is the byte-identity
+    anchor (the reference's latin-correlate write, utils.py:289-291)."""
 
     def clean(t: Optional[str]) -> Optional[str]:
         if t is None:
             return None
         return convert_html_to_ssml(t) if is_html(t) else t
 
-    return payload.map(clean)
+    return pd.Series(
+        [clean(_page_payload(h, t)) for h, t in zip(html, text)]
+    )
 
 
 @F.pandas_udf(StringType())

@@ -215,7 +215,49 @@ def q_text_profile(spark, sf_dir):
     lm = langid_scores(d0, weights, lstats, buckets=2048).withColumnRenamed(
         "id", "doc_id"
     )
-    return profile.join(lm, "doc_id")
+    # charset-sniff branch (operators/charset.py sniffed_decode — the
+    # SPLIT operator, so the native fast path and the gated pandas UDF are
+    # both live): deterministic per-doc byte payloads built JVM-side from
+    # the ASCII-printable projection of text, so BOTH engines know the
+    # expected decode exactly and the DuckDB oracle never touches bytes —
+    # it emits the EXPECTED text/charset from the same construction.
+    # %6 == 0 plain utf-8 (fast path), 1 undeclared cp1252 tail (0xE9+2
+    # spaces is invalid UTF-8 -> browser fallback; 0xE9 is 'é' = chr(233)
+    # in cp1252, which is how the oracle spells the expectation), 2
+    # meta-declared windows-1252, 3 utf-8 BOM (must strip), 4 utf-16le
+    # BOM, 5 meta utf-16 label (WHATWG quirk: decode as utf-8).
+    from textractssmlprocessor_spark.operators.charset import sniffed_decode
+
+    ascii_t = F.regexp_replace(F.substring("text", 1, 64), "[^ -~]", "")
+    m6 = F.col("doc_id") % 6
+    payload = (
+        F.when(m6 == 1, F.concat(F.encode(ascii_t, "UTF-8"), F.lit(b"\xe9  ")))
+        .when(
+            m6 == 2,
+            F.concat(
+                F.encode(F.lit('<meta charset="windows-1252">'), "UTF-8"),
+                F.encode(ascii_t, "UTF-8"),
+                F.lit(b"\xe9"),
+            ),
+        )
+        .when(m6 == 3, F.encode(F.concat(F.lit("\ufeff"), ascii_t), "UTF-8"))
+        .when(m6 == 4, F.encode(F.concat(F.lit("\ufeff"), ascii_t), "UTF-16LE"))
+        .when(
+            m6 == 5,
+            F.concat(
+                F.encode(F.lit('<meta charset="utf-16le">'), "UTF-8"),
+                F.encode(ascii_t, "UTF-8"),
+            ),
+        )
+        .otherwise(F.encode(ascii_t, "UTF-8"))
+    )
+    cs = sniffed_decode(
+        d0.select("doc_id", payload.alias("html")),
+        bin_col="html",
+        text_col="charset_text",
+        charset_col="charset",
+    ).select("doc_id", "charset", "charset_text")
+    return profile.join(lm, "doc_id").join(cs, "doc_id")
 
 
 def q_pack_shards(spark, sf_dir):
@@ -2396,7 +2438,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_profile": f"""
             WITH sdocs AS (
-                SELECT doc_id, text, {script_seed_sql} AS st FROM documents
+                SELECT doc_id, text, {script_seed_sql} AS st,
+                       regexp_replace(substr(text, 1, 64), '[^ -~]', '', 'g') AS at
+                FROM documents
             ),
             -- trained NB lang-ID replay (operators/langid.py): char
             -- trigrams -> md5 cells mod 2048 -> per-(lang,cell)
@@ -2491,7 +2535,17 @@ def oracle_sql() -> dict[str, str]:
                        (CASE WHEN doc_id % 2 = 0 THEN {inv_sample_sql} ELSE '' END) || substr(text, 1, 6),
                        {inv_pat_sql}, '', 'g') AS inv_clean,
                    lang_model_pred, lang_model_score, lang_model_margin,
-                   coalesce(langid_n_grams, 0)::BIGINT AS langid_n_grams
+                   coalesce(langid_n_grams, 0)::BIGINT AS langid_n_grams,
+                   -- charset branch: expected sniff outcome of the Spark
+                   -- side's constructed payloads (chr(233) = 'é', the
+                   -- cp1252 meaning of the injected 0xE9 byte)
+                   CASE doc_id % 6 WHEN 1 THEN 'cp1252' WHEN 2 THEN 'cp1252'
+                        WHEN 4 THEN 'utf-16-le' ELSE 'utf-8' END AS charset,
+                   CASE doc_id % 6
+                        WHEN 1 THEN at || chr(233) || '  '
+                        WHEN 2 THEN '<meta charset="windows-1252">' || at || chr(233)
+                        WHEN 5 THEN '<meta charset="utf-16le">' || at
+                        ELSE at END AS charset_text
             FROM sdocs JOIN lpred USING (doc_id)
         """,
 

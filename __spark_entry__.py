@@ -1734,9 +1734,18 @@ def q_winnow(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    # REAL multimodal feature extraction: L2-normalized 64-bin byte
-    # histogram over the binary payload (consumable by cosine_topk/ANN)
+    # REAL multimodal feature extraction, variant-labeled: (1) hist —
+    # L2-normalized 64-bin byte histogram over the binary payload
+    # (consumable by cosine_topk/ANN); (2) pcm — signal features decoded
+    # from REAL PCM16 WAV bytes (multimodal.audio_pcm_features). The WAV
+    # payloads are constructed NATIVELY (header + int16-LE samples as hex
+    # -> unhex, zero Python) from the sample formula
+    # s_i = ((doc_id*7 + i*37) % 65536) - 32768, N = 32 + doc_id%33
+    # samples at 8000 Hz — the DuckDB oracle replays the FORMULA's
+    # arithmetic, never the bytes, so the operator's decode+features are
+    # what the gate actually checks.
     from textractssmlprocessor_spark.operators.multimodal import (
+        audio_pcm_features,
         byte_histogram_features,
     )
 
@@ -1745,15 +1754,65 @@ def q_media_features(spark, sf_dir):
         F.encode("text", "UTF-8").alias("payload"),
     )
     f = byte_histogram_features(d)
-    return (
+    hist = (
         f.select("url", F.posexplode("features").alias("dim", "value"))
         .filter(F.col("value") != 0)
         .select(
+            F.lit("hist").alias("variant"),
             "url",
             F.col("dim").cast("bigint").alias("dim"),
             F.round("value", 6).alias("value"),
         )
     )
+
+    def _le_hex(col, nbytes):
+        return F.concat(
+            *[
+                F.lpad(F.hex(F.shiftright(col, 8 * k) % 256), 2, "0")
+                for k in range(nbytes)
+            ]
+        )
+
+    n = (F.lit(32) + F.col("doc_id") % 33).cast("bigint")
+    ds = n * 2
+    data_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("bigint"), n - 1),
+            lambda i: _le_hex(
+                (F.col("doc_id") * 7 + i * 37 + 32768) % 65536, 2
+            ),
+        ),
+        "",
+    )
+    # 44-byte canonical PCM16 mono header: RIFF size + fixed fmt fields
+    # (rate 8000 -> 401F0000 LE, byte rate 16000 -> 803E0000) + data size
+    wav_hex = F.concat(
+        F.lit("52494646"), _le_hex(ds + 36, 4), F.lit("57415645"),
+        F.lit("666D7420"), F.lit("10000000"), F.lit("0100"), F.lit("0100"),
+        F.lit("401F0000"), F.lit("803E0000"), F.lit("0200"), F.lit("1000"),
+        F.lit("64617461"), _le_hex(ds, 4), data_hex,
+    )
+    wav = _docs(spark, sf_dir).select(
+        F.concat(F.lit("pcm://"), F.col("doc_id").cast("string")).alias("url"),
+        F.unhex(wav_hex).alias("payload"),
+    )
+    p = audio_pcm_features(wav)["url", "pcm"]
+    pcm = p.select(
+        F.lit("pcm").alias("variant"),
+        "url",
+        F.posexplode(
+            F.array(
+                F.col("pcm.n_samples").cast("double"),
+                F.round("pcm.duration_s", 6),
+                F.round("pcm.rms", 6),
+                F.col("pcm.peak"),
+                F.col("pcm.zero_crossings").cast("double"),
+                F.round("pcm.clip_ratio", 6),
+                F.round("pcm.silence_ratio", 6),
+            )
+        ).alias("dim", "value"),
+    ).select("variant", "url", F.col("dim").cast("bigint").alias("dim"), "value")
+    return hist.unionByName(pcm)
 
 
 def q_resize_media(spark, sf_dir):
@@ -4046,9 +4105,47 @@ def oracle_sql() -> dict[str, str]:
                 FROM d, unnest(generate_series(1, len(hx) // 2)) AS t(i)
             ),
             c AS (SELECT url, dim, count(*)::DOUBLE AS cnt FROM b GROUP BY 1, 2),
-            n AS (SELECT url, sqrt(sum(cnt * cnt)) AS nrm FROM c GROUP BY 1)
-            SELECT c.url, dim::BIGINT AS dim, round(cnt / nrm, 6) AS value
+            n AS (SELECT url, sqrt(sum(cnt * cnt)) AS nrm FROM c GROUP BY 1),
+            -- pcm variant: replay the sample FORMULA the Spark side turned
+            -- into real WAV bytes (s_i = ((doc_id*7 + i*37) % 65536) -
+            -- 32768, N = 32 + doc_id%33, 8000 Hz); all accumulations are
+            -- exact integers cast to double at the final division, so the
+            -- engine's decode+features must match bit-for-bit after round6
+            pcms AS (
+                SELECT doc_id, n, i,
+                       ((doc_id * 7 + i * 37) % 65536 - 32768) AS si
+                FROM (
+                    SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i
+                    FROM (SELECT doc_id, (32 + doc_id % 33)::BIGINT AS n
+                          FROM documents)
+                )
+            ),
+            pcml AS (
+                SELECT doc_id, n, si,
+                       lag(si) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+                FROM pcms
+            ),
+            pcma AS (
+                SELECT doc_id, max(n) AS n,
+                       round(sqrt(sum(si * si)::DOUBLE / max(n)), 6) AS rms,
+                       max(abs(si))::DOUBLE AS peak,
+                       sum(CASE WHEN prev IS NOT NULL AND si * prev < 0
+                                THEN 1 ELSE 0 END)::DOUBLE AS zerox,
+                       round(sum(CASE WHEN abs(si) >= 32256 THEN 1 ELSE 0 END)
+                             / max(n)::DOUBLE, 6) AS clip,
+                       round(sum(CASE WHEN abs(si) < 328 THEN 1 ELSE 0 END)
+                             / max(n)::DOUBLE, 6) AS silence
+                FROM pcml GROUP BY doc_id
+            )
+            SELECT 'hist' AS variant, c.url, dim::BIGINT AS dim,
+                   round(cnt / nrm, 6) AS value
             FROM c JOIN n USING (url)
+            UNION ALL
+            SELECT 'pcm' AS variant, 'pcm://' || doc_id::VARCHAR AS url,
+                   unnest(generate_series(0, 6))::BIGINT AS dim,
+                   unnest([n::DOUBLE, round(n / 8000.0, 6), rms, peak,
+                           zerox, clip, silence]) AS value
+            FROM pcma
         """,
         "resize_media": """
             WITH d AS (

@@ -465,6 +465,76 @@ def test_audio_metadata_real_headers(spark):
     assert meta["txt://3"]["duration_ms"] is None
 
 
+def _wav_pcm(samples, rate=8000, channels=1) -> bytes:
+    """PCM16-LE WAV with explicit sample values (interleaved if stereo)."""
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_pcm_features_known_signal(spark):
+    """Signal features from REAL decoded PCM samples — hand-checked on a
+    tiny known signal, stereo averaging, honest rejections."""
+    import math
+
+    from textractssmlprocessor_spark.operators.multimodal import (
+        _pcm_feature_row,
+        audio_pcm_features,
+        pcm_samples,
+    )
+
+    s = [0, 1000, -1000, 32767, -32768, 0, 328, -327]
+    row = _pcm_feature_row(_wav_pcm(s))
+    n, rate, dur, rms, peak, zerox, clip, silence = row
+    assert (n, rate) == (8, 8000)
+    assert dur == 8 / 8000
+    assert math.isclose(rms, math.sqrt(sum(v * v for v in s) / 8))
+    assert peak == 32768.0
+    assert zerox == 4  # 1000/-1000, -1000/32767, 32767/-32768, 328/-327
+    assert clip == 2 / 8  # |s| >= 32256: the two rail-adjacent samples
+    assert silence == 3 / 8  # |s| < 328: 0, 0, -327
+
+    # stereo frames average to one signal: L=1000,R=3000 -> 2000
+    st = _wav_pcm([1000, 3000, -1000, -3000], channels=2)
+    sig, rate = pcm_samples(st)
+    assert list(sig) == [2000.0, -2000.0] and rate == 8000
+
+    # honest Nones: 8-bit PCM, float format code, non-RIFF, truncated fmt
+    import struct
+
+    pcm8 = _wav_pcm(s).replace(struct.pack("<H", 16), struct.pack("<H", 8))
+    assert pcm_samples(pcm8) is None
+    float_fmt = bytearray(_wav_pcm(s))
+    float_fmt[20:22] = struct.pack("<H", 3)  # fmt code 3 = IEEE float
+    assert pcm_samples(bytes(float_fmt)) is None
+    assert pcm_samples(b"not a wav file at all") is None
+
+    # truncated data chunk: only complete frames decode
+    cut = _wav_pcm(s)[:-3]
+    sig, _ = pcm_samples(cut)
+    assert list(sig) == [float(v) for v in s[:6]]
+
+    # empty data chunk: zero-sample row, not a crash
+    empty = _pcm_feature_row(_wav_pcm([]))
+    assert empty[0] == 0 and empty[1] == 8000 and empty[3] is None
+
+    # Spark operator end-to-end, NULL fields for non-PCM payloads
+    df = spark.createDataFrame(
+        [("a", bytearray(_wav_pcm(s))), ("b", bytearray(b"text bytes"))],
+        ["url", "payload"],
+    )
+    got = {r["url"]: r["pcm"] for r in audio_pcm_features(df).collect()}
+    assert got["a"]["n_samples"] == 8 and got["a"]["zero_crossings"] == 4
+    assert math.isclose(got["a"]["rms"], rms)
+    assert got["b"]["n_samples"] is None and got["b"]["rms"] is None
+
+
 def _check_frames(frames):
     by_url = {}
     for f in frames:

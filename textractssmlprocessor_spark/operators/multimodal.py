@@ -561,6 +561,114 @@ def audio_metadata(payload: bytes) -> tuple[str, int, int, int] | None:
     return None
 
 
+def pcm_samples(payload: bytes):
+    """REAL PCM sample decode: WAV (RIFF) bytes -> (float64 signal, rate).
+
+    PCM16-LE only (format code 1, bits 16 — the overwhelming majority of
+    uncompressed speech-corpus WAVs); multi-channel frames are averaged to
+    one signal (standard practice for signal-quality features). Honest
+    Nones for anything else (float/ADPCM/MP3-in-RIFF are codecs, same
+    never-fabricate rule as the image decoders). A data chunk longer than
+    the remaining bytes is truncated to complete frames."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 12:
+        return None
+    b = bytes(payload)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, fmt_code, channels, rate, bits, data = 12, None, None, None, None, None
+    while i + 8 <= len(b):
+        tag = b[i : i + 4]
+        size = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        if tag == b"fmt " and size >= 16 and i + 24 <= len(b):
+            fmt_code, channels, rate = struct.unpack("<HHI", b[i + 8 : i + 16])
+            bits = struct.unpack("<H", b[i + 22 : i + 24])[0]
+        elif tag == b"data":
+            data = b[i + 8 : i + 8 + min(size, len(b) - i - 8)]
+        i += 8 + size + (size & 1)
+    if fmt_code != 1 or bits != 16 or not rate or not channels or data is None:
+        return None
+    frame = 2 * channels
+    usable = len(data) - len(data) % frame
+    if usable == 0:
+        return np.zeros(0, dtype=np.float64), rate
+    sig = np.frombuffer(data[:usable], dtype="<i2").astype(np.float64)
+    if channels > 1:
+        sig = sig.reshape(-1, channels).mean(axis=1)
+    return sig, rate
+
+
+def _pcm_feature_row(payload: bytes):
+    """(n_samples, sample_rate, duration_s, rms, peak, zero_crossings,
+    clip_ratio, silence_ratio) or all-None. Thresholds: clip at |s| >=
+    32256 (98.4% of int16 full scale — catches near-full-scale limiting,
+    not just exact rail hits), silence at |s| < 328 (~1% full scale).
+    All accumulations are exact integer sums cast to float64 at the final
+    division, so a SQL oracle replaying the same integers reproduces the
+    rounded values bit-for-bit."""
+    import numpy as np
+
+    dec = pcm_samples(payload)
+    if dec is None:
+        return (None,) * 8
+    sig, rate = dec
+    n = sig.shape[0]
+    if n == 0:
+        return (0, rate, 0.0, None, None, 0, None, None)
+    a = np.abs(sig)
+    rms = float(np.sqrt(np.dot(sig, sig) / n))
+    zerox = int(np.count_nonzero(sig[1:] * sig[:-1] < 0))
+    return (
+        int(n),
+        int(rate),
+        float(n / rate),
+        rms,
+        float(a.max()),
+        zerox,
+        float(np.count_nonzero(a >= 32256) / n),
+        float(np.count_nonzero(a < 328) / n),
+    )
+
+
+PCM_FEATURES_TYPE = StructType(
+    [
+        StructField("n_samples", LongType(), True),
+        StructField("sample_rate", LongType(), True),
+        StructField("duration_s", DoubleType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("peak", DoubleType(), True),
+        StructField("zero_crossings", LongType(), True),
+        StructField("clip_ratio", DoubleType(), True),
+        StructField("silence_ratio", DoubleType(), True),
+    ]
+)
+
+
+def audio_pcm_features(
+    df: DataFrame, bin_col: str = "payload", out_col: str = "pcm"
+) -> DataFrame:
+    """Adds a ``struct<n_samples, sample_rate, duration_s, rms, peak,
+    zero_crossings, clip_ratio, silence_ratio>`` column of REAL signal
+    features decoded from PCM16 WAV payloads (NULL fields for non-PCM
+    payloads — never fabricated). The audio-quality gate of a speech
+    pipeline (silence/clipping screens, loudness bucketing) as one
+    map-side Arrow-batched projection: no shuffle, numpy-vectorized per
+    payload, linear in payload bytes."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(PCM_FEATURES_TYPE)
+    def _feats(payload):
+        rows = [_pcm_feature_row(p) for p in payload]
+        return pd.DataFrame(
+            rows, columns=[f.name for f in PCM_FEATURES_TYPE.fields]
+        )
+
+    return df.withColumn(out_col, _feats(F.col(bin_col)))
+
+
 def media_metadata(
     df: DataFrame, url_col: str = "url", bin_col: str = "payload",
     media_type: str = "binary",

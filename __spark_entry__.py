@@ -302,7 +302,24 @@ def q_pack_shards(spark, sf_dir):
         F.col("last_id").alias("frag_len"),
         nul.alias("seq_offset"),
     )
-    return ps.unionByName(sq).unionByName(mf)
+    # (4) epoch — reproducible seed-keyed global training order
+    # (sampling.epoch_shuffle, blocked row_number over the md5 key — no
+    # global window); two epochs prove order independence. epoch rides
+    # seq_id, position rides seq_offset.
+    from textractssmlprocessor_spark.operators.sampling import epoch_shuffle
+
+    out = ps.unionByName(sq).unionByName(mf)
+    for ep in (0, 1):
+        e = epoch_shuffle(d.select("doc_id"), epoch=ep).select(
+            F.lit("epoch").alias("variant"),
+            "doc_id",
+            nul.alias("n_tokens"), nul.alias("shard_id"),
+            F.lit(ep).cast("bigint").alias("seq_id"),
+            nul.alias("frag_start"), nul.alias("frag_len"),
+            F.col("epoch_pos").alias("seq_offset"),
+        )
+        out = out.unionByName(e)
+    return out
 
 
 def q_corpus_report(spark, sf_dir):
@@ -2643,6 +2660,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT, min(doc_id)::BIGINT, max(doc_id)::BIGINT,
                    NULL::BIGINT
             FROM r GROUP BY (s // 2000)
+            UNION ALL
+            -- epoch variant (sampling.epoch_shuffle): reproducible global
+            -- training order — rank by md5('v1|' || epoch || '|' || id)
+            SELECT 'epoch', doc_id, NULL::BIGINT, NULL::BIGINT,
+                   e::BIGINT,
+                   NULL::BIGINT, NULL::BIGINT,
+                   row_number() OVER (
+                       PARTITION BY e
+                       ORDER BY md5('v1|' || e::VARCHAR || '|' || doc_id::VARCHAR),
+                                doc_id
+                   )::BIGINT
+            FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS e) ep
         """,
         "corpus_report": """
             WITH tk AS (

@@ -182,3 +182,42 @@ def test_temperature_mixture_rates(spark):
     # rates feed subsample_by_group directly; kept counts land near target
     kept = subsample_by_group(docs, rates, group_col="source").filter("keep").count()
     assert abs(kept - (kept_big + kept_small)) < 60
+
+
+def test_epoch_shuffle_reproducible_total_order(spark):
+    """epoch_shuffle: a total contiguous 1..N order that depends only on
+    (salt, epoch, id) — invariant under repartitioning, different across
+    epochs, replayable from the pure formula."""
+    import hashlib
+
+    from textractssmlprocessor_spark.operators.sampling import epoch_shuffle
+
+    ids = list(range(200))
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+
+    got = {
+        r["doc_id"]: r["epoch_pos"]
+        for r in epoch_shuffle(docs, epoch=3).collect()
+    }
+    # total contiguous order
+    assert sorted(got.values()) == list(range(1, 201))
+    # pure replay: rank of md5('v1|3|id')
+    expect = {
+        i: r + 1
+        for r, i in enumerate(
+            sorted(ids, key=lambda i: hashlib.md5(f"v1|3|{i}".encode()).hexdigest())
+        )
+    }
+    assert got == expect
+    # partition-layout invariance (the df.sample()/rand() failure mode)
+    re = {
+        r["doc_id"]: r["epoch_pos"]
+        for r in epoch_shuffle(docs.repartition(17), epoch=3).collect()
+    }
+    assert re == got
+    # epochs give different orders
+    other = {
+        r["doc_id"]: r["epoch_pos"]
+        for r in epoch_shuffle(docs, epoch=4).collect()
+    }
+    assert other != got and sorted(other.values()) == list(range(1, 201))

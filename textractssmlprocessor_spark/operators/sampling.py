@@ -158,3 +158,41 @@ def temperature_mixture_rates(
         g: min(1.0, total * n * (weights[g] / wsum) / counts[g])
         for g in counts
     }
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    epoch: int = 0,
+    salt: str = "v1",
+    out_col: str = "epoch_pos",
+) -> DataFrame:
+    """Reproducible global training order for one epoch: 1-based position
+    ordered by md5(salt | epoch | id).
+
+    Why not orderBy(rand(seed)): Spark's rand draws per-partition, so the
+    order changes with partition layout and AQE decisions — a trainer
+    cannot replay epoch 17 of a previous run after the input was
+    compacted. This position depends ONLY on (salt, epoch, id) and corpus
+    membership: stable across engines, partitionings, reruns, and cluster
+    sizes; any engine can reproduce it for audit (the DuckDB oracle
+    does). Different epochs give independent orders — epoch reshuffling
+    without RNG state.
+
+    No global window: the 16-bit key prefix buckets rows into 65536
+    ordered blocks and ordering.blocked_row_number composes per-block
+    row_number with exclusive cumulative block counts (prefix order is
+    consistent with full-key order by construction). ``id_col``
+    tie-breaks duplicate ids so the order stays total."""
+    from .ordering import blocked_row_number
+
+    key = F.md5(
+        F.concat(F.lit(f"{salt}|{epoch}|"), F.col(id_col).cast("string"))
+    )
+    block = F.conv(F.substring(key, 1, 4), 16, 10).cast("bigint")
+    return blocked_row_number(
+        df.withColumn("_ekey", key),
+        block,
+        [F.col("_ekey"), F.col(id_col)],
+        out=out_col,
+    ).drop("_ekey")

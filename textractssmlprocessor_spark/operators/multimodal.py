@@ -11,12 +11,15 @@ for PNG (``decode_png_pixels``: zlib inflate + all five scanline filters +
 palette expansion) and baseline JPEG (marker walk, canonical Huffman,
 dequant + numpy IDCT, YCbCr->RGB), both exposed distributed as
 ``image_pixels``, GIF (``decode_gif_pixels``: LZW expansion +
-interlace reorder + palette, first frame), and PROGRESSIVE JPEG
+interlace reorder + palette, first frame), PROGRESSIVE JPEG
 (``decode_jpeg_progressive_pixels``: SOF2 spectral-selection +
-successive-approximation scan accumulation, T.81 Annex G). The decode
-chain covers the formats that make up essentially all web images;
+successive-approximation scan accumulation, T.81 Annex G), and
+WEBP-LOSSLESS (``decode_vp8l_pixels``: canonical prefix codes, LZ77
+with the plane-code map, color cache, and the four inverse transforms
+per the public VP8L spec / RFC 9649). The decode chain covers the
+formats that make up essentially all web images;
 ``decode_image_stub(fake=False)`` raises NotImplementedError only for
-payloads outside them.
+payloads outside them (lossy VP8 is an arithmetic-coded codec).
 Everything Spark-side — schema, Arrow batch shape, mapInPandas
 partitioning — is real and tested.
 """
@@ -78,6 +81,7 @@ def decode_image_stub(payload: bytes, fake: bool = True) -> tuple[int, int]:
             or decode_jpeg_pixels(payload)
             or decode_jpeg_progressive_pixels(payload)
             or decode_gif_pixels(payload)
+            or decode_vp8l_pixels(payload)
         )
         if decoded is None:
             raise NotImplementedError(
@@ -349,6 +353,412 @@ PIXELS_SCHEMA = StructType(
 )
 
 
+# --- WebP lossless (VP8L) decode ---------------------------------------------
+# Public spec: "WebP Lossless Bitstream Specification" (RFC 9649 §5 / the
+# specs_webp_lossless_bitstream document). VP8L is entropy coding (canonical
+# prefix codes + LZ77 + color cache) plus four reversible transforms — unlike
+# lossy VP8 it has no arithmetic coder or loop filter, so a stdlib decode is
+# tractable the same way PNG/GIF/JPEG above are.
+
+
+class _Vp8lBits:
+    """LSB-first bit reader (DEFLATE convention). Raises IndexError past
+    the end — callers catch and return None (containment rule)."""
+
+    __slots__ = ("b", "pos")
+
+    def __init__(self, data: bytes, bitpos: int = 0):
+        self.b = data
+        self.pos = bitpos
+
+    def read(self, n: int) -> int:
+        v = 0
+        for k in range(n):
+            byte = self.b[(self.pos + k) >> 3]
+            v |= ((byte >> ((self.pos + k) & 7)) & 1) << k
+        self.pos += n
+        return v
+
+
+def _vp8l_canonical(code_lengths: list) -> tuple[dict, int]:
+    """Canonical prefix code from per-symbol lengths (DEFLATE rule: codes
+    assigned in (length, symbol) order). Returns ({(len, code): symbol},
+    n_nonzero); a single-symbol code decodes with ZERO bits consumed."""
+    syms = [(ln, s) for s, ln in enumerate(code_lengths) if ln > 0]
+    if len(syms) <= 1:
+        return ({(0, 0): syms[0][1]} if syms else {}, len(syms))
+    syms.sort()
+    table, code, prev_len = {}, 0, syms[0][0]
+    for ln, s in syms:
+        code <<= ln - prev_len
+        prev_len = ln
+        table[(ln, code)] = s
+        code += 1
+    return table, len(syms)
+
+
+def _vp8l_read_symbol(br: _Vp8lBits, huff: tuple) -> int:
+    table, n = huff
+    if n == 0:
+        raise ValueError("empty prefix code")
+    if n == 1:
+        return table[(0, 0)]
+    code, ln = 0, 0
+    while True:
+        code = (code << 1) | br.read(1)
+        ln += 1
+        if (ln, code) in table:
+            return table[(ln, code)]
+        if ln > 15:
+            raise ValueError("invalid prefix code stream")
+
+
+# code-length-code symbol order (spec §5.2.2)
+_VP8L_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+
+def _vp8l_read_prefix_code(br: _Vp8lBits, alphabet_size: int) -> tuple:
+    if br.read(1):  # simple code: 1 or 2 symbols, canonical over values
+        num_symbols = br.read(1) + 1
+        first_8bit = br.read(1)
+        s0 = br.read(8 if first_8bit else 1)
+        lengths = [0] * alphabet_size
+        lengths[s0] = 1
+        if num_symbols == 2:
+            lengths[br.read(8)] = 1
+        return _vp8l_canonical(lengths)
+    num_clc = 4 + br.read(4)
+    clc_lengths = [0] * 19
+    for i in range(num_clc):
+        clc_lengths[_VP8L_CLC_ORDER[i]] = br.read(3)
+    clc = _vp8l_canonical(clc_lengths)
+    # optional cap on how many symbol lengths are coded (spec: max_symbol)
+    if br.read(1):
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    symbol, prev_len = 0, 8  # default repeat length per spec
+    while symbol < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        cl = _vp8l_read_symbol(br, clc)
+        if cl < 16:
+            lengths[symbol] = cl
+            symbol += 1
+            if cl != 0:
+                prev_len = cl
+        else:
+            extra, offset = ((2, 3), (3, 3), (7, 11))[cl - 16]
+            repeat = br.read(extra) + offset
+            fill = prev_len if cl == 16 else 0
+            for _ in range(min(repeat, alphabet_size - symbol)):
+                lengths[symbol] = fill
+                symbol += 1
+    return _vp8l_canonical(lengths)
+
+
+def _vp8l_copy_value(br: _Vp8lBits, code: int) -> int:
+    """LZ77 length/distance prefix coding (spec §4.2.2): 1-based value."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _vp8l_dist_map() -> list:
+    """The 120-entry plane-code -> (dx, dy) neighborhood map (spec §4.2.2).
+    Generated from its defining rule instead of transcribed: candidate
+    offsets are the dy=0 row dx in 1..8 plus dy in 1..7 with dx in -7..8
+    (120 total), sorted by (dx^2 + dy^2, |dx|, sign) — positive dx before
+    negative at the same magnitude."""
+    cands = [(dx, 0) for dx in range(1, 9)] + [
+        (dx, dy) for dy in range(1, 8) for dx in range(-7, 9)
+    ]
+    cands.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], abs(p[0]), p[0] < 0))
+    return cands
+
+
+_VP8L_DIST_MAP = _vp8l_dist_map()
+
+
+def _vp8l_add_px(a: int, b: int) -> int:
+    """Per-channel (mod 256) pixel addition on packed ARGB: the two
+    alternating channel pairs are summed separately so one channel's
+    carry lands in the masked-off gap, never in its neighbor."""
+    rb = ((a & 0x00FF00FF) + (b & 0x00FF00FF)) & 0x00FF00FF
+    ag = ((((a >> 8) & 0x00FF00FF) + ((b >> 8) & 0x00FF00FF)) & 0x00FF00FF) << 8
+    return ag | rb
+
+
+def _vp8l_avg2(a: int, b: int) -> int:
+    return (
+        ((((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b & 0xFFFFFFFF)) & 0xFFFFFFFF
+    )
+
+
+def _vp8l_predict(mode: int, L: int, T: int, TL: int, TR: int) -> int:
+    """The 14 spatial predictors (spec §4.2.1.1); per-channel math on
+    packed ARGB, clamps and truncation mirroring the reference C."""
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _vp8l_avg2(_vp8l_avg2(L, TR), T)
+    if mode == 6:
+        return _vp8l_avg2(L, TL)
+    if mode == 7:
+        return _vp8l_avg2(L, T)
+    if mode == 8:
+        return _vp8l_avg2(TL, T)
+    if mode == 9:
+        return _vp8l_avg2(T, TR)
+    if mode == 10:
+        return _vp8l_avg2(_vp8l_avg2(L, TL), _vp8l_avg2(T, TR))
+
+    def ch(p: int) -> tuple:
+        return ((p >> 24) & 255, (p >> 16) & 255, (p >> 8) & 255, p & 255)
+
+    lc, tc, tlc = ch(L), ch(T), ch(TL)
+    if mode == 11:
+        # Select: whichever of T/L is closer to T+L-TL; |p-T| reduces to
+        # |L-TL| and |p-L| to |T-TL| per channel, T wins ties
+        d_to_t = sum(abs(lc[i] - tlc[i]) for i in range(4))
+        d_to_l = sum(abs(tc[i] - tlc[i]) for i in range(4))
+        return T if d_to_t <= d_to_l else L
+    if mode == 12:  # ClampAddSubtractFull
+        return sum(
+            max(0, min(255, lc[i] + tc[i] - tlc[i])) << (24 - 8 * i)
+            for i in range(4)
+        )
+    # mode 13: ClampAddSubtractHalf(avg2(L, T), TL) with C truncation
+    ac = ch(_vp8l_avg2(L, T))
+    out = 0
+    for i in range(4):
+        d = ac[i] - tlc[i]
+        half = d // 2 if d >= 0 else -((-d) // 2)  # trunc toward zero
+        out |= max(0, min(255, ac[i] + half)) << (24 - 8 * i)
+    return out
+
+
+def _vp8l_decode_image(br: _Vp8lBits, w: int, h: int, is_level0: bool):
+    """Spec §5.2.3 DecodeImageStream: returns (pixels-as-ARGB-list,
+    transforms-read, final coded width). Sub-images (transform data,
+    entropy image, palette) recurse with is_level0=False."""
+    transforms = []
+    cur_w = w
+    if is_level0:
+        seen = set()
+        while br.read(1):
+            ttype = br.read(2)
+            if ttype in seen:
+                raise ValueError("duplicate transform")
+            seen.add(ttype)
+            if ttype == 2:  # subtract green
+                transforms.append(("subgreen", None, cur_w))
+            elif ttype in (0, 1):  # predictor / color
+                size_bits = br.read(3) + 2
+                bw = -(-cur_w // (1 << size_bits))
+                bh = -(-h // (1 << size_bits))
+                sub, _, _ = _vp8l_decode_image(br, bw, bh, False)
+                name = "pred" if ttype == 0 else "color"
+                transforms.append((name, (size_bits, bw, sub), cur_w))
+            else:  # 3: color indexing with pixel bundling
+                n_colors = br.read(8) + 1
+                pal_raw, _, _ = _vp8l_decode_image(br, n_colors, 1, False)
+                palette, prev = [], 0
+                for p in pal_raw:  # palette entries are delta-coded
+                    prev = _vp8l_add_px(prev, p)
+                    palette.append(prev)
+                width_bits = (
+                    3 if n_colors <= 2 else 2 if n_colors <= 4
+                    else 1 if n_colors <= 16 else 0
+                )
+                transforms.append(("index", (palette, width_bits), cur_w))
+                cur_w = -(-cur_w // (1 << width_bits))
+    cache_bits = br.read(4) if br.read(1) else 0
+    if cache_bits > 11:
+        raise ValueError("invalid color-cache size")
+    meta_idx, meta_w, prec = None, 0, 0
+    if is_level0 and br.read(1):  # meta prefix codes
+        prec = br.read(3) + 2
+        meta_w = -(-cur_w // (1 << prec))
+        meta_h = -(-h // (1 << prec))
+        meta_img, _, _ = _vp8l_decode_image(br, meta_w, meta_h, False)
+        meta_idx = [(p >> 8) & 0xFFFF for p in meta_img]
+    n_groups = (max(meta_idx) + 1) if meta_idx else 1
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    alphabets = (256 + 24 + cache_size, 256, 256, 256, 40)
+    groups = [
+        [_vp8l_read_prefix_code(br, a) for a in alphabets]
+        for _ in range(n_groups)
+    ]
+    npix = cur_w * h
+    out = [0] * npix
+    cache = [0] * cache_size if cache_size else None
+    pos = 0
+    while pos < npix:
+        if meta_idx is not None:
+            x, y = pos % cur_w, pos // cur_w
+            g = groups[meta_idx[(y >> prec) * meta_w + (x >> prec)]]
+        else:
+            g = groups[0]
+        s = _vp8l_read_symbol(br, g[0])
+        if s < 256:  # literal: green read first, then red, blue, alpha
+            red = _vp8l_read_symbol(br, g[1])
+            blue = _vp8l_read_symbol(br, g[2])
+            alpha = _vp8l_read_symbol(br, g[3])
+            px = (alpha << 24) | (red << 16) | (s << 8) | blue
+            out[pos] = px
+            pos += 1
+            if cache is not None:
+                cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+        elif s < 280:  # LZ77 backward reference
+            length = _vp8l_copy_value(br, s - 256)
+            dist_code = _vp8l_copy_value(br, _vp8l_read_symbol(br, g[4]))
+            if dist_code > 120:
+                dist = dist_code - 120
+            else:
+                dx, dy = _VP8L_DIST_MAP[dist_code - 1]
+                dist = max(1, dy * cur_w + dx)
+            if dist > pos or pos + length > npix:
+                raise ValueError("LZ77 reference out of bounds")
+            for _ in range(length):
+                px = out[pos - dist]
+                out[pos] = px
+                pos += 1
+                if cache is not None:
+                    cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+        else:  # color-cache hit
+            if cache is None or s - 280 >= cache_size:
+                raise ValueError("cache hit without cache")
+            out[pos] = cache[s - 280]
+            pos += 1
+    return out, transforms, cur_w
+
+
+def decode_vp8l_pixels(payload: bytes) -> tuple[int, int, int, bytes] | None:
+    """REAL WebP-lossless pixel decode, pure stdlib: RIFF walk to the VP8L
+    chunk, LSB-first bitstream, canonical prefix codes (simple + full
+    code-length coding), LZ77 with the generated plane-code map, color
+    cache, meta prefix groups, and all four inverse transforms (predictor
+    with the reference's flat-buffer edge semantics, color with signed>>5
+    delta math, subtract-green, color-indexing with pixel bundling).
+    Returns (width, height, 4, row-major RGBA bytes) or None for non-VP8L
+    payloads (lossy VP8 stays honestly undecoded — it is an
+    arithmetic-coded codec, not an entropy+transform format), corrupt
+    streams, or header dims past the decode cap."""
+    try:
+        if payload is None:
+            return None
+        b = bytes(payload)
+        if b[:4] != b"RIFF" or len(b) < 20 or b[8:12] != b"WEBP":
+            return None
+        # chunk walk: top-level VP8L, or VP8L inside a VP8X container
+        import struct
+
+        i, stream = 12, None
+        while i + 8 <= len(b):
+            tag = b[i : i + 4]
+            size = struct.unpack("<I", b[i + 4 : i + 8])[0]
+            if tag == b"VP8L":
+                stream = b[i + 8 : i + 8 + size]
+                break
+            i += 8 + size + (size & 1)
+        if stream is None or len(stream) < 5 or stream[0] != 0x2F:
+            return None
+        br = _Vp8lBits(stream, 8)
+        w = br.read(14) + 1
+        h = br.read(14) + 1
+        br.read(1)  # alpha hint
+        if br.read(3) != 0:  # version must be 0
+            return None
+        if w * h > _MAX_DECODE_PIXELS:
+            return None
+        argb, transforms, cur_w = _vp8l_decode_image(br, w, h, True)
+        for name, data, t_w in reversed(transforms):
+            if name == "subgreen":
+                argb = [
+                    (p & 0xFF00FF00)
+                    | (((((p >> 16) & 255) + ((p >> 8) & 255)) & 255) << 16)
+                    | ((p + ((p >> 8) & 255)) & 255)
+                    for p in argb
+                ]
+            elif name == "index":
+                palette, width_bits = data
+                ppb, bpp = 1 << width_bits, 8 >> width_bits
+                packed_w = -(-t_w // ppb)
+                mask = (1 << bpp) - 1
+                expanded = [0] * (t_w * h)
+                for y in range(h):
+                    row = y * packed_w
+                    for x in range(t_w):
+                        idx = (
+                            (argb[row + x // ppb] >> 8) >> ((x % ppb) * bpp)
+                        ) & mask
+                        if idx < len(palette):
+                            expanded[y * t_w + x] = palette[idx]
+                argb, cur_w = expanded, t_w
+            elif name == "color":
+                size_bits, bw, sub = data
+                for pos in range(t_w * h):
+                    x, y = pos % t_w, pos // t_w
+                    cte = sub[(y >> size_bits) * bw + (x >> size_bits)]
+                    g2r, g2b, r2b = cte & 255, (cte >> 8) & 255, (cte >> 16) & 255
+                    p = argb[pos]
+                    green = (p >> 8) & 255
+
+                    def s8(v: int) -> int:
+                        return v - 256 if v > 127 else v
+
+                    red = ((p >> 16) & 255) + ((s8(g2r) * s8(green)) >> 5)
+                    red &= 255
+                    blue = (p & 255) + ((s8(g2b) * s8(green)) >> 5)
+                    blue = (blue + ((s8(r2b) * s8(red)) >> 5)) & 255
+                    argb[pos] = (p & 0xFF00FF00) | (red << 16) | blue
+            elif name == "pred":
+                size_bits, bw, sub = data
+                for pos in range(t_w * h):
+                    x, y = pos % t_w, pos // t_w
+                    if x == 0 and y == 0:
+                        pred = 0xFF000000
+                    elif y == 0:
+                        pred = argb[pos - 1]
+                    elif x == 0:
+                        pred = argb[pos - t_w]
+                    else:
+                        mode = (
+                            sub[(y >> size_bits) * bw + (x >> size_bits)] >> 8
+                        ) & 255
+                        pred = _vp8l_predict(
+                            mode,
+                            argb[pos - 1],
+                            argb[pos - t_w],
+                            argb[pos - t_w - 1],
+                            argb[pos - t_w + 1],  # right edge wraps (flat buffer)
+                        )
+                    argb[pos] = _vp8l_add_px(argb[pos], pred)
+        rgba = bytearray(w * h * 4)
+        for i, p in enumerate(argb):
+            rgba[4 * i] = (p >> 16) & 255
+            rgba[4 * i + 1] = (p >> 8) & 255
+            rgba[4 * i + 2] = p & 255
+            rgba[4 * i + 3] = (p >> 24) & 255
+        return (w, h, 4, bytes(rgba))
+    except (IndexError, ValueError, KeyError):
+        return None  # truncated/corrupt stream: None, not a dead task
+
+
 def image_pixels(
     df: DataFrame, url_col: str = "url", bin_col: str = "payload",
 ) -> DataFrame:
@@ -367,6 +777,7 @@ def image_pixels(
                 or decode_jpeg_pixels(p)
                 or decode_jpeg_progressive_pixels(p)
                 or decode_gif_pixels(p)
+                or decode_vp8l_pixels(p)
             )
         except Exception:
             return None  # truncated/corrupt stream: NULL row, not a dead job
@@ -847,6 +1258,7 @@ def dhash64(payload: bytes) -> int | None:
             or decode_jpeg_pixels(payload)
             or decode_jpeg_progressive_pixels(payload)
             or decode_gif_pixels(payload)
+            or decode_vp8l_pixels(payload)
         )
     except Exception:
         return None  # truncated/corrupt stream: NULL, not a dead job

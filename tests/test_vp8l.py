@@ -495,3 +495,39 @@ def test_dispatch_and_dhash_bridge():
     webp = _encode_literals(pixels, 8, 8)
     assert decode_image_stub(webp, fake=False) == (8, 8)
     assert dhash64(webp) == dhash64(_png_sibling(pixels, 8, 8))
+
+
+def test_meta_prefix_groups():
+    """Two prefix-code groups selected by a 2x1 entropy image (precision
+    4x4 blocks over an 8x4 canvas): left half decodes with group 0's
+    codes, right half with group 1's — pixel values prove which group
+    served each position."""
+    w, h, prec = 8, 4, 2  # 1<<2 = 4-pixel blocks -> meta image is 2x1
+    left, right = 0xFF101010, 0xFF505050
+    pixels = [left if x < 4 else right for _ in range(h) for x in range(8)]
+
+    bw = _BW()
+    bw.w(0, 1)  # no transforms
+    bw.w(0, 1)  # no color cache
+    bw.w(1, 1)  # use meta prefix codes
+    bw.w(prec - 2, 3)
+    # entropy image 2x1: group index rides (pixel >> 8) & 0xffff, so green
+    # holds the low 8 bits: group 0 then group 1
+    _encode_image(bw, [("lit", 0 << 8), ("lit", 1 << 8)])
+    # two groups, each knowing ONLY its half's color: a group mixup makes
+    # the decoder read a symbol the other group's code cannot express
+    for px in (left, right):
+        canons = []
+        for vals, alphabet in (
+            ([(px >> 8) & 255], 280),
+            ([(px >> 16) & 255], 256),
+            ([px & 255], 256),
+            ([(px >> 24) & 255], 256),
+            ([0], 40),
+        ):
+            canons.append(
+                _write_prefix_code(bw, dict.fromkeys(vals, 1), alphabet)
+            )
+    # every pixel is its group's single literal: zero bits per pixel
+    got = decode_vp8l_pixels(_container(bw, w, h))
+    assert got == (w, h, 4, _rgba(pixels))

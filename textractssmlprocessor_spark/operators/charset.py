@@ -182,12 +182,17 @@ def sniff_encoding(payload: bytes) -> str:
         return "cp1252"
 
 
+# WHATWG x-user-defined: ASCII bytes pass through, 0x80-0xFF map to the
+# private-use plane U+F780..U+F7FF. Applied as a C-level str.translate
+# (via latin-1) — a per-byte Python loop would let one hostile 100 MB
+# payload declaring this label stall an executor task.
+_X_USER_DEFINED_TABLE = {
+    b: 0xF780 + b - 0x80 for b in range(0x80, 0x100)
+}
+
+
 def _decode_x_user_defined(payload: bytes) -> str:
-    # WHATWG x-user-defined: ASCII bytes pass through, 0x80-0xFF map to the
-    # private-use plane U+F780..U+F7FF
-    return "".join(
-        chr(b) if b < 0x80 else chr(0xF780 + b - 0x80) for b in payload
-    )
+    return payload.decode("latin-1").translate(_X_USER_DEFINED_TABLE)
 
 
 def decode_payload(payload: bytes | None) -> tuple[str | None, str | None]:

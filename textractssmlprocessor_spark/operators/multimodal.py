@@ -603,8 +603,13 @@ def _vp8l_decode_image(br: _Vp8lBits, w: int, h: int, is_level0: bool):
         [_vp8l_read_prefix_code(br, a) for a in alphabets]
         for _ in range(n_groups)
     ]
+    from array import array
+
     npix = cur_w * h
-    out = [0] * npix
+    # typed u32 buffer, not a Python int list: 4 bytes/pixel keeps a
+    # cap-sized (64 MP) hostile image at ~256 MB instead of gigabytes of
+    # boxed ints — the same OOM-containment rule as _MAX_DECODE_PIXELS
+    out = array("I", bytes(4 * npix))
     cache = [0] * cache_size if cache_size else None
     pos = 0
     while pos < npix:
@@ -688,18 +693,21 @@ def decode_vp8l_pixels(payload: bytes) -> tuple[int, int, int, bytes] | None:
         argb, transforms, cur_w = _vp8l_decode_image(br, w, h, True)
         for name, data, t_w in reversed(transforms):
             if name == "subgreen":
-                argb = [
-                    (p & 0xFF00FF00)
-                    | (((((p >> 16) & 255) + ((p >> 8) & 255)) & 255) << 16)
-                    | ((p + ((p >> 8) & 255)) & 255)
-                    for p in argb
-                ]
+                for pos, p in enumerate(argb):
+                    g = (p >> 8) & 255
+                    argb[pos] = (
+                        (p & 0xFF00FF00)
+                        | (((((p >> 16) & 255) + g) & 255) << 16)
+                        | ((p + g) & 255)
+                    )
             elif name == "index":
+                from array import array
+
                 palette, width_bits = data
                 ppb, bpp = 1 << width_bits, 8 >> width_bits
                 packed_w = -(-t_w // ppb)
                 mask = (1 << bpp) - 1
-                expanded = [0] * (t_w * h)
+                expanded = array("I", bytes(4 * t_w * h))
                 for y in range(h):
                     row = y * packed_w
                     for x in range(t_w):

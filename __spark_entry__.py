@@ -1148,6 +1148,20 @@ def q_cleaning_suite(spark, sf_dir):
             ).otherwise(F.lit("")),
             F.lit("Final thoughts here. Another one! A question? Yes indeed."),
         ).alias("tl"),
+        # bad-words seed: %3 toggles a punctuation-split single-word hit, a
+        # case/whitespace-normalized phrase hit, and a clean branch (plus
+        # 'crummy alone and stuff apart' proving adjacency is required)
+        F.concat(
+            F.lit("Perfectly clean opener with crummy alone and stuff apart. "),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("This page has BadWord, content. ")
+            )
+            .when(
+                F.col("doc_id") % 3 == 1, F.lit("totally Crummy   STUFF appears. ")
+            )
+            .otherwise(F.lit("")),
+            F.substring("text", 1, 40),
+        ).alias("tb"),
     )
     # F1: drop short all-caps lines
     kept = F.filter(
@@ -1177,9 +1191,14 @@ def q_cleaning_suite(spark, sf_dir):
     )
 
     # C4 line/document rules (content.c4_line_columns, Raffel et al. 2020)
-    from textractssmlprocessor_spark.operators.content import c4_line_columns
+    # + the C4 bad-words document filter (content.badword_columns)
+    from textractssmlprocessor_spark.operators.content import (
+        badword_columns,
+        c4_line_columns,
+    )
 
     c4 = c4_line_columns(F.col("tl"))
+    bw = badword_columns(F.col("tb"), ("BadWord!", "Crummy Stuff"))
     return d.select(
         "doc_id",
         F.array_join(kept, "\n").alias("no_headers"),
@@ -1187,6 +1206,7 @@ def q_cleaning_suite(spark, sf_dir):
         F.array_join(tc_lines, "\n").alias("cleaned"),
         drop_repeated_lines_within(F.col("tr")).alias("no_repeats"),
         *[c.alias(name) for name, c in c4.items()],
+        *[c.alias(name) for name, c in bw.items()],
     )
 
 
@@ -3882,8 +3902,25 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN doc_id % 5 = 0 THEN 'lorem ipsum dolor sit amet.'
                             ELSE 'Second good sentence is right here.' END || chr(10) ||
                        CASE WHEN doc_id % 7 = 0 THEN 'code block { display: none; }' || chr(10) ELSE '' END ||
-                       'Final thoughts here. Another one! A question? Yes indeed.' AS tl
+                       'Final thoughts here. Another one! A question? Yes indeed.' AS tl,
+                       'Perfectly clean opener with crummy alone and stuff apart. ' ||
+                       CASE WHEN doc_id % 3 = 0 THEN 'This page has BadWord, content. '
+                            WHEN doc_id % 3 = 1 THEN 'totally Crummy   STUFF appears. '
+                            ELSE '' END || substr(text, 1, 40) AS tb
                 FROM documents
+            ),
+            -- bad-words replay (content.badword_columns): lowercase,
+            -- [^a-z0-9]+ token split, space-rejoin+pad, ' entry '
+            -- substring per normalized list entry
+            bwm AS (
+                SELECT doc_id,
+                       list_filter(['badword', 'crummy stuff'],
+                           w -> contains(
+                               ' ' || array_to_string(
+                                   list_filter(string_split_regex(lower(tb), '[^a-z0-9]+'), x -> x != ''),
+                                   ' ') || ' ',
+                               ' ' || w || ' ')) AS matched
+                FROM d
             ),
             rl AS (
                 SELECT doc_id, string_split(tr, chr(10)) AS ls,
@@ -3935,8 +3972,11 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]'))::BIGINT AS c4_n_sentences,
                    (CASE WHEN len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]')) >= 5
                          AND NOT contains(lower(tl), 'lorem ipsum')
-                         AND NOT contains(tl, '{') THEN 1 ELSE 0 END)::BIGINT AS c4_keep
-            FROM d JOIN c4k USING (doc_id)
+                         AND NOT contains(tl, '{') THEN 1 ELSE 0 END)::BIGINT AS c4_keep,
+                   len(matched)::BIGINT AS bw_hits,
+                   list_sort(matched)[1] AS bw_first,
+                   (CASE WHEN len(matched) = 0 THEN 1 ELSE 0 END)::BIGINT AS bw_keep
+            FROM d JOIN c4k USING (doc_id) JOIN bwm USING (doc_id)
         """,
         "split_sections": """
             WITH d AS (

@@ -48,3 +48,62 @@ def test_doc_verdict_lorem_and_brace(spark):
     # the brace can sit on a DROPPED line and still kill the page (the
     # rule inspects the raw document, not the kept text)
     assert _run(spark, base + "\nfunction() { return; }")["c4_keep"] == 0
+
+
+# ---- bad-words document filter (content.badword_columns / _hits_join) ----
+
+BW = ("BadWord!", "Crummy Stuff", "spamcontent")
+
+DOCS = [
+    (1, "A clean page. Nothing to see."),
+    (2, "This has BadWord, in it."),
+    (3, "totally Crummy   STUFF appears here"),
+    (4, "crummy alone and stuff alone do not match"),
+    (5, None),
+    (6, "badword and crummy stuff both"),
+    (7, "badwording is a different token"),
+]
+
+EXPECT = {
+    1: (0, None, 1),
+    2: (1, "badword", 0),        # punctuation-split token matches
+    3: (1, "crummy stuff", 0),   # case + whitespace normalization
+    4: (0, None, 1),             # phrase needs ADJACENT tokens
+    5: (0, None, 1),             # NULL text behaves as empty
+    6: (2, "badword", 0),        # distinct-entry count, alpha-first
+    7: (0, None, 1),             # word boundary: no substring hits
+}
+
+
+def test_badword_columns_literal_form(spark):
+    from textractssmlprocessor_spark.operators.content import badword_columns
+
+    df = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    cols = badword_columns(F.col("text"), BW)
+    rows = {
+        r["doc_id"]: (r["bw_hits"], r["bw_first"], r["bw_keep"])
+        for r in df.select("doc_id", *[c.alias(k) for k, c in cols.items()]).collect()
+    }
+    assert rows == EXPECT
+
+
+def test_badword_hits_join_matches_literal_form(spark):
+    from textractssmlprocessor_spark.operators.content import badword_hits_join
+
+    df = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    wl = spark.createDataFrame([(w,) for w in BW], "word string")
+    rows = {
+        r["doc_id"]: (r["bw_hits"], r["bw_first"], r["bw_keep"])
+        for r in badword_hits_join(df, wl, max_phrase_words=3).collect()
+    }
+    assert rows == EXPECT
+
+
+def test_badword_join_form_is_broadcast_no_doc_side_wide_shuffle(spark):
+    from textractssmlprocessor_spark.operators.content import badword_hits_join
+
+    df = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    wl = spark.createDataFrame([(w,) for w in BW], "word string")
+    plan = badword_hits_join(df, wl)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -200,3 +200,157 @@ def c4_line_columns(col: Column, min_words: int = 3) -> dict[str, Column]:
         "c4_n_sentences": n_sent.cast("bigint"),
         "c4_keep": keep,
     }
+
+
+# --------------------------------------------------------------------------
+# C4 bad-words document filter (Raffel et al. 2020 §2.2: "We removed any
+# page that contained any word on the 'List of Dirty, Naughty, Obscene or
+# Otherwise Bad Words'"). The public C4 pipeline matches list entries on
+# word boundaries, phrases as contiguous word sequences. Both engines see
+# the same normalization: lowercase, split on ASCII [^a-z0-9]+ (ASCII-only
+# so Java and RE2 agree), rejoin with single spaces, pad with one space on
+# each side; an entry hits iff ' entry ' is a substring. Single words and
+# multi-word phrases thus share one code path.
+#
+# Scale shapes:
+#   * `badword_columns` — the literal-list form: the list rides the plan
+#     as an array literal scanned per row by a higher-order filter. Pure
+#     map-side, zero shuffle, zero Python; right for lists up to a few
+#     thousand entries (the real LDNOOBW en list is ~400).
+#   * `badword_hits_join` — the broadcast-join form for big lists (all
+#     languages of LDNOOBW is ~25k entries, or org-specific blocklists):
+#     explode each doc's distinct 1..max_phrase_words token n-grams once,
+#     broadcast-join the wordlist table, aggregate hits per doc. The doc
+#     side never shuffles on data volume — one explode + one partial agg.
+#
+# The default list is a deterministic PLACEHOLDER (tests and the contract
+# query seed their own hits); production callers pass the LDNOOBW list
+# (or any blocklist) via `words=` / `words_df`.
+# --------------------------------------------------------------------------
+
+BADWORD_TOKEN_RE = "[^a-z0-9]+"
+
+DEFAULT_BADWORDS = ("badword", "crummy stuff", "spamcontent")
+
+
+def _normalize_entry(entry: str) -> str:
+    """Python-side mirror of the column normalization, applied to list
+    entries at plan-build time (lowercase, token-split, single spaces)."""
+    import re as _re
+
+    return " ".join(
+        t for t in _re.split(BADWORD_TOKEN_RE, entry.lower()) if t
+    )
+
+
+def badword_tokens(col: Column) -> Column:
+    """Normalized token array of a text column (shared by both forms)."""
+    return F.filter(
+        F.split(F.lower(F.coalesce(col, F.lit(""))), BADWORD_TOKEN_RE, -1),
+        lambda x: x != "",
+    )
+
+
+def badword_columns(
+    col: Column, words: tuple[str, ...] = DEFAULT_BADWORDS
+) -> dict[str, Column]:
+    """Bad-words verdict as named columns over a raw-text column:
+
+    - ``bw_hits``: bigint — number of DISTINCT list entries present
+    - ``bw_first``: alphabetically first matched entry (NULL if none)
+    - ``bw_keep``: bigint 0/1 document verdict (C4 drops on any hit)
+
+    bigint verdicts because the contract canonicalizer cannot hash
+    nullable booleans portably (CLAUDE.md invariant).
+    """
+    normalized = sorted({w for w in (_normalize_entry(w) for w in words) if w})
+    padded = F.concat(
+        F.lit(" "), F.array_join(badword_tokens(col), " "), F.lit(" ")
+    )
+    # matched is consumed twice (size + first) — but it is a pure
+    # expression over one row, so materialize it once via a struct-free
+    # local: both consumers reference the same Column object and Spark's
+    # subexpression elimination collapses them inside one projection.
+    matched = F.filter(
+        F.array(*[F.lit(w) for w in normalized]),
+        lambda w: padded.contains(F.concat(F.lit(" "), w, F.lit(" "))),
+    )
+    return {
+        "bw_hits": F.size(matched).cast("bigint"),
+        "bw_first": F.get(F.array_sort(matched), 0),
+        "bw_keep": (F.size(matched) == 0).cast("bigint"),
+    }
+
+
+def badword_hits_join(
+    df: DataFrame,
+    words_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_phrase_words: int = 3,
+) -> DataFrame:
+    """Broadcast-join form for big lists: returns (id_col, bw_hits,
+    bw_first, bw_keep) with the SAME semantics as `badword_columns`
+    (distinct-entry hit count) for lists whose phrases are at most
+    ``max_phrase_words`` tokens.
+
+    Shape: docs explode their distinct 1..max_phrase_words token n-grams
+    (one explode), inner-join the BROADCAST normalized wordlist, then one
+    partial-agg groupBy(id) — plus a left join back to the doc spine so
+    zero-hit docs keep a row. No corpus-side shuffle beyond the final
+    keyed agg; the wordlist never exceeds driver memory by contract
+    (blocklists are human-curated, << executor RAM).
+
+    ``words_df`` needs one string column ``word`` (raw entries; they are
+    normalized here).
+    """
+    wl = words_df.select(
+        F.array_join(badword_tokens(F.col("word")), " ").alias("w")
+    ).where(F.col("w") != "").distinct()
+    toks = df.select(id_col, badword_tokens(F.col(text_col)).alias("_t"))
+
+    def _gram_lambda(n: int):
+        # factory closure, NOT `lambda i, n=n`: F.transform inspects the
+        # lambda's arity and a defaulted second parameter silently becomes
+        # the (element, index) form (textstats._gram_lambda pattern)
+        return lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i, n))
+
+    def _grams(n: int) -> Column:
+        return F.when(
+            F.size("_t") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_t") - (n - 1)),
+                _gram_lambda(n),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    grams = toks.select(
+        id_col,
+        F.explode(
+            F.array_distinct(
+                F.flatten(
+                    F.array(*[_grams(n) for n in range(1, max_phrase_words + 1)])
+                )
+            )
+        ).alias("g"),
+    )
+    hits = (
+        grams.join(F.broadcast(wl), grams["g"] == wl["w"], "inner")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("bw_hits"),
+            F.min("w").alias("bw_first"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("bw_hits", F.lit(0).cast("bigint")).alias("bw_hits"),
+            "bw_first",
+            (F.coalesce("bw_hits", F.lit(0)) == 0).cast("bigint").alias(
+                "bw_keep"
+            ),
+        )
+    )

@@ -2054,12 +2054,26 @@ def q_main_content(spark, sf_dir):
     # header/nav/promo/footer chrome (linky or short -> dropped), docs
     # divisible by 3 add a related-links aside (dropped); the article body
     # is the document text (kept when >= 10 words). Pure map-side.
-    from textractssmlprocessor_spark.operators.content import main_content
+    # Plus page_metadata (title/description/lang/og:title) over a separate
+    # head-payload column (%4 cases: full double-quoted head with a
+    # whitespace-mangled title / content-first meta ordering / unquoted
+    # uppercase lang attr / no head), joined back by url. In production
+    # both operators run in ONE scan projection; the join here is
+    # contract-slot economy (main_content's output schema is fixed).
+    from textractssmlprocessor_spark.operators.content import (
+        main_content,
+        page_metadata,
+    )
 
-    pages = _docs(spark, sf_dir).select(
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
         F.concat(
             F.lit("https://ex.org/doc/"), F.col("doc_id").cast("string")
         ).alias("url"),
+    )
+    pages = d.select(
+        "url",
         F.concat(
             F.lit(_MC_HEADER),
             F.lit("<article><p>"), F.col("text"), F.lit("</p></article>"),
@@ -2069,7 +2083,40 @@ def q_main_content(spark, sf_dir):
             F.lit(_MC_FOOTER),
         ).alias("html"),
     )
-    return main_content(pages, min_words=10, max_link_density=0.33)
+    sid = F.col("doc_id").cast("string")
+    mh = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit('<html lang="EN-us"><head><title>  Doc '), sid,
+                F.lit("\n  and   more  </title>"),
+                F.lit('<meta name="description" content="Summary of doc '),
+                sid,
+                F.lit('"><meta property="og:title" content="OG '), sid,
+                F.lit('"></head>'),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit('<html><head><meta content="Reversed '), sid,
+                F.lit('" name="description"></head>'),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("<html LANG=fr-FR ><head><title>Solo "), sid,
+                F.lit("</title></head>"),
+            ),
+        )
+        .otherwise(F.lit("<div>No head</div>"))
+    )
+    meta = d.select(
+        "url", *[c.alias(k) for k, c in page_metadata(mh).items()]
+    )
+    mc = main_content(pages, min_words=10, max_link_density=0.33)
+    return mc.join(meta, "url")
 
 
 def q_dup_sentences(spark, sf_dir):
@@ -2396,6 +2443,11 @@ def oracle_sql() -> dict[str, str]:
     from textractssmlprocessor_spark.operators.content import (
         ANCHOR_TEXT_RE as _MC_ANCHOR_RE,
         BLOCK_SPLIT_RE as _MC_BLOCK_RE,
+        PG_DESC_CONTENT_FIRST_RE,
+        PG_DESC_NAME_FIRST_RE,
+        PG_LANG_RE,
+        PG_OG_TITLE_RE,
+        PG_TITLE_RE,
         SCRIPT_STYLE_RE as _MC_SCRIPT_RE,
         TAG_RE as _MC_TAG_RE,
     )
@@ -3549,13 +3601,41 @@ def oracle_sql() -> dict[str, str]:
             tot AS (SELECT url,
                            (count(*) FILTER (WHERE txt != ''))::BIGINT AS n_blocks,
                            sum(lc) AS slc, sum(length(txt)) AS sch
-                    FROM f GROUP BY url)
+                    FROM f GROUP BY url),
+            meta AS (
+                SELECT 'https://ex.org/doc/' || doc_id::VARCHAR AS url,
+                       CASE WHEN doc_id % 4 = 0 THEN
+                            '<html lang="EN-us"><head><title>  Doc ' || doc_id::VARCHAR
+                            || chr(10) || '  and   more  </title>'
+                            || '<meta name="description" content="Summary of doc '
+                            || doc_id::VARCHAR
+                            || '"><meta property="og:title" content="OG '
+                            || doc_id::VARCHAR || '"></head>'
+                       WHEN doc_id % 4 = 1 THEN
+                            '<html><head><meta content="Reversed ' || doc_id::VARCHAR
+                            || '" name="description"></head>'
+                       WHEN doc_id % 4 = 2 THEN
+                            '<html LANG=fr-FR ><head><title>Solo ' || doc_id::VARCHAR
+                            || '</title></head>'
+                       ELSE '<div>No head</div>' END AS mh
+                FROM documents
+            ),
+            pm AS (
+                SELECT url,
+                       nullif(trim(regexp_replace(regexp_extract(mh, '{PG_TITLE_RE}', 1), '\\s+', ' ', 'g')), '') AS pg_title,
+                       coalesce(nullif(regexp_extract(mh, '{PG_DESC_NAME_FIRST_RE}', 1), ''),
+                                nullif(regexp_extract(mh, '{PG_DESC_CONTENT_FIRST_RE}', 1), '')) AS pg_description,
+                       lower(nullif(regexp_extract(mh, '{PG_LANG_RE}', 1), '')) AS pg_lang,
+                       nullif(regexp_extract(mh, '{PG_OG_TITLE_RE}', 1), '') AS pg_og_title
+                FROM meta
+            )
             SELECT t.url,
                    coalesce(a.main_text, '') AS main_text,
                    t.n_blocks,
                    coalesce(a.n_kept, 0)::BIGINT AS n_kept,
-                   round(slc / greatest(sch, 1)::DOUBLE, 6) AS link_density
-            FROM tot t LEFT JOIN agg a USING (url)
+                   round(slc / greatest(sch, 1)::DOUBLE, 6) AS link_density,
+                   pg_title, pg_description, pg_lang, pg_og_title
+            FROM tot t LEFT JOIN agg a USING (url) JOIN pm USING (url)
         """,
         "dedup_exact": f"""
             WITH d AS ({_DOCS_WITH_DUPES_SQL}),

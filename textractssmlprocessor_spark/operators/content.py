@@ -354,3 +354,75 @@ def badword_hits_join(
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Page metadata extraction: <title>, <meta name="description">, the <html>
+# lang attribute, and <meta property="og:title">. The standard head-level
+# signals a web corpus keeps alongside main content (indexing, language
+# routing, quality rollups). Pure native regexp columns — zero Python,
+# zero shuffle; at 10^12 docs this fuses into the same scan projection as
+# `main_content`.
+#
+# Portability rules (shared verbatim with the DuckDB oracle):
+#   * quotes are matched as ["\x27] — \x27 is the apostrophe in BOTH Java
+#     and RE2, and keeps the pattern single-quote-free so it can embed in
+#     a SQL string literal without doubling;
+#   * attribute values stop at the first quote of EITHER kind (an
+#     apostrophe inside a double-quoted content truncates the extract) —
+#     the same documented subset as `weburl._OG_URL_RE`;
+#   * meta description is matched in both attribute orders (name-first
+#     and content-first) and coalesced; og:title conventionally leads
+#     with property= so only that order is matched;
+#   * '' normalizes to NULL on both engines (Spark regexp_extract returns
+#     '' on no match).
+# --------------------------------------------------------------------------
+
+PG_TITLE_RE = r"(?is)<title(?:\s[^>]*)?>([^<]*)"
+PG_LANG_RE = r"(?is)<html[^>]*?\slang\s*=\s*[\"\x27]?([a-zA-Z-]+)"
+PG_DESC_NAME_FIRST_RE = (
+    r"(?is)<meta\s[^>]*?name\s*=\s*[\"\x27]description[\"\x27]"
+    r"[^>]*?content\s*=\s*[\"\x27]([^\"\x27]*)"
+)
+PG_DESC_CONTENT_FIRST_RE = (
+    r"(?is)<meta\s[^>]*?content\s*=\s*[\"\x27]([^\"\x27]*)[\"\x27]"
+    r"[^>]*?name\s*=\s*[\"\x27]description[\"\x27]"
+)
+PG_OG_TITLE_RE = (
+    r"(?is)<meta\s[^>]*?property\s*=\s*[\"\x27]og:title[\"\x27]"
+    r"[^>]*?content\s*=\s*[\"\x27]([^\"\x27]*)"
+)
+
+
+def page_metadata(col: Column) -> dict[str, Column]:
+    """Head-level page metadata as named columns over a raw-HTML column:
+
+    - ``pg_title``: first <title> text, whitespace-collapsed + trimmed
+    - ``pg_description``: meta description content (either attr order)
+    - ``pg_lang``: <html lang> attribute, lowercased (BCP-47 case folds)
+    - ``pg_og_title``: og:title content
+
+    All NULL when absent/empty. Values are the raw attribute/body bytes
+    (entities like &amp; are NOT decoded — decoding is a per-consumer
+    choice and `functions.dom` owns the SSML-path entity semantics)."""
+    h = F.coalesce(col, F.lit(""))
+
+    def _x(pattern: str) -> Column:
+        return F.nullif(F.regexp_extract(h, pattern, 1), F.lit(""))
+
+    title = F.nullif(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_extract(h, PG_TITLE_RE, 1), r"\s+", " "
+            )
+        ),
+        F.lit(""),
+    )
+    return {
+        "pg_title": title,
+        "pg_description": F.coalesce(
+            _x(PG_DESC_NAME_FIRST_RE), _x(PG_DESC_CONTENT_FIRST_RE)
+        ),
+        "pg_lang": F.lower(_x(PG_LANG_RE)),
+        "pg_og_title": _x(PG_OG_TITLE_RE),
+    }

@@ -752,13 +752,19 @@ def q_gopher_quality(spark, sf_dir):
     # multinomials; the %5 slice plays the high-quality target corpus)
     from textractssmlprocessor_spark.operators.dsir import dsir_scores
     from textractssmlprocessor_spark.operators.lm import lm_perplexity
-    from textractssmlprocessor_spark.operators.textstats import gopher_columns
+    from textractssmlprocessor_spark.operators.textstats import (
+        gopher_columns,
+        readability_columns,
+    )
 
     d = _docs(spark, sf_dir)
     cols = gopher_columns(F.col("text"))
     # verdict flags cross the contract as bigint, never nullable boolean
     # (CLAUDE.md: pandas renders NULL bool differently per engine)
     cols["gopher_pass"] = cols["gopher_pass"].cast("bigint")
+    # Flesch/FK readability (textstats.readability_columns) rides the
+    # same map-side projection
+    cols.update(readability_columns(F.col("text")))
     g = d.select("doc_id", *[c.alias(name) for name, c in cols.items()])
     lm = lm_perplexity(d, id_col="doc_id", text_col="text").withColumnRenamed(
         "id", "doc_id"
@@ -3296,8 +3302,35 @@ def oracle_sql() -> dict[str, str]:
                        round(1.0 / (1.0 + exp(-(sum(coalesce(weight, 0.0)) + 0.25))), 6) AS clf_prob
                 FROM cells LEFT JOIN wts USING (cell) GROUP BY 1
             ),
+            -- Flesch/FK readability replay (textstats.readability_columns):
+            -- alpha-run words, [.!?]+ sentence runs clamped >= 1, syllables
+            -- = vowel-group runs + vowel-free-word clamp
+            rb AS (
+                SELECT doc_id,
+                       regexp_extract_all(coalesce(text, ''), '[A-Za-z]+') AS aw,
+                       len(regexp_extract_all(lower(coalesce(text, '')), '[aeiouy]+')) AS vr,
+                       greatest(len(regexp_extract_all(coalesce(text, ''), '[.!?]+')), 1) AS ns
+                FROM documents
+            ),
+            rdc AS (
+                SELECT doc_id,
+                       len(aw)::BIGINT AS rd_n_words,
+                       ns::BIGINT AS rd_n_sentences,
+                       (vr + len(list_filter(aw, w -> NOT regexp_matches(lower(w), '[aeiouy]'))))::BIGINT AS rd_n_syllables
+                FROM rb
+            ),
+            rdm AS (
+                SELECT doc_id, rd_n_words, rd_n_sentences, rd_n_syllables,
+                       round(206.835 - 1.015 * (rd_n_words / rd_n_sentences::DOUBLE)
+                             - 84.6 * (rd_n_syllables / (CASE WHEN rd_n_words > 0 THEN rd_n_words END)::DOUBLE), 6) AS rd_flesch,
+                       round(0.39 * (rd_n_words / rd_n_sentences::DOUBLE)
+                             + 11.8 * (rd_n_syllables / (CASE WHEN rd_n_words > 0 THEN rd_n_words END)::DOUBLE) - 15.59, 6) AS rd_fk_grade
+                FROM rdc
+            ),
             joined AS (
                 SELECT g.*,
+                       rdm.rd_n_words, rdm.rd_n_sentences, rdm.rd_n_syllables,
+                       rdm.rd_flesch, rdm.rd_fk_grade,
                        coalesce(per.lm_n_bigrams, 0)::BIGINT AS lm_n_bigrams,
                        per.lm_avg_logprob, per.lm_oov_frac,
                        coalesce(dper.dsir_n_grams, 0)::BIGINT AS dsir_n_grams,
@@ -3305,6 +3338,7 @@ def oracle_sql() -> dict[str, str]:
                        coalesce(cper.clf_n_grams, 0)::BIGINT AS clf_n_grams,
                        cper.clf_logit, cper.clf_prob
                 FROM g
+                JOIN rdm ON g.doc_id = rdm.doc_id
                 LEFT JOIN per ON g.doc_id = per.doc_id
                 LEFT JOIN dper ON g.doc_id = dper.doc_id
                 LEFT JOIN cper ON g.doc_id = cper.doc_id

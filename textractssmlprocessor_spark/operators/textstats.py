@@ -442,6 +442,60 @@ def with_gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df
 
 
+# --- readability (Flesch reading ease / Flesch-Kincaid grade) ----------------
+
+# Engine-portable counting rules, shared verbatim with the DuckDB oracle:
+# words are ASCII-alpha runs (classic implementations count whitespace
+# tokens; alpha runs are what the syllable heuristic is defined over and
+# read identically in Java and RE2), sentences are [.!?]+ runs clamped to
+# >= 1, and a word's syllables are its [aeiouy]+ vowel-group runs clamped
+# to >= 1. Every vowel is a letter, so a vowel run never spans two alpha
+# words — total runs over the whole lowercased text equals the per-word
+# sum, and the >= 1 clamp is the count of vowel-free words. That keeps
+# the whole computation three regexp_extract_all passes: no per-word
+# explode, no UDF.
+READ_WORD_RE = "[A-Za-z]+"
+READ_VOWEL_RE = "[aeiouy]+"
+READ_SENT_RE = "[.!?]+"
+
+
+def readability_columns(col: Column) -> dict[str, Column]:
+    """Flesch reading ease + Flesch-Kincaid grade level as named native
+    columns (rd_n_words/rd_n_sentences/rd_n_syllables bigint counts,
+    rd_flesch/rd_fk_grade rounded to 6; NULL metrics on word-free text).
+    A standard corpus quality signal (simple-wikipedia-style routing,
+    child-content detection); map-side only, composes with
+    `gopher_columns` in one projection."""
+    t = F.coalesce(col, F.lit(""))
+    words = F.regexp_extract_all(t, F.lit(READ_WORD_RE), F.lit(0))
+    n_words = F.size(words)
+    vowel_runs = F.size(
+        F.regexp_extract_all(F.lower(t), F.lit(READ_VOWEL_RE), F.lit(0))
+    )
+    no_vowel = F.size(
+        F.filter(words, lambda w: ~F.lower(w).rlike(READ_VOWEL_RE))
+    )
+    syllables = vowel_runs + no_vowel
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit(READ_SENT_RE), F.lit(0))),
+        F.lit(1),
+    )
+    wz = F.when(n_words > 0, n_words.cast("double"))
+    wps = n_words.cast("double") / n_sent.cast("double")
+    spw = syllables.cast("double") / wz
+    return {
+        "rd_n_words": n_words.cast("bigint"),
+        "rd_n_sentences": n_sent.cast("bigint"),
+        "rd_n_syllables": syllables.cast("bigint"),
+        "rd_flesch": F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6
+        ),
+        "rd_fk_grade": F.round(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
+        ),
+    }
+
+
 # --- repetition statistics (dup-line / dup-paragraph / top-bigram) -----------
 
 

@@ -348,12 +348,30 @@ def q_corpus_report(spark, sf_dir):
         F.col("gram").alias("top_bigram"),
         F.col("n_occurrences").alias("top_bigram_count"),
     )
+    # Count-Min sketch probes (operators/sketch.py): the fixed
+    # depth*width-cell summary estimates the exact census's top term
+    # (upper-biased: cms_top_term_est >= top_term_count always) plus a
+    # fixed probe; both single rows, crossJoins stay trivial
+    from textractssmlprocessor_spark.operators.sketch import (
+        count_min_cells,
+        count_min_estimate,
+    )
+
+    cells = count_min_cells(d, depth=4, width=1024)
+    est_top = count_min_estimate(
+        cells, t1.select(F.col("top_term").alias("probe"))
+    ).select(F.col("cms_est").alias("cms_top_term_est"))
+    est_the = count_min_estimate(
+        cells, spark.range(1).select(F.lit("the").alias("probe"))
+    ).select(F.col("cms_est").alias("cms_the_est"))
     return (
         corpus_report(d)
         .select("n_docs", "n_tokens", "min_tokens", "max_tokens", "n_langs")
         .crossJoin(totals)
         .crossJoin(t1)
         .crossJoin(t2)
+        .crossJoin(est_top)
+        .crossJoin(est_the)
     )
 
 
@@ -2770,6 +2788,35 @@ def oracle_sql() -> dict[str, str]:
                     FROM tk WHERE len(toks) >= 2
                 )
                 GROUP BY gram ORDER BY count(*) DESC, gram LIMIT 1
+            ),
+            -- Count-Min sketch replay (operators/sketch.py): md5-prefix
+            -- buckets 'cms<row>:<token>' % 1024, depth 4; estimate = min
+            -- over rows, 0 when no cell
+            cms AS (
+                SELECT r, b, count(*)::BIGINT AS c
+                FROM (
+                    SELECT i AS r,
+                           ('0x' || substr(md5('cms' || i::VARCHAR || ':' || tok), 1, 8))::BIGINT % 1024 AS b
+                    FROM (SELECT unnest(toks) AS tok FROM tk)
+                    CROSS JOIN generate_series(0, 3) t(i)
+                )
+                GROUP BY 1, 2
+            ),
+            est_top AS (
+                SELECT min(coalesce(c, 0))::BIGINT AS cms_top_term_est
+                FROM (
+                    SELECT i,
+                           ('0x' || substr(md5('cms' || i::VARCHAR || ':' || top_term), 1, 8))::BIGINT % 1024 AS b
+                    FROM t1 CROSS JOIN generate_series(0, 3) t(i)
+                ) p LEFT JOIN cms ON cms.r = p.i AND cms.b = p.b
+            ),
+            est_the AS (
+                SELECT min(coalesce(c, 0))::BIGINT AS cms_the_est
+                FROM (
+                    SELECT i,
+                           ('0x' || substr(md5('cms' || i::VARCHAR || ':the'), 1, 8))::BIGINT % 1024 AS b
+                    FROM generate_series(0, 3) t(i)
+                ) p LEFT JOIN cms ON cms.r = p.i AND cms.b = p.b
             )
             SELECT count(*)::BIGINT AS n_docs,
                    sum(len(regexp_extract_all(coalesce(text, ''), '\\b[\\w-]+\\b')))::BIGINT AS n_tokens,
@@ -2780,9 +2827,12 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(length(text))/1000000.0*20, 6) AS total_gpt_cost,
                    round(sum(length(text))/1000000.0*30, 6) AS total_polly_cost_generative,
                    round(sum(length(text))/1000000.0*100, 6) AS total_polly_cost_long_form,
-                   top_term, top_term_count, top_bigram, top_bigram_count
+                   top_term, top_term_count, top_bigram, top_bigram_count,
+                   cms_top_term_est, cms_the_est
             FROM documents CROSS JOIN t1 CROSS JOIN t2
-            GROUP BY top_term, top_term_count, top_bigram, top_bigram_count
+            CROSS JOIN est_top CROSS JOIN est_the
+            GROUP BY top_term, top_term_count, top_bigram, top_bigram_count,
+                     cms_top_term_est, cms_the_est
         """,
         "redact_pii": _redact_pii_sql(),
         "contamination": """

@@ -1,0 +1,105 @@
+"""Count-Min sketch (operators/sketch.py): upper-biased estimates,
+exactness without collisions, cell-wise mergeability, plan shape."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the dog ate the cat food"),
+    (3, "cat cat cat dog"),
+    (4, None),
+]
+
+
+def _exact_counts() -> Counter:
+    c: Counter = Counter()
+    for _, t in DOCS:
+        c.update((t or "").lower().split())
+    return c
+
+
+def _probes(spark, words):
+    return spark.createDataFrame([(w,) for w in words], "probe string")
+
+
+def test_estimates_never_undercount_even_under_collisions(spark):
+    from textractssmlprocessor_spark.operators.sketch import (
+        count_min_cells,
+        count_min_estimate,
+    )
+
+    df = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    exact = _exact_counts()
+    # width 4 forces collisions on an 8-word vocabulary
+    cells = count_min_cells(df, depth=3, width=4)
+    est = {
+        r["probe"]: r["cms_est"]
+        for r in count_min_estimate(
+            cells, _probes(spark, list(exact)), depth=3, width=4
+        ).collect()
+    }
+    assert all(est[w] >= exact[w] for w in exact), (est, exact)
+
+
+def test_estimates_exact_without_collisions_and_zero_for_unseen(spark):
+    from textractssmlprocessor_spark.operators.sketch import (
+        count_min_cells,
+        count_min_estimate,
+    )
+
+    df = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    exact = _exact_counts()
+    cells = count_min_cells(df, depth=4, width=4096)
+    est = {
+        r["probe"]: r["cms_est"]
+        for r in count_min_estimate(
+            cells,
+            _probes(spark, list(exact) + ["zebra"]),
+            depth=4,
+            width=4096,
+        ).collect()
+    }
+    assert {w: est[w] for w in exact} == dict(exact)
+    assert est["zebra"] == 0
+
+
+def test_sketches_merge_by_cellwise_addition(spark):
+    from textractssmlprocessor_spark.operators.sketch import count_min_cells
+
+    df = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    whole = count_min_cells(df, depth=3, width=64)
+    a = count_min_cells(df.filter("doc_id <= 2"), depth=3, width=64)
+    b = count_min_cells(df.filter("doc_id > 2"), depth=3, width=64)
+    merged = (
+        a.unionByName(b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_plan_fixed_keyspace_agg_and_broadcast_probe_join(spark):
+    from textractssmlprocessor_spark.operators.sketch import (
+        count_min_cells,
+        count_min_estimate,
+    )
+
+    df = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    cells = count_min_cells(df, depth=4, width=1024)
+    plan = (
+        count_min_estimate(cells, _probes(spark, ["cat"]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # the cells side reaches the probe join as a broadcast, and the cells
+    # aggregation carries a map-side partial before its exchange
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_count" in plan, plan

@@ -2117,7 +2117,8 @@ def q_main_content(spark, sf_dir):
                 F.lit('<meta name="description" content="Summary of doc '),
                 sid,
                 F.lit('"><meta property="og:title" content="OG '), sid,
-                F.lit('"></head>'),
+                F.lit('"><meta property="article:published_time" '),
+                F.lit('content="2024-03-07T08:15:00Z"></head>'),
             ),
         )
         .when(
@@ -2131,7 +2132,7 @@ def q_main_content(spark, sf_dir):
             F.col("doc_id") % 4 == 2,
             F.concat(
                 F.lit("<html LANG=fr-FR ><head><title>Solo "), sid,
-                F.lit("</title></head>"),
+                F.lit('</title></head><time datetime="2023-12-01">x</time>'),
             ),
         )
         .otherwise(F.lit("<div>No head</div>"))
@@ -2471,6 +2472,8 @@ def oracle_sql() -> dict[str, str]:
         PG_DESC_NAME_FIRST_RE,
         PG_LANG_RE,
         PG_OG_TITLE_RE,
+        PG_PUBLISHED_RE,
+        PG_TIME_TAG_RE,
         PG_TITLE_RE,
         SCRIPT_STYLE_RE as _MC_SCRIPT_RE,
         TAG_RE as _MC_TAG_RE,
@@ -3694,13 +3697,15 @@ def oracle_sql() -> dict[str, str]:
                             || '<meta name="description" content="Summary of doc '
                             || doc_id::VARCHAR
                             || '"><meta property="og:title" content="OG '
-                            || doc_id::VARCHAR || '"></head>'
+                            || doc_id::VARCHAR
+                            || '"><meta property="article:published_time" '
+                            || 'content="2024-03-07T08:15:00Z"></head>'
                        WHEN doc_id % 4 = 1 THEN
                             '<html><head><meta content="Reversed ' || doc_id::VARCHAR
                             || '" name="description"></head>'
                        WHEN doc_id % 4 = 2 THEN
                             '<html LANG=fr-FR ><head><title>Solo ' || doc_id::VARCHAR
-                            || '</title></head>'
+                            || '</title></head><time datetime="2023-12-01">x</time>'
                        ELSE '<div>No head</div>' END AS mh
                 FROM documents
             ),
@@ -3710,7 +3715,9 @@ def oracle_sql() -> dict[str, str]:
                        coalesce(nullif(regexp_extract(mh, '{PG_DESC_NAME_FIRST_RE}', 1), ''),
                                 nullif(regexp_extract(mh, '{PG_DESC_CONTENT_FIRST_RE}', 1), '')) AS pg_description,
                        lower(nullif(regexp_extract(mh, '{PG_LANG_RE}', 1), '')) AS pg_lang,
-                       nullif(regexp_extract(mh, '{PG_OG_TITLE_RE}', 1), '') AS pg_og_title
+                       nullif(regexp_extract(mh, '{PG_OG_TITLE_RE}', 1), '') AS pg_og_title,
+                       coalesce(nullif(regexp_extract(mh, '{PG_PUBLISHED_RE}', 1), ''),
+                                nullif(regexp_extract(mh, '{PG_TIME_TAG_RE}', 1), '')) AS pg_date
                 FROM meta
             )
             SELECT t.url,
@@ -3718,7 +3725,7 @@ def oracle_sql() -> dict[str, str]:
                    t.n_blocks,
                    coalesce(a.n_kept, 0)::BIGINT AS n_kept,
                    round(slc / greatest(sch, 1)::DOUBLE, 6) AS link_density,
-                   pg_title, pg_description, pg_lang, pg_og_title
+                   pg_title, pg_description, pg_lang, pg_og_title, pg_date
             FROM tot t LEFT JOIN agg a USING (url) JOIN pm USING (url)
         """,
         "dedup_exact": f"""

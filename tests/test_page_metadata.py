@@ -12,7 +12,9 @@ PAGES = [
         1,
         '<html lang="EN-us"><head><title>  Doc one\n  and   more  </title>'
         '<meta name="description" content="Summary of doc one">'
-        '<meta property="og:title" content="OG one"></head>'
+        '<meta property="og:title" content="OG one">'
+        '<meta property="article:published_time" '
+        'content="2024-03-07T08:15:00Z"></head>'
         "<body><p>hi</p></body></html>",
     ),
     # no title; content-first meta ordering; single-quoted og attributes
@@ -23,8 +25,13 @@ PAGES = [
         "<meta property='og:title' content='OG quoted two'></head>"
         "<body></body></html>",
     ),
-    # unquoted + uppercase-cased lang attribute, title only
-    (3, "<html LANG=fr-FR ><head><title>Solo</title></head><body></body>"),
+    # unquoted + uppercase-cased lang attribute, title only; date falls
+    # back to the first <time datetime> in the body
+    (
+        3,
+        "<html LANG=fr-FR ><head><title>Solo</title></head>"
+        '<body><time datetime="2023-12-01T00:00:00">then</time></body>',
+    ),
     # no head at all
     (4, "<div>No head here</div>"),
     # NULL html
@@ -34,14 +41,20 @@ PAGES = [
 ]
 
 EXPECT = {
-    1: ("Doc one and more", "Summary of doc one", "en-us", "OG one"),
-    2: (None, "Reversed order two", None, "OG quoted two"),
-    3: ("Solo", None, "fr-fr", None),
-    4: (None, None, None, None),
-    5: (None, None, None, None),
+    1: (
+        "Doc one and more",
+        "Summary of doc one",
+        "en-us",
+        "OG one",
+        "2024-03-07",
+    ),
+    2: (None, "Reversed order two", None, "OG quoted two", None),
+    3: ("Solo", None, "fr-fr", None, "2023-12-01"),
+    4: (None, None, None, None, None),
+    5: (None, None, None, None, None),
     # xml:lang ends in 'lang' but _RE requires a \s (or tag start) before
     # 'lang'; ':' is not \s, so it does not match — by design
-    6: (None, None, None, None),
+    6: (None, None, None, None, None),
 }
 
 
@@ -56,6 +69,7 @@ def test_page_metadata_columns(spark):
             r["pg_description"],
             r["pg_lang"],
             r["pg_og_title"],
+            r["pg_date"],
         )
         for r in df.select(
             "doc_id", *[c.alias(k) for k, c in cols.items()]

@@ -392,6 +392,17 @@ PG_OG_TITLE_RE = (
     r"(?is)<meta\s[^>]*?property\s*=\s*[\"\x27]og:title[\"\x27]"
     r"[^>]*?content\s*=\s*[\"\x27]([^\"\x27]*)"
 )
+# publication date: the two leading head-level sources, captured as the
+# bare YYYY-MM-DD prefix (time-of-day/zone tails vary too much to carry;
+# \d is ASCII in both Java's default mode and RE2)
+PG_PUBLISHED_RE = (
+    r"(?is)<meta\s[^>]*?property\s*=\s*"
+    r"[\"\x27]article:published_time[\"\x27]"
+    r"[^>]*?content\s*=\s*[\"\x27](\d{4}-\d{2}-\d{2})"
+)
+PG_TIME_TAG_RE = (
+    r"(?is)<time\s[^>]*?datetime\s*=\s*[\"\x27](\d{4}-\d{2}-\d{2})"
+)
 
 
 def page_metadata(col: Column) -> dict[str, Column]:
@@ -401,6 +412,9 @@ def page_metadata(col: Column) -> dict[str, Column]:
     - ``pg_description``: meta description content (either attr order)
     - ``pg_lang``: <html lang> attribute, lowercased (BCP-47 case folds)
     - ``pg_og_title``: og:title content
+    - ``pg_date``: publication date as 'YYYY-MM-DD' —
+      article:published_time meta first, then the first <time datetime>
+      (freshness filtering / dated-corpus routing)
 
     All NULL when absent/empty. Values are the raw attribute/body bytes
     (entities like &amp; are NOT decoded — decoding is a per-consumer
@@ -425,4 +439,7 @@ def page_metadata(col: Column) -> dict[str, Column]:
         ),
         "pg_lang": F.lower(_x(PG_LANG_RE)),
         "pg_og_title": _x(PG_OG_TITLE_RE),
+        "pg_date": F.coalesce(
+            _x(PG_PUBLISHED_RE), _x(PG_TIME_TAG_RE)
+        ),
     }

@@ -1982,6 +1982,10 @@ def q_extract_links(spark, sf_dir):
             (F.col("doc_id") % 20).cast("string"), F.lit('">Read <b>more</b> '),
             (F.col("doc_id") % 3).cast("string"), F.lit("</a><a class=x href='/local/"),
             (F.col("doc_id") % 10).cast("string"), F.lit("'>  local  </a>"),
+            F.lit("<h1>Title "), (F.col("doc_id") % 7).cast("string"),
+            F.lit("</h1><h2 class=s> Sub <em>part "),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("</em>  line </h2>"),
         ).alias("html"),
     )
     links = extract_links(d.select("url", "html"))
@@ -1994,6 +1998,22 @@ def q_extract_links(spark, sf_dir):
         "href",
         "anchor",
         nul_b.alias("n"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    # (6) headings — h1-h6 outline rows (content.heading_outline) over
+    # the same seeded pages: nested <em> markup exercises tag-strip +
+    # whitespace collapse; level rides the n column, pos rides link_no
+    from textractssmlprocessor_spark.operators.content import (
+        heading_outline,
+    )
+
+    hd = heading_outline(d.select("url", "html")).select(
+        F.lit("headings").alias("variant"),
+        "url",
+        F.col("pos").alias("link_no"),
+        F.lit(None).cast("string").alias("href"),
+        F.col("heading").alias("anchor"),
+        F.col("level").alias("n"),
         F.lit(None).cast("double").alias("score"),
     )
     an = links.groupBy("href").agg(
@@ -2049,6 +2069,7 @@ def q_extract_links(spark, sf_dir):
         .unionByName(pr)
         .unionByName(hub_rows)
         .unionByName(auth_rows)
+        .unionByName(hd)
     )
 
 
@@ -2472,6 +2493,8 @@ def oracle_sql() -> dict[str, str]:
         PG_DESC_NAME_FIRST_RE,
         PG_LANG_RE,
         PG_OG_TITLE_RE,
+        HEADING_LEVEL_RE,
+        HEADING_RE,
         PG_PUBLISHED_RE,
         PG_TIME_TAG_RE,
         PG_TITLE_RE,
@@ -3619,7 +3642,9 @@ def oracle_sql() -> dict[str, str]:
                        '<p>' || text || '</p><a href="https://out.example.com/page'
                        || (doc_id % 20)::VARCHAR || '">Read <b>more</b> ' || (doc_id % 3)::VARCHAR
                        || '</a><a class=x href=''/local/' || (doc_id % 10)::VARCHAR
-                       || '''>  local  </a>' AS html
+                       || '''>  local  </a><h1>Title ' || (doc_id % 7)::VARCHAR
+                       || '</h1><h2 class=s> Sub <em>part ' || (doc_id % 5)::VARCHAR
+                       || '</em>  line </h2>' AS html
                 FROM documents
             ),
             m AS (
@@ -3638,11 +3663,25 @@ def oracle_sql() -> dict[str, str]:
                                 'h' || (doc_id % 23)::VARCHAR AS t
                 FROM documents
             ),
+            hm AS (
+                SELECT url, regexp_extract_all(html, '{HEADING_RE}') AS fr
+                FROM d
+            ),
+            hd AS (
+                SELECT url, (g.i - 1)::BIGINT AS link_no,
+                       regexp_extract(fr[g.i], '{HEADING_LEVEL_RE}', 1)::BIGINT AS n,
+                       trim(regexp_replace(regexp_replace(fr[g.i], '{_MC_TAG_RE}', ' ', 'g'), '\\s+', ' ', 'g')) AS anchor
+                FROM hm, unnest(generate_series(1, len(fr))) AS g(i)
+            ),
             {_pagerank_sql(iterations=3, damping=0.85)},
             {_hits_sql(iterations=3)}
             SELECT 'links' AS variant, url, link_no, href, anchor,
                    NULL::BIGINT AS n, NULL::DOUBLE AS score
             FROM links
+            UNION ALL
+            SELECT 'headings', url, link_no, NULL::VARCHAR, anchor, n,
+                   NULL::DOUBLE
+            FROM hd
             UNION ALL
             SELECT 'anchors', NULL::VARCHAR, NULL::BIGINT, href, min(anchor),
                    count(*)::BIGINT, NULL::DOUBLE

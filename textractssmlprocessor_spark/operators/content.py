@@ -443,3 +443,48 @@ def page_metadata(col: Column) -> dict[str, Column]:
             _x(PG_PUBLISHED_RE), _x(PG_TIME_TAG_RE)
         ),
     }
+
+
+# --------------------------------------------------------------------------
+# Document outline: exploded h1-h6 headings in document order. The web
+# complement of the reference's chapter-heading detection (cleaning.py
+# all-caps title extraction works on flat text; real pages declare the
+# outline in markup). Feeds section-aware chunking, TOC construction and
+# heading-based quality signals. Pure map-side: one regexp_extract_all +
+# posexplode, zero Python.
+#
+# Documented subset (shared verbatim with the DuckDB oracle): the close
+# tag accepts ANY h-level (RE2 has no backreferences to demand the same
+# digit), and nested headings end at the FIRST close tag (lazy body).
+# --------------------------------------------------------------------------
+
+HEADING_RE = r"(?is)<h([1-6])(?:\s[^>]*)?>(.*?)</h[1-6]\s*>"
+HEADING_LEVEL_RE = r"(?is)<h([1-6])"
+
+
+def heading_outline(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Exploded (url, pos, level, heading) outline rows: pos is 0-based
+    document order (the extract_links link_no convention), level 1-6,
+    heading text tag-stripped and whitespace-collapsed ('' for empty
+    elements — position still carries outline information)."""
+    h = F.coalesce(F.col(html_col), F.lit(""))
+    ex = df.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.regexp_extract_all(h, F.lit(HEADING_RE), F.lit(0))
+        ).alias("pos", "frag"),
+    )
+    return ex.select(
+        "url",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.regexp_extract("frag", HEADING_LEVEL_RE, 1)
+        .cast("bigint")
+        .alias("level"),
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace("frag", TAG_RE, " "), r"\s+", " "
+            )
+        ).alias("heading"),
+    )

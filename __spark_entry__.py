@@ -319,7 +319,29 @@ def q_pack_shards(spark, sf_dir):
             F.col("epoch_pos").alias("seq_offset"),
         )
         out = out.unionByName(e)
-    return out
+    # (5) zorder — Iceberg-style 2-D layout key (operators/layout.py):
+    # dims are a doc_id bucket and the md5 source bucket (both 10-bit, so
+    # the Morton key is 20-bit); the file assignment (zkey >> 15 = 32
+    # equal key ranges) rides shard_id, dims ride frag_start/frag_len,
+    # the key rides seq_offset
+    from textractssmlprocessor_spark.operators.layout import zorder_key
+    from textractssmlprocessor_spark.operators.sampling import hash_bucket
+
+    zsrc = _docs(spark, sf_dir).select("doc_id", "source")
+    za = F.pmod(F.col("doc_id"), F.lit(1024)).cast("bigint")
+    zb = hash_bucket(F.col("source"), salt="z", buckets=1024)
+    zk = zorder_key(za, zb)
+    zo = zsrc.select(
+        F.lit("zorder").alias("variant"),
+        "doc_id",
+        nul.alias("n_tokens"),
+        F.shiftright(zk, 15).cast("bigint").alias("shard_id"),
+        nul.alias("seq_id"),
+        za.alias("frag_start"),
+        zb.cast("bigint").alias("frag_len"),
+        zk.cast("bigint").alias("seq_offset"),
+    )
+    return out.unionByName(zo)
 
 
 def q_corpus_report(spark, sf_dir):
@@ -2592,6 +2614,31 @@ def oracle_sql() -> dict[str, str]:
         f"floor(({col}/1000.0)%60)::BIGINT, floor((({col}/1000.0)%1)*1000)::BIGINT)"
     )
 
+    # Z-order spread chain (operators/layout.py SPREAD2_STEPS shared with
+    # the Spark column): one CTE per shift/mask stage for both dims
+    from textractssmlprocessor_spark.operators.layout import (
+        DIM_MASK,
+        SPREAD2_STEPS,
+    )
+
+    _zsrc = "(('0x' || substr(md5('z' || source), 1, 8))::BIGINT % 1024)"
+    zctes = [
+        f"z0 AS (SELECT doc_id, (doc_id % 1024)::BIGINT AS oa, {_zsrc} AS ob, "
+        f"((doc_id % 1024)::BIGINT & {DIM_MASK}) AS xa, ({_zsrc} & {DIM_MASK}) AS xb "
+        "FROM documents)"
+    ]
+    for zi, (zsh, zmask) in enumerate(SPREAD2_STEPS, 1):
+        zctes.append(
+            f"z{zi} AS (SELECT doc_id, oa, ob, "
+            f"((xa | (xa << {zsh})) & {zmask}) AS xa, "
+            f"((xb | (xb << {zsh})) & {zmask}) AS xb FROM z{zi - 1})"
+        )
+    zctes.append(
+        f"zf AS (SELECT doc_id, oa, ob, (xa | (xb << 1)) AS zkey "
+        f"FROM z{len(SPREAD2_STEPS)})"
+    )
+    zorder_ctes = ",\n            ".join(zctes)
+
     return {
         "doc_stats": f"""
             WITH du AS (
@@ -2747,11 +2794,12 @@ def oracle_sql() -> dict[str, str]:
             FROM sdocs JOIN lpred USING (doc_id)
         """,
 
-        "pack_shards": """
+        "pack_shards": f"""
             WITH t AS (
                 SELECT doc_id, len(regexp_extract_all(coalesce(text, ''), '\\b[\\w-]+\\b'))::BIGINT AS n_tokens
                 FROM documents
             ),
+            {zorder_ctes},
             r AS (
                 SELECT doc_id, n_tokens,
                        (sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -2794,6 +2842,14 @@ def oracle_sql() -> dict[str, str]:
                                 doc_id
                    )::BIGINT
             FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS e) ep
+            UNION ALL
+            -- zorder variant (operators/layout.py): Morton key over the
+            -- doc_id and md5-source 10-bit dims; 32 equal key ranges as
+            -- the file assignment
+            SELECT 'zorder', doc_id, NULL::BIGINT,
+                   (zkey >> 15)::BIGINT,
+                   NULL::BIGINT, oa, ob, zkey::BIGINT
+            FROM zf
         """,
         "corpus_report": """
             WITH tk AS (

@@ -70,14 +70,3 @@ def spread_bits_py(v: int) -> int:
 
 def zorder_key_py(a: int, b: int) -> int:
     return spread_bits_py(a) | (spread_bits_py(b) << 1)
-
-
-def spread_sql(expr: str, steps: int = 5) -> list[str]:
-    """The spread as a list of chained-CTE column expressions for the
-    DuckDB oracle: element k rewrites column `expr` for CTE stage k
-    (same shift/mask chain, decimal masks, fully parenthesized — SQL
-    bitwise precedence differs between engines)."""
-    out = [f"(({expr})::BIGINT & {DIM_MASK})"]
-    for shift, mask in SPREAD2_STEPS[:steps]:
-        out.append(f"(({expr} | ({expr} << {shift})) & {mask})")
-    return out

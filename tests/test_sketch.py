@@ -103,3 +103,32 @@ def test_plan_fixed_keyspace_agg_and_broadcast_probe_join(spark):
     # aggregation carries a map-side partial before its exchange
     assert "BroadcastHashJoin" in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_count_min_cells_streams_in_complete_mode(spark, tmp_path):
+    # the fixed d*w key space is what makes COMPLETE-mode streaming
+    # aggregation viable at any corpus scale: state is <= depth*width
+    # counters no matter how many documents arrive. Stream the same
+    # docs in two files and require cell-exact equality with the batch
+    # sketch (the stream==batch discipline of tests/test_streaming.py).
+    from textractssmlprocessor_spark.operators.sketch import count_min_cells
+
+    src = str(tmp_path / "docs")
+    df = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    df.filter("doc_id <= 2").write.parquet(src)
+    df.filter("doc_id > 2").write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    q = (
+        count_min_cells(stream, depth=3, width=64)
+        .writeStream.format("memory")
+        .queryName("cms_cells")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM cms_cells").collect()))
+    want = sorted(map(tuple, count_min_cells(df, depth=3, width=64).collect()))
+    assert got == want

@@ -22,7 +22,11 @@ exchange, so the shuffle moves O(partitions * depth * width) rows, not
 the token stream. Merging two sketches is cell-wise addition — the
 same groupBy — which is what makes the summary cross-shard mergeable
 and streamable (a micro-batch's cells fold into the running table the
-way `streaming/dedup_near_stream.py` accumulates MinHash bands).
+way `streaming/dedup_near_stream.py` accumulates MinHash bands). In
+fact `count_min_cells` runs UNCHANGED as a Structured Streaming
+complete-mode aggregation — the bounded key space is exactly what makes
+complete mode viable on an unbounded stream — with stream==batch cell
+equality pinned by tests/test_sketch.py.
 
 Hashing is the repo's portable md5-prefix bucket (sampling.hash_bucket
 discipline; never xxhash64 in oracle-compared values), so a DuckDB

@@ -79,3 +79,55 @@ def test_plan_is_pure_codegen(spark):
         .toString()
     )
     assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_zorder_write_enables_two_sided_rowgroup_pruning(spark, tmp_path):
+    # evidence from REAL parquet footers: after zorder_write, a box
+    # predicate on (a, b) excludes most row groups by min/max stats —
+    # the same footers a row-order layout cannot prune at all
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from textractssmlprocessor_spark.operators.layout import zorder_write
+
+    n = 1 << 14
+    base = spark.range(n).select(
+        (F.col("id") % 128).alias("a"),
+        F.pmod((F.col("id") * 2654435761) % (2**31), F.lit(128)).alias("b"),
+        F.col("id").alias("payload"),
+    )
+    zdir, rdir = str(tmp_path / "z"), str(tmp_path / "r")
+    zorder_write(base, zdir, F.col("a"), F.col("b"), n_files=16)
+    base.repartition(16).write.parquet(rdir)
+
+    def survivors(d, a_lo, a_hi, b_lo, b_hi):
+        total = kept = 0
+        for f in sorted(glob.glob(f"{d}/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            ia, ib = names.index("a"), names.index("b")
+            for g in range(md.num_row_groups):
+                sa = md.row_group(g).column(ia).statistics
+                sb = md.row_group(g).column(ib).statistics
+                total += 1
+                if not (
+                    sa.max < a_lo
+                    or sa.min > a_hi
+                    or sb.max < b_lo
+                    or sb.min > b_hi
+                ):
+                    kept += 1
+        return kept, total
+
+    zk, zt = survivors(zdir, 32, 47, 64, 79)
+    rk, rt = survivors(rdir, 32, 47, 64, 79)
+    # 16 files tile the 128x128 space in ~32x32 quads: a 16x16 box
+    # touches at most 4 of them; the row-order layout prunes nothing
+    assert zt >= 16 and zk <= 4, (zk, zt)
+    assert rk == rt, (rk, rt)
+    # and the data is identical either way
+    assert (
+        spark.read.parquet(zdir).agg(F.sum("payload")).first()[0]
+        == spark.read.parquet(rdir).agg(F.sum("payload")).first()[0]
+    )

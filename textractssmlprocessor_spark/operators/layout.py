@@ -27,7 +27,7 @@ range-partition and compare in both engines).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # (shift, mask) chain spreading a 31-bit value onto even bit positions:
@@ -70,3 +70,35 @@ def spread_bits_py(v: int) -> int:
 
 def zorder_key_py(a: int, b: int) -> int:
     return spread_bits_py(a) | (spread_bits_py(b) << 1)
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    dim_a: Column,
+    dim_b: Column,
+    n_files: int = 200,
+    fmt: str = "parquet",
+) -> None:
+    """Write ``df`` clustered on the 2-D Morton key: range-partition into
+    ``n_files`` contiguous key intervals, sort within each, write one
+    file per partition. Every output file then covers a nested-quad
+    region of (dim_a, dim_b) space, so its footer min/max stats are
+    tight on BOTH dimensions — a two-sided box predicate prunes row
+    groups/files the way an Iceberg `zorder by` table does (pruning
+    evidenced from real parquet footers in tests/test_layout.py).
+
+    The key column itself is dropped from the output (it is a layout
+    artifact, reconstructible from the dims). repartitionByRange samples
+    to pick its bounds, so FILE BOUNDARIES are not bit-reproducible
+    across runs — the row DATA is; never hash file layouts in oracles.
+    """
+    (
+        df.withColumn("_zkey", zorder_key(dim_a, dim_b))
+        .repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.format(fmt)
+        .mode("overwrite")
+        .save(path)
+    )

@@ -91,3 +91,19 @@ def test_page_metadata_is_pure_codegen(spark):
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_unterminated_attribute_is_contained_to_the_element(spark):
+    # a quotes-only capture class would run from the broken attribute to
+    # the next quote anywhere in the page; '>' bounds it to the element
+    from textractssmlprocessor_spark.operators.content import page_metadata
+
+    html = (
+        '<head><meta name="description" content="broken></head>'
+        '<body><p>far away "quote" here</p></body>'
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id bigint, html string")
+    r = df.select(
+        *[c.alias(k) for k, c in page_metadata(F.col("html")).items()]
+    ).collect()[0]
+    assert r["pg_description"] == "broken"

@@ -380,17 +380,21 @@ def badword_hits_join(
 
 PG_TITLE_RE = r"(?is)<title(?:\s[^>]*)?>([^<]*)"
 PG_LANG_RE = r"(?is)<html[^>]*?\slang\s*=\s*[\"\x27]?([a-zA-Z-]+)"
+# content captures also exclude '>' (not just quotes): on a malformed
+# page with an unterminated attribute, a quotes-only class would run to
+# the next quote ANYWHERE in the document — '>' bounds the capture to
+# the element (a legit '>' in content should be &gt; anyway)
 PG_DESC_NAME_FIRST_RE = (
     r"(?is)<meta\s[^>]*?name\s*=\s*[\"\x27]description[\"\x27]"
-    r"[^>]*?content\s*=\s*[\"\x27]([^\"\x27]*)"
+    r"[^>]*?content\s*=\s*[\"\x27]([^\"\x27>]*)"
 )
 PG_DESC_CONTENT_FIRST_RE = (
-    r"(?is)<meta\s[^>]*?content\s*=\s*[\"\x27]([^\"\x27]*)[\"\x27]"
+    r"(?is)<meta\s[^>]*?content\s*=\s*[\"\x27]([^\"\x27>]*)[\"\x27]"
     r"[^>]*?name\s*=\s*[\"\x27]description[\"\x27]"
 )
 PG_OG_TITLE_RE = (
     r"(?is)<meta\s[^>]*?property\s*=\s*[\"\x27]og:title[\"\x27]"
-    r"[^>]*?content\s*=\s*[\"\x27]([^\"\x27]*)"
+    r"[^>]*?content\s*=\s*[\"\x27]([^\"\x27>]*)"
 )
 # publication date: the two leading head-level sources, captured as the
 # bare YYYY-MM-DD prefix (time-of-day/zone tails vary too much to carry;

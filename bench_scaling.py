@@ -72,11 +72,12 @@ def run_salted():
 
 def run_prebucketed():
     # table-layout salting (bucket(url) partition spec at scale): the scan
-    # is already hash-balanced, no runtime shuffle
+    # is already hash-balanced, no runtime shuffle. Same fused UDF as the
+    # salted path (charset-sniffed decode happens INSIDE it since the
+    # round-4 charset change), minus the salted_repartition.
     d = pages.filter(F.col("html").isNotNull() | F.col("text").isNotNull())
-    payload = F.coalesce(F.make_valid_utf8(F.col("html").cast("string")), F.col("text"))
-    d = d.select("url", payload.alias("payload"))
-    d.select("url", F.posexplode(extract_full_udf(F.col("payload")))
+    d = d.select("url", "html", "text")
+    d.select("url", F.posexplode(extract_full_udf(F.col("html"), F.col("text")))
              .alias("pos", "c")) \
         .write.format("noop").mode("overwrite").save()
 

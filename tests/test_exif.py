@@ -1,0 +1,129 @@
+"""EXIF metadata (multimodal.exif_metadata / image_exif): hand-built
+APP1 fixtures in both byte orders, privacy GPS flag, hostile payloads."""
+
+from __future__ import annotations
+
+import struct
+
+
+def _tiff(endian: str = "II", gps: bool = True, orient: int = 6) -> bytes:
+    e = "<" if endian == "II" else ">"
+    make = b"CanonX\x00"  # 7 bytes, offset-stored
+    dt = b"2023:05:01 10:00:00\x00"  # 20 bytes
+    n = 5 if gps else 4
+    ifd0_end = 8 + 2 + n * 12 + 4
+    make_off = ifd0_end
+    exif_off = make_off + len(make) + 1  # +1 keeps offsets even
+    dt_off = exif_off + 2 + 12 + 4
+    gps_off = dt_off + len(dt)
+
+    def entry(tag, typ, cnt, val4: bytes) -> bytes:
+        return struct.pack(e + "HHI", tag, typ, cnt) + val4
+
+    ent = [
+        entry(0x010F, 2, len(make), struct.pack(e + "I", make_off)),
+        entry(0x0110, 2, 3, b"D5\x00\x00"),
+        entry(0x0112, 3, 1, struct.pack(e + "H", orient) + b"\x00\x00"),
+        entry(0x8769, 4, 1, struct.pack(e + "I", exif_off)),
+    ]
+    if gps:
+        ent.append(entry(0x8825, 4, 1, struct.pack(e + "I", gps_off)))
+    ifd0 = struct.pack(e + "H", n) + b"".join(ent) + struct.pack(e + "I", 0)
+    exif_ifd = (
+        struct.pack(e + "H", 1)
+        + entry(0x9003, 2, len(dt), struct.pack(e + "I", dt_off))
+        + struct.pack(e + "I", 0)
+    )
+    gps_ifd = (
+        struct.pack(e + "H", 1)
+        + entry(0x0000, 1, 4, b"\x02\x03\x00\x00")
+        + struct.pack(e + "I", 0)
+    )
+    body = bytearray(
+        endian.encode() + struct.pack(e + "H", 42) + struct.pack(e + "I", 8)
+    )
+    body += ifd0
+    assert len(body) == make_off
+    body += make + b"\x00"
+    assert len(body) == exif_off
+    body += exif_ifd
+    assert len(body) == dt_off
+    body += dt
+    assert len(body) == gps_off
+    body += gps_ifd
+    return bytes(body)
+
+
+def _jpeg(tiff: bytes) -> bytes:
+    app1 = b"Exif\x00\x00" + tiff
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe1"
+        + struct.pack(">H", 2 + len(app1))
+        + app1
+        + b"\xff\xd9"
+    )
+
+
+FULL = (6, "CanonX", "D5", "2023:05:01 10:00:00", 1)
+
+
+def test_both_byte_orders_parse_identically():
+    from textractssmlprocessor_spark.operators.multimodal import exif_metadata
+
+    assert exif_metadata(_jpeg(_tiff("II"))) == FULL
+    assert exif_metadata(_jpeg(_tiff("MM"))) == FULL
+
+
+def test_gps_flag_and_missing_segment():
+    from textractssmlprocessor_spark.operators.multimodal import exif_metadata
+
+    assert exif_metadata(_jpeg(_tiff(gps=False)))[4] == 0
+    assert exif_metadata(b"\xff\xd8\xff\xd9") is None  # no APP1
+    assert exif_metadata(b"\x89PNG\r\n\x1a\n") is None  # not JPEG
+
+
+def test_hostile_payloads_are_contained():
+    from textractssmlprocessor_spark.operators.multimodal import exif_metadata
+
+    good = _tiff()
+    # GPS pointer outside the segment: flag stays 0, rest still parses
+    bad_gps = bytearray(good)
+    gps_entry_val = 8 + 2 + 4 * 12 + 8  # 5th entry's value field
+    bad_gps[gps_entry_val : gps_entry_val + 4] = struct.pack("<I", 1 << 30)
+    assert exif_metadata(_jpeg(bytes(bad_gps)))[4] == 0
+    # absurd IFD0 entry count: treated as EXIF-free, never a loop/scan
+    bad_count = bytearray(good)
+    bad_count[8:10] = struct.pack("<H", 65535)
+    assert exif_metadata(_jpeg(bytes(bad_count))) is None
+    # truncated APP1 length field
+    j = bytearray(_jpeg(good))
+    j[4:6] = struct.pack(">H", 60000)
+    assert exif_metadata(bytes(j)) is None
+
+
+def test_image_exif_distributed(spark):
+    from textractssmlprocessor_spark.operators.multimodal import image_exif
+
+    rows = [
+        ("u1", bytearray(_jpeg(_tiff()))),
+        ("u2", bytearray(_jpeg(_tiff(gps=False, orient=1)))),
+        ("u3", bytearray(b"not an image")),
+        ("u4", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    got = {
+        r["url"]: (
+            r["exif_present"],
+            r["exif_orientation"],
+            r["exif_has_gps"],
+            r["exif_make"],
+        )
+        for r in image_exif(df).collect()
+    }
+    assert got == {
+        "u1": (1, 6, 1, "CanonX"),
+        "u2": (1, 1, 0, "CanonX"),
+        "u3": (0, None, None, None),
+        "u4": (0, None, None, None),
+    }

@@ -1914,3 +1914,184 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes] | None:
         [np.clip(np.round(p), 0, 255) for p in (r, g, bch)], axis=-1
     ).astype(np.uint8)
     return (w, h, 3, rgb.tobytes())
+
+
+# --------------------------------------------------------------------------
+# EXIF metadata (JPEG APP1): orientation, camera make/model, original
+# timestamp, and — the privacy signal — GPS-IFD presence. A web image
+# corpus must know which images carry location data before publication
+# (strip or drop), and orientation before perceptual hashing (a rotated
+# dHash is a different hash). Pure stdlib TIFF walk; public byte layout
+# (TIFF 6.0 + Exif 2.3, JEITA CP-3451).
+#
+# Containment: every offset is validated against the APP1 segment bounds
+# before reading, IFD entry counts are capped, string values are capped,
+# and the walk is non-recursive (IFD0 -> one Exif sub-IFD, done) — a
+# hostile payload can neither loop nor read outside its own bytes.
+# --------------------------------------------------------------------------
+
+_EXIF_MAX_IFD_ENTRIES = 256
+_EXIF_MAX_STR = 128
+
+
+def exif_metadata(
+    payload: bytes,
+) -> tuple[int | None, str | None, str | None, str | None, int] | None:
+    """(orientation, make, model, datetime_original, has_gps) from a
+    JPEG's APP1 Exif segment; None for non-JPEG or EXIF-free payloads.
+    has_gps is 1 iff IFD0 carries a GPS-IFD pointer whose target is
+    inside the segment with at least one entry."""
+    import struct
+
+    if payload is None or len(payload) < 4:
+        return None
+    b = bytes(payload)
+    if b[:2] != b"\xff\xd8":
+        return None
+    # marker walk to APP1/Exif (same discipline as image_dimensions)
+    i, tiff = 2, None
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker in (0xD9, 0xDA):
+            return None  # into entropy data with no APP1 seen
+        seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        if seg_len < 2 or i + 2 + seg_len > len(b):
+            return None  # truncated/hostile length
+        if marker == 0xE1 and b[i + 4 : i + 10] == b"Exif\x00\x00":
+            tiff = b[i + 10 : i + 2 + seg_len]
+            break
+        i += 2 + seg_len
+    if tiff is None or len(tiff) < 8:
+        return None
+    if tiff[:2] == b"II":
+        e = "<"
+    elif tiff[:2] == b"MM":
+        e = ">"
+    else:
+        return None
+    if struct.unpack(e + "H", tiff[2:4])[0] != 42:
+        return None
+
+    def u16(off: int) -> int | None:
+        return (
+            struct.unpack(e + "H", tiff[off : off + 2])[0]
+            if 0 <= off and off + 2 <= len(tiff)
+            else None
+        )
+
+    def u32(off: int) -> int | None:
+        return (
+            struct.unpack(e + "I", tiff[off : off + 4])[0]
+            if 0 <= off and off + 4 <= len(tiff)
+            else None
+        )
+
+    def read_ifd(off: int) -> dict[int, tuple[int, int, int]]:
+        """tag -> (type, count, value_field_offset); {} when unreadable."""
+        n = u16(off)
+        if n is None or n == 0 or n > _EXIF_MAX_IFD_ENTRIES:
+            return {}
+        out: dict[int, tuple[int, int, int]] = {}
+        for k in range(n):
+            base = off + 2 + 12 * k
+            tag, typ = u16(base), u16(base + 2)
+            cnt = u32(base + 4)
+            if tag is None or typ is None or cnt is None:
+                return out  # truncated entry table: keep what parsed
+            out[tag] = (typ, cnt, base + 8)
+        return out
+
+    def ascii_val(entry: tuple[int, int, int]) -> str | None:
+        typ, cnt, voff = entry
+        if typ != 2 or cnt == 0:
+            return None
+        cnt = min(cnt, _EXIF_MAX_STR)
+        src = voff if cnt <= 4 else u32(voff)
+        if src is None or src + cnt > len(tiff):
+            return None
+        raw = tiff[src : src + cnt]
+        return raw.split(b"\x00", 1)[0].decode("ascii", "replace") or None
+
+    def short_val(entry: tuple[int, int, int]) -> int | None:
+        typ, cnt, voff = entry
+        return u16(voff) if typ == 3 and cnt >= 1 else None
+
+    ifd0_off = u32(4)
+    if ifd0_off is None:
+        return None
+    ifd0 = read_ifd(ifd0_off)
+    if not ifd0:
+        return None
+    orientation = short_val(ifd0[0x0112]) if 0x0112 in ifd0 else None
+    make = ascii_val(ifd0[0x010F]) if 0x010F in ifd0 else None
+    model = ascii_val(ifd0[0x0110]) if 0x0110 in ifd0 else None
+    dt = None
+    if 0x8769 in ifd0:
+        p = u32(ifd0[0x8769][2])
+        if p is not None:
+            exif_ifd = read_ifd(p)
+            if 0x9003 in exif_ifd:
+                dt = ascii_val(exif_ifd[0x9003])
+    has_gps = 0
+    if 0x8825 in ifd0:
+        p = u32(ifd0[0x8825][2])
+        if p is not None and read_ifd(p):
+            has_gps = 1
+    return (orientation, make, model, dt, has_gps)
+
+
+EXIF_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("exif_present", IntegerType()),
+        StructField("exif_orientation", IntegerType()),
+        StructField("exif_make", StringType()),
+        StructField("exif_model", StringType()),
+        StructField("exif_datetime", StringType()),
+        StructField("exif_has_gps", IntegerType()),
+    ]
+)
+
+
+def image_exif(
+    df: DataFrame, url_col: str = "url", bin_col: str = "payload"
+) -> DataFrame:
+    """Distributed EXIF extraction over a binary column (mapInPandas,
+    Arrow batches — the standard multimodal plumbing). exif_present is
+    0 with all-NULL fields for non-JPEG/EXIF-free payloads so the
+    privacy audit ('which images still carry GPS?') is one filter."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [
+                exif_metadata(bytes(p)) if p is not None else None
+                for p in pdf[bin_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "url": pdf[url_col],
+                    "exif_present": pd.array(
+                        [1 if m else 0 for m in metas], dtype="Int32"
+                    ),
+                    "exif_orientation": pd.array(
+                        [m[0] if m else None for m in metas], dtype="Int32"
+                    ),
+                    "exif_make": [m[1] if m else None for m in metas],
+                    "exif_model": [m[2] if m else None for m in metas],
+                    "exif_datetime": [m[3] if m else None for m in metas],
+                    "exif_has_gps": pd.array(
+                        [m[4] if m else None for m in metas], dtype="Int32"
+                    ),
+                }
+            )
+
+    return df.select(url_col, bin_col).mapInPandas(gen, EXIF_SCHEMA)

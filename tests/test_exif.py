@@ -127,3 +127,54 @@ def test_image_exif_distributed(spark):
         "u3": (0, None, None, None),
         "u4": (0, None, None, None),
     }
+
+
+# ---- orientation normalization (apply_exif_orientation + dhash64) ----
+
+
+def test_apply_exif_orientation_all_eight_cases():
+    from textractssmlprocessor_spark.operators.multimodal import (
+        apply_exif_orientation,
+    )
+
+    # 2 rows x 3 cols, 1 channel, samples = position labels
+    w, h, ch = 3, 2, 1
+    pix = bytes([1, 2, 3, 4, 5, 6])  # rows: [1,2,3] / [4,5,6]
+    out = {
+        o: apply_exif_orientation(w, h, ch, pix, o) for o in range(1, 9)
+    }
+    assert out[1] == (3, 2, 1, bytes([1, 2, 3, 4, 5, 6]))
+    assert out[2] == (3, 2, 1, bytes([3, 2, 1, 6, 5, 4]))
+    assert out[3] == (3, 2, 1, bytes([6, 5, 4, 3, 2, 1]))
+    assert out[4] == (3, 2, 1, bytes([4, 5, 6, 1, 2, 3]))
+    assert out[5] == (2, 3, 1, bytes([1, 4, 2, 5, 3, 6]))
+    assert out[6] == (2, 3, 1, bytes([4, 1, 5, 2, 6, 3]))
+    assert out[7] == (2, 3, 1, bytes([6, 3, 5, 2, 4, 1]))
+    assert out[8] == (2, 3, 1, bytes([3, 6, 2, 5, 1, 4]))
+
+
+def test_dhash_normalizes_tagged_jpeg_rotation():
+    from textractssmlprocessor_spark.operators.multimodal import (
+        _dhash_bits,
+        apply_exif_orientation,
+        decode_jpeg_progressive_pixels,
+        dhash64,
+    )
+    from tests.test_operators_spark import _build_prog_jpeg_gray8
+
+    j = _build_prog_jpeg_gray8(320, 200)  # non-flat 8x8 gray content
+
+    def tagged(o: int) -> bytes:
+        app1 = b"Exif\x00\x00" + _tiff("II", gps=False, orient=o)
+        return (
+            j[:2] + b"\xff\xe1" + struct.pack(">H", 2 + len(app1)) + app1 + j[2:]
+        )
+
+    # identity tag hashes like the untagged payload
+    assert dhash64(tagged(1)) == dhash64(j)
+    # rotation tag hashes like the ROTATED pixels (white-box equality)
+    dec = decode_jpeg_progressive_pixels(j)
+    for o in (3, 6, 8):
+        assert dhash64(tagged(o)) == _dhash_bits(
+            *apply_exif_orientation(*dec, o)
+        ), o

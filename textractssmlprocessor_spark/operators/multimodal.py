@@ -1251,6 +1251,56 @@ def sample_frames(
     return df.select(url_col, bin_col).mapInPandas(gen, FRAME_SCHEMA)
 
 
+def apply_exif_orientation(
+    w: int, h: int, ch: int, pix: bytes, orientation: int
+) -> tuple[int, int, int, bytes]:
+    """Materialize an EXIF orientation (TIFF tag 0x0112 values 1-8) into
+    the pixel buffer: mirror/rotate so the returned samples are in
+    display order. Unknown/identity values pass through unchanged.
+    numpy views + one contiguous copy — no per-pixel Python."""
+    if orientation is None or not 2 <= orientation <= 8:
+        return (w, h, ch, pix)
+    import numpy as np
+
+    a = np.frombuffer(bytes(pix), dtype=np.uint8).reshape(h, w, ch)
+    if orientation == 2:       # mirror horizontal
+        a = a[:, ::-1]
+    elif orientation == 3:     # rotate 180
+        a = a[::-1, ::-1]
+    elif orientation == 4:     # mirror vertical
+        a = a[::-1]
+    elif orientation == 5:     # transpose
+        a = a.transpose(1, 0, 2)
+    elif orientation == 6:     # rotate 90 clockwise
+        a = a[::-1].transpose(1, 0, 2)
+    elif orientation == 7:     # transverse
+        a = a[::-1, ::-1].transpose(1, 0, 2)
+    else:                      # 8: rotate 90 counter-clockwise
+        a = a[:, ::-1].transpose(1, 0, 2)
+    return (a.shape[1], a.shape[0], ch, np.ascontiguousarray(a).tobytes())
+
+
+def _dhash_bits(w: int, h: int, ch: int, pix: bytes) -> int:
+    """The 9x8 grid hash over an already-decoded buffer (dhash64 core)."""
+
+    def luma(r: int, c: int) -> int:
+        o = (r * w + c) * ch
+        if ch == 1 or ch == 2:       # gray / gray+alpha
+            return pix[o]
+        return (299 * pix[o] + 587 * pix[o + 1] + 114 * pix[o + 2]) // 1000
+
+    bits = 0
+    for r in range(8):
+        # nearest-neighbor row/col sample on the 9x8 grid
+        sr = min(r * h // 8, h - 1)
+        row = [luma(sr, min(c * w // 9, w - 1)) for c in range(9)]
+        for c in range(8):
+            bits = (bits << 1) | (1 if row[c] > row[c + 1] else 0)
+    if bits >= 1 << 63:              # two's complement for LongType
+        bits -= 1 << 64
+    return bits
+
+
 def dhash64(payload: bytes) -> int | None:
     """64-bit perceptual difference hash (dHash) over the REAL decode
     (PNG, baseline JPEG or GIF): grayscale -> nearest-neighbor 9x8 grid ->
@@ -1258,7 +1308,10 @@ def dhash64(payload: bytes) -> int | None:
     for identical content, locality-preserving for small edits
     (crops/brightness shift a few bits) — and format-bridging: a PNG and
     a JPEG re-encode of the same picture land within the Hamming
-    near-dup radius. Returns a SIGNED 64-bit int (Spark LongType-safe
+    near-dup radius. JPEG payloads are EXIF-orientation-normalized first
+    (a phone photo stored rotated-with-tag hashes like its displayed
+    form, so tagged and baked-in rotations of the same picture are
+    near-dups). Returns a SIGNED 64-bit int (Spark LongType-safe
     two's complement) or None for undecodable payloads."""
     try:
         decoded = (
@@ -1272,22 +1325,14 @@ def dhash64(payload: bytes) -> int | None:
         return None  # truncated/corrupt stream: NULL, not a dead job
     if decoded is None:
         return None
-    w, h, ch, pix = decoded
-    def luma(r: int, c: int) -> int:
-        o = (r * w + c) * ch
-        if ch == 1 or ch == 2:       # gray / gray+alpha
-            return pix[o]
-        return (299 * pix[o] + 587 * pix[o + 1] + 114 * pix[o + 2]) // 1000
-    bits = 0
-    for r in range(8):
-        # nearest-neighbor row/col sample on the 9x8 grid
-        sr = min(r * h // 8, h - 1)
-        row = [luma(sr, min(c * w // 9, w - 1)) for c in range(9)]
-        for c in range(8):
-            bits = (bits << 1) | (1 if row[c] > row[c + 1] else 0)
-    if bits >= 1 << 63:              # two's complement for LongType
-        bits -= 1 << 64
-    return bits
+    if bytes(payload[:2]) == b"\xff\xd8":
+        try:
+            meta = exif_metadata(payload)
+            if meta is not None:
+                decoded = apply_exif_orientation(*decoded, meta[0])
+        except Exception:
+            pass  # hostile EXIF never blocks the hash of a good image
+    return _dhash_bits(*decoded)
 
 
 DHASH_SCHEMA = StructType(

@@ -178,3 +178,100 @@ def test_dhash_normalizes_tagged_jpeg_rotation():
         assert dhash64(tagged(o)) == _dhash_bits(
             *apply_exif_orientation(*dec, o)
         ), o
+
+
+# ---- GPS redaction (redact_exif_gps / redact_media_gps) ----
+
+
+def _tiff_with_rational_gps() -> bytes:
+    # GPS IFD carrying an offset-stored RATIONAL latitude (type 5, cnt 2
+    # -> 16 bytes outside the entry table) so redaction must chase it
+    e = "<"
+    ifd0_off = 8
+    n = 1
+    gps_off = ifd0_off + 2 + n * 12 + 4
+    lat_off = gps_off + 2 + 12 + 4
+
+    def entry(tag, typ, cnt, val4):
+        return struct.pack(e + "HHI", tag, typ, cnt) + val4
+
+    ifd0 = (
+        struct.pack(e + "H", n)
+        + entry(0x8825, 4, 1, struct.pack(e + "I", gps_off))
+        + struct.pack(e + "I", 0)
+    )
+    gps_ifd = (
+        struct.pack(e + "H", 1)
+        + entry(0x0002, 5, 2, struct.pack(e + "I", lat_off))  # GPSLatitude
+        + struct.pack(e + "I", 0)
+    )
+    lat = struct.pack(e + "IIII", 37, 1, 4626, 100)  # 37 deg 46.26 min
+    return (
+        b"II" + struct.pack(e + "H", 42) + struct.pack(e + "I", ifd0_off)
+        + ifd0
+        + gps_ifd
+        + lat
+    )
+
+
+def test_redaction_zeroes_offset_stored_coordinates():
+    from textractssmlprocessor_spark.operators.multimodal import (
+        exif_metadata,
+        redact_exif_gps,
+    )
+
+    j = _jpeg(_tiff_with_rational_gps())
+    red, flag = redact_exif_gps(j)
+    assert flag == 1 and len(red) == len(j)
+    # the packed 37/1/4626/100 rationals are gone from the byte stream
+    assert struct.pack("<IIII", 37, 1, 4626, 100) in j
+    assert struct.pack("<IIII", 37, 1, 4626, 100) not in red
+    assert exif_metadata(red) is None or exif_metadata(red)[4] == 0
+    # idempotent: second pass is a no-op
+    assert redact_exif_gps(red) == (red, 0)
+
+
+def test_redaction_preserves_other_metadata_and_pixels():
+    from textractssmlprocessor_spark.operators.multimodal import (
+        decode_jpeg_progressive_pixels,
+        exif_metadata,
+        redact_exif_gps,
+    )
+    from tests.test_operators_spark import _build_prog_jpeg_gray8
+
+    j = _build_prog_jpeg_gray8(320, 200)
+    app1 = b"Exif\x00\x00" + _tiff("II", gps=True, orient=6)
+    tagged = (
+        j[:2] + b"\xff\xe1" + struct.pack(">H", 2 + len(app1)) + app1 + j[2:]
+    )
+    red, flag = redact_exif_gps(tagged)
+    assert flag == 1
+    assert exif_metadata(red) == (6, "CanonX", "D5", "2023:05:01 10:00:00", 0)
+    # pixels decode byte-identically
+    assert decode_jpeg_progressive_pixels(red) == (
+        decode_jpeg_progressive_pixels(tagged)
+    )
+    # non-GPS payloads pass through unchanged
+    assert redact_exif_gps(j) == (j, 0)
+    assert redact_exif_gps(b"not a jpeg") == (b"not a jpeg", 0)
+
+
+def test_redact_media_gps_distributed(spark):
+    from textractssmlprocessor_spark.operators.multimodal import (
+        image_exif,
+        redact_media_gps,
+    )
+
+    rows = [
+        ("u1", bytearray(_jpeg(_tiff(gps=True)))),
+        ("u2", bytearray(_jpeg(_tiff(gps=False)))),
+        ("u3", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    red = redact_media_gps(df)
+    flags = {r["url"]: r["gps_redacted"] for r in red.collect()}
+    assert flags == {"u1": 1, "u2": 0, "u3": 0}
+    # re-audit of the redacted corpus shows zero GPS carriers
+    assert (
+        image_exif(red).agg({"exif_has_gps": "sum"}).first()[0] == 0
+    )

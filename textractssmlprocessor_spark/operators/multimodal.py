@@ -2140,3 +2140,137 @@ def image_exif(
             )
 
     return df.select(url_col, bin_col).mapInPandas(gen, EXIF_SCHEMA)
+
+
+# EXIF type sizes (TIFF 6.0 §2): tag value byte width per element
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+
+
+def redact_exif_gps(payload: bytes) -> tuple[bytes, int]:
+    """Zero a JPEG's GPS EXIF data IN PLACE: every GPS-IFD entry's value
+    bytes (inline and offset-stored — the RATIONAL lat/lon live outside
+    the entry table) and then the GPS IFD itself (count, entries, next
+    pointer) are overwritten with zeros. The IFD0 pointer then targets a
+    valid empty IFD, every other byte of the file — pixels, orientation,
+    camera fields, segment lengths — is untouched, so the image decodes
+    identically and non-GPS metadata survives. Returns (payload,
+    redacted_flag 0/1); payloads without GPS come back unchanged.
+
+    This is the privacy TRANSFORM paired with ``image_exif``'s has_gps
+    audit: run the audit, redact the flagged images, re-audit to zero."""
+    if payload is None:
+        return (payload, 0)
+    b = bytes(payload)
+    if exif_metadata(b) is None:
+        return (b, 0)
+    import struct
+
+    # re-locate the APP1 segment (same walk as exif_metadata)
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker in (0xD9, 0xDA):
+            return (b, 0)
+        seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        if marker == 0xE1 and b[i + 4 : i + 10] == b"Exif\x00\x00":
+            break
+        i += 2 + seg_len
+    else:
+        return (b, 0)
+    tiff_start, tiff_end = i + 10, i + 2 + seg_len
+    tiff = b[tiff_start:tiff_end]
+    e = "<" if tiff[:2] == b"II" else ">"
+    ifd0_off = struct.unpack(e + "I", tiff[4:8])[0]
+
+    def u16(off):
+        return struct.unpack(e + "H", tiff[off : off + 2])[0]
+
+    def u32(off):
+        return struct.unpack(e + "I", tiff[off : off + 4])[0]
+
+    # find the GPS pointer in IFD0 (bounds already vetted by exif_metadata
+    # for the has_gps=1 path; re-check cheaply anyway)
+    if ifd0_off + 2 > len(tiff):
+        return (b, 0)
+    n = u16(ifd0_off)
+    gps_off = None
+    for k in range(min(n, _EXIF_MAX_IFD_ENTRIES)):
+        base = ifd0_off + 2 + 12 * k
+        if base + 12 > len(tiff):
+            return (b, 0)
+        if u16(base) == 0x8825:
+            gps_off = u32(base + 8)
+            break
+    if gps_off is None or gps_off + 2 > len(tiff):
+        return (b, 0)
+    gn = u16(gps_off)
+    if gn == 0 or gn > _EXIF_MAX_IFD_ENTRIES:
+        return (b, 0)
+    out = bytearray(b)
+
+    def zero(tiff_off: int, length: int) -> None:
+        lo = tiff_start + max(tiff_off, 0)
+        hi = min(tiff_start + tiff_off + length, tiff_end)
+        if lo < hi:
+            out[lo:hi] = bytes(hi - lo)
+
+    ifd_len = 2 + 12 * gn + 4
+    if gps_off + ifd_len > len(tiff):
+        ifd_len = len(tiff) - gps_off  # truncated table: zero what exists
+    for k in range(gn):
+        base = gps_off + 2 + 12 * k
+        if base + 12 > len(tiff):
+            break
+        typ, cnt = u16(base + 2), u32(base + 4)
+        size = _TIFF_TYPE_SIZE.get(typ, 1) * min(cnt, 1 << 20)
+        if size > 4:  # offset-stored value: chase and zero it
+            zero(u32(base + 8), size)
+    zero(gps_off, ifd_len)
+    return (bytes(out), 1)
+
+
+REDACTED_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("gps_redacted", IntegerType()),
+    ]
+)
+
+
+def redact_media_gps(
+    df: DataFrame, url_col: str = "url", bin_col: str = "payload"
+) -> DataFrame:
+    """Distributed GPS redaction over a binary column (mapInPandas):
+    returns (url, payload, gps_redacted) with GPS-bearing JPEGs rewritten
+    in place and everything else passed through byte-identical."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = [
+                redact_exif_gps(bytes(p)) if p is not None else (None, 0)
+                for p in pdf[bin_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "url": pdf[url_col],
+                    "payload": [
+                        bytearray(p) if p is not None else None
+                        for p, _ in outs
+                    ],
+                    "gps_redacted": pd.array(
+                        [f for _, f in outs], dtype="Int32"
+                    ),
+                }
+            )
+
+    return df.select(url_col, bin_col).mapInPandas(gen, REDACTED_SCHEMA)

@@ -2008,6 +2008,10 @@ def q_extract_links(spark, sf_dir):
             F.lit("</h1><h2 class=s> Sub <em>part "),
             (F.col("doc_id") % 5).cast("string"),
             F.lit("</em>  line </h2>"),
+            F.lit("<table class=t><tr><th> Name </th><th>Qty</th></tr>"),
+            F.lit("<tr><td>item <b>"), (F.col("doc_id") % 4).cast("string"),
+            F.lit("</b></td><td>"), (F.col("doc_id") % 9).cast("string"),
+            F.lit("</td></tr></table>"),
         ).alias("html"),
     )
     links = extract_links(d.select("url", "html"))
@@ -2024,11 +2028,24 @@ def q_extract_links(spark, sf_dir):
     )
     # (6) headings — h1-h6 outline rows (content.heading_outline) over
     # the same seeded pages: nested <em> markup exercises tag-strip +
-    # whitespace collapse; level rides the n column, pos rides link_no
+    # whitespace collapse; level rides the n column, pos rides link_no.
+    # (7) table_rows — content.table_rows over the seeded header+data
+    # table: cells joined by ' | ' ride anchor, row_no rides link_no,
+    # table_no rides n (arrays cannot cross the contract canonicalizer)
     from textractssmlprocessor_spark.operators.content import (
         heading_outline,
+        table_rows,
     )
 
+    tr = table_rows(d.select("url", "html")).select(
+        F.lit("table_rows").alias("variant"),
+        "url",
+        F.col("row_no").alias("link_no"),
+        F.lit(None).cast("string").alias("href"),
+        F.array_join("cells", " | ").alias("anchor"),
+        F.col("table_no").alias("n"),
+        F.lit(None).cast("double").alias("score"),
+    )
     hd = heading_outline(d.select("url", "html")).select(
         F.lit("headings").alias("variant"),
         "url",
@@ -2092,6 +2109,7 @@ def q_extract_links(spark, sf_dir):
         .unionByName(hub_rows)
         .unionByName(auth_rows)
         .unionByName(hd)
+        .unionByName(tr)
     )
 
 
@@ -2521,6 +2539,9 @@ def oracle_sql() -> dict[str, str]:
         PG_TIME_TAG_RE,
         PG_TITLE_RE,
         SCRIPT_STYLE_RE as _MC_SCRIPT_RE,
+        TABLE_CELL_RE,
+        TABLE_RE,
+        TABLE_TR_RE,
         TAG_RE as _MC_TAG_RE,
     )
     from textractssmlprocessor_spark.operators.textstats import STOPWORDS
@@ -3700,7 +3721,11 @@ def oracle_sql() -> dict[str, str]:
                        || '</a><a class=x href=''/local/' || (doc_id % 10)::VARCHAR
                        || '''>  local  </a><h1>Title ' || (doc_id % 7)::VARCHAR
                        || '</h1><h2 class=s> Sub <em>part ' || (doc_id % 5)::VARCHAR
-                       || '</em>  line </h2>' AS html
+                       || '</em>  line </h2>'
+                       || '<table class=t><tr><th> Name </th><th>Qty</th></tr>'
+                       || '<tr><td>item <b>' || (doc_id % 4)::VARCHAR
+                       || '</b></td><td>' || (doc_id % 9)::VARCHAR
+                       || '</td></tr></table>' AS html
                 FROM documents
             ),
             m AS (
@@ -3723,6 +3748,22 @@ def oracle_sql() -> dict[str, str]:
                 SELECT url, regexp_extract_all(html, '{HEADING_RE}') AS fr
                 FROM d
             ),
+            tbl AS (
+                SELECT url, generate_subscripts(ts, 1)::BIGINT - 1 AS tno,
+                       unnest(ts) AS tb
+                FROM (SELECT url, regexp_extract_all(html, '{TABLE_RE}', 1) AS ts FROM d)
+            ),
+            trw AS (
+                SELECT url, tno, generate_subscripts(rs, 1)::BIGINT - 1 AS rno,
+                       unnest(rs) AS rh
+                FROM (SELECT url, tno, regexp_extract_all(tb, '{TABLE_TR_RE}', 1) AS rs FROM tbl)
+            ),
+            tcell AS (
+                SELECT url, tno, rno,
+                       list_transform(regexp_extract_all(rh, '{TABLE_CELL_RE}', 1),
+                           c -> trim(regexp_replace(regexp_replace(c, '{_MC_TAG_RE}', ' ', 'g'), '\\s+', ' ', 'g'))) AS cells
+                FROM trw
+            ),
             hd AS (
                 SELECT url, (g.i - 1)::BIGINT AS link_no,
                        regexp_extract(fr[g.i], '{HEADING_LEVEL_RE}', 1)::BIGINT AS n,
@@ -3738,6 +3779,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'headings', url, link_no, NULL::VARCHAR, anchor, n,
                    NULL::DOUBLE
             FROM hd
+            UNION ALL
+            SELECT 'table_rows', url, rno, NULL::VARCHAR,
+                   array_to_string(cells, ' | '), tno, NULL::DOUBLE
+            FROM tcell WHERE len(cells) > 0
             UNION ALL
             SELECT 'anchors', NULL::VARCHAR, NULL::BIGINT, href, min(anchor),
                    count(*)::BIGINT, NULL::DOUBLE

@@ -492,3 +492,58 @@ def heading_outline(
             )
         ).alias("heading"),
     )
+
+
+# --------------------------------------------------------------------------
+# HTML table extraction: (url, table_no, row_no, cells) rows from raw
+# pages. Density-based main-content extractors classify table chrome as
+# boilerplate, so tabular data either vanishes or smears into run-on
+# text; pipelines that want tables (QA pairs, entity grids, markdown
+# serialization for LLM corpora) extract them as STRUCTURE first. Pure
+# map-side: three nested regexp_extract_all + two posexplodes, zero
+# Python.
+#
+# Documented subset (same family as heading_outline): lazy bodies end at
+# the FIRST close tag, so a nested table's rows surface under the inner
+# extraction and the outer body truncates there; colspan/rowspan are not
+# expanded.
+# --------------------------------------------------------------------------
+
+TABLE_RE = r"(?is)<table(?:\s[^>]*)?>(.*?)</table\s*>"
+TABLE_TR_RE = r"(?is)<tr(?:\s[^>]*)?>(.*?)</tr\s*>"
+TABLE_CELL_RE = r"(?is)<t[dh](?:\s[^>]*)?>(.*?)</t[dh]\s*>"
+
+
+def table_rows(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Exploded (url, table_no, row_no, cells) — 0-based table and
+    within-table row order, cells as an array of tag-stripped,
+    whitespace-collapsed strings (th and td alike; '' cells kept so
+    column positions stay aligned). Rows with no cells are dropped."""
+    h = F.coalesce(F.col(html_col), F.lit(""))
+    tables = df.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.regexp_extract_all(h, F.lit(TABLE_RE), F.lit(1))
+        ).alias("table_no", "tbody"),
+    )
+    rows = tables.select(
+        "url",
+        F.col("table_no").cast("bigint").alias("table_no"),
+        F.posexplode(
+            F.regexp_extract_all("tbody", F.lit(TABLE_TR_RE), F.lit(1))
+        ).alias("row_no", "rowhtml"),
+    )
+    cells = F.transform(
+        F.regexp_extract_all("rowhtml", F.lit(TABLE_CELL_RE), F.lit(1)),
+        lambda c: F.trim(
+            F.regexp_replace(F.regexp_replace(c, TAG_RE, " "), r"\s+", " ")
+        ),
+    )
+    return rows.select(
+        "url",
+        "table_no",
+        F.col("row_no").cast("bigint").alias("row_no"),
+        cells.alias("cells"),
+    ).where(F.size("cells") > 0)

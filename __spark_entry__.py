@@ -2186,7 +2186,9 @@ def q_main_content(spark, sf_dir):
             F.col("doc_id") % 4 == 1,
             F.concat(
                 F.lit('<html><head><meta content="Reversed '), sid,
-                F.lit('" name="description"></head>'),
+                F.lit('" name="description">'),
+                F.lit('<meta name="robots" content=" NOINDEX , nofollow ">'),
+                F.lit("</head>"),
             ),
         )
         .when(
@@ -2536,6 +2538,8 @@ def oracle_sql() -> dict[str, str]:
         HEADING_LEVEL_RE,
         HEADING_RE,
         PG_PUBLISHED_RE,
+        PG_ROBOTS_CONTENT_FIRST_RE,
+        PG_ROBOTS_NAME_FIRST_RE,
         PG_TIME_TAG_RE,
         PG_TITLE_RE,
         SCRIPT_STYLE_RE as _MC_SCRIPT_RE,
@@ -3842,7 +3846,9 @@ def oracle_sql() -> dict[str, str]:
                             || 'content="2024-03-07T08:15:00Z"></head>'
                        WHEN doc_id % 4 = 1 THEN
                             '<html><head><meta content="Reversed ' || doc_id::VARCHAR
-                            || '" name="description"></head>'
+                            || '" name="description">'
+                            || '<meta name="robots" content=" NOINDEX , nofollow ">'
+                            || '</head>'
                        WHEN doc_id % 4 = 2 THEN
                             '<html LANG=fr-FR ><head><title>Solo ' || doc_id::VARCHAR
                             || '</title></head><time datetime="2023-12-01">x</time>'
@@ -3857,7 +3863,11 @@ def oracle_sql() -> dict[str, str]:
                        lower(nullif(regexp_extract(mh, '{PG_LANG_RE}', 1), '')) AS pg_lang,
                        nullif(regexp_extract(mh, '{PG_OG_TITLE_RE}', 1), '') AS pg_og_title,
                        coalesce(nullif(regexp_extract(mh, '{PG_PUBLISHED_RE}', 1), ''),
-                                nullif(regexp_extract(mh, '{PG_TIME_TAG_RE}', 1), '')) AS pg_date
+                                nullif(regexp_extract(mh, '{PG_TIME_TAG_RE}', 1), '')) AS pg_date,
+                       nullif(trim(regexp_replace(lower(coalesce(
+                           nullif(regexp_extract(mh, '{PG_ROBOTS_NAME_FIRST_RE}', 1), ''),
+                           nullif(regexp_extract(mh, '{PG_ROBOTS_CONTENT_FIRST_RE}', 1), ''),
+                           '')), '\\s*,\\s*', ',', 'g')), '') AS pg_robots
                 FROM meta
             )
             SELECT t.url,
@@ -3865,7 +3875,8 @@ def oracle_sql() -> dict[str, str]:
                    t.n_blocks,
                    coalesce(a.n_kept, 0)::BIGINT AS n_kept,
                    round(slc / greatest(sch, 1)::DOUBLE, 6) AS link_density,
-                   pg_title, pg_description, pg_lang, pg_og_title, pg_date
+                   pg_title, pg_description, pg_lang, pg_og_title, pg_date,
+                   pg_robots
             FROM tot t LEFT JOIN agg a USING (url) JOIN pm USING (url)
         """,
         "dedup_exact": f"""

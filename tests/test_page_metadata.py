@@ -17,12 +17,14 @@ PAGES = [
         'content="2024-03-07T08:15:00Z"></head>'
         "<body><p>hi</p></body></html>",
     ),
-    # no title; content-first meta ordering; single-quoted og attributes
+    # no title; content-first meta ordering; single-quoted og attributes;
+    # robots directive needing lower + comma/space normalization
     (
         2,
         "<html><head>"
         "<meta content=\"Reversed order two\" name='description'>"
-        "<meta property='og:title' content='OG quoted two'></head>"
+        "<meta property='og:title' content='OG quoted two'>"
+        '<meta content=" NOINDEX , nofollow " name="robots"></head>'
         "<body></body></html>",
     ),
     # unquoted + uppercase-cased lang attribute, title only; date falls
@@ -47,14 +49,22 @@ EXPECT = {
         "en-us",
         "OG one",
         "2024-03-07",
+        None,
     ),
-    2: (None, "Reversed order two", None, "OG quoted two", None),
-    3: ("Solo", None, "fr-fr", None, "2023-12-01"),
-    4: (None, None, None, None, None),
-    5: (None, None, None, None, None),
+    2: (
+        None,
+        "Reversed order two",
+        None,
+        "OG quoted two",
+        None,
+        "noindex,nofollow",
+    ),
+    3: ("Solo", None, "fr-fr", None, "2023-12-01", None),
+    4: (None, None, None, None, None, None),
+    5: (None, None, None, None, None, None),
     # xml:lang ends in 'lang' but _RE requires a \s (or tag start) before
     # 'lang'; ':' is not \s, so it does not match — by design
-    6: (None, None, None, None, None),
+    6: (None, None, None, None, None, None),
 }
 
 
@@ -70,6 +80,7 @@ def test_page_metadata_columns(spark):
             r["pg_lang"],
             r["pg_og_title"],
             r["pg_date"],
+            r["pg_robots"],
         )
         for r in df.select(
             "doc_id", *[c.alias(k) for k, c in cols.items()]

@@ -392,6 +392,18 @@ PG_DESC_CONTENT_FIRST_RE = (
     r"(?is)<meta\s[^>]*?content\s*=\s*[\"\x27]([^\"\x27>]*)[\"\x27]"
     r"[^>]*?name\s*=\s*[\"\x27]description[\"\x27]"
 )
+# robots meta directive (noindex/nofollow/...): the in-page complement
+# to robots.txt (operators/robots.py governs FETCHING; this governs
+# indexing/link-following of an already-fetched page — a corpus that
+# honors publisher intent filters on it)
+PG_ROBOTS_NAME_FIRST_RE = (
+    r"(?is)<meta\s[^>]*?name\s*=\s*[\"\x27]robots[\"\x27]"
+    r"[^>]*?content\s*=\s*[\"\x27]([^\"\x27>]*)"
+)
+PG_ROBOTS_CONTENT_FIRST_RE = (
+    r"(?is)<meta\s[^>]*?content\s*=\s*[\"\x27]([^\"\x27>]*)[\"\x27]"
+    r"[^>]*?name\s*=\s*[\"\x27]robots[\"\x27]"
+)
 PG_OG_TITLE_RE = (
     r"(?is)<meta\s[^>]*?property\s*=\s*[\"\x27]og:title[\"\x27]"
     r"[^>]*?content\s*=\s*[\"\x27]([^\"\x27>]*)"
@@ -419,6 +431,9 @@ def page_metadata(col: Column) -> dict[str, Column]:
     - ``pg_date``: publication date as 'YYYY-MM-DD' —
       article:published_time meta first, then the first <time datetime>
       (freshness filtering / dated-corpus routing)
+    - ``pg_robots``: the robots meta directive, lowercased +
+      whitespace-stripped around commas ('noindex,nofollow') — the
+      publisher-intent filter for an already-fetched page
 
     All NULL when absent/empty. Values are the raw attribute/body bytes
     (entities like &amp; are NOT decoded — decoding is a per-consumer
@@ -445,6 +460,22 @@ def page_metadata(col: Column) -> dict[str, Column]:
         "pg_og_title": _x(PG_OG_TITLE_RE),
         "pg_date": F.coalesce(
             _x(PG_PUBLISHED_RE), _x(PG_TIME_TAG_RE)
+        ),
+        "pg_robots": F.nullif(
+            F.trim(
+                F.regexp_replace(
+                    F.lower(
+                        F.coalesce(
+                            _x(PG_ROBOTS_NAME_FIRST_RE),
+                            _x(PG_ROBOTS_CONTENT_FIRST_RE),
+                            F.lit(""),
+                        )
+                    ),
+                    r"\s*,\s*",
+                    ",",
+                )
+            ),
+            F.lit(""),
         ),
     }
 

@@ -107,3 +107,18 @@ def test_badword_join_form_is_broadcast_no_doc_side_wide_shuffle(spark):
     plan = badword_hits_join(df, wl)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_badword_join_rejects_overlong_entries(spark):
+    import pytest
+
+    from textractssmlprocessor_spark.operators.content import badword_hits_join
+
+    df = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    wl = spark.createDataFrame(
+        [("one two three four",)], "word string"
+    )
+    with pytest.raises(ValueError, match="can never match"):
+        badword_hits_join(df, wl, max_phrase_words=3)
+    # validate=False restores the documented silent-subset behavior
+    assert badword_hits_join(df, wl, max_phrase_words=3, validate=False)

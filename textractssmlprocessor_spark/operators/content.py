@@ -288,6 +288,7 @@ def badword_hits_join(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_phrase_words: int = 3,
+    validate: bool = True,
 ) -> DataFrame:
     """Broadcast-join form for big lists: returns (id_col, bw_hits,
     bw_first, bw_keep) with the SAME semantics as `badword_columns`
@@ -302,11 +303,28 @@ def badword_hits_join(
     (blocklists are human-curated, << executor RAM).
 
     ``words_df`` needs one string column ``word`` (raw entries; they are
-    normalized here).
+    normalized here). An entry LONGER than ``max_phrase_words`` tokens
+    can never match (the doc side only generates grams up to that
+    length); ``validate=True`` (default) spends one bounded action on
+    the small wordlist to raise ValueError instead of silently never
+    matching — pass ``validate=False`` only when the caller has already
+    vetted the list.
     """
     wl = words_df.select(
         F.array_join(badword_tokens(F.col("word")), " ").alias("w")
     ).where(F.col("w") != "").distinct()
+    if validate:
+        # bounded: blocklists are small by contract; this scans only wl
+        too_long = wl.where(
+            F.size(F.split("w", " ", -1)) > max_phrase_words
+        ).limit(3)
+        offenders = [r["w"] for r in too_long.collect()]
+        if offenders:
+            raise ValueError(
+                f"badword_hits_join(max_phrase_words={max_phrase_words}) "
+                f"can never match these longer entries: {offenders} — "
+                "raise max_phrase_words or drop them from the list"
+            )
     toks = df.select(id_col, badword_tokens(F.col(text_col)).alias("_t"))
 
     def _gram_lambda(n: int):

@@ -228,7 +228,10 @@ def q_text_profile(spark, sf_dir):
     # BOM, 5 meta utf-16 label (WHATWG quirk: decode as utf-8).
     from textractssmlprocessor_spark.operators.charset import sniffed_decode
 
-    ascii_t = F.regexp_replace(F.substring("text", 1, 64), "[^ -~]", "")
+    # '<'/'>' are stripped along with non-printables so the constructed
+    # payload can never carry an accidental '<meta ... charset=' declaration
+    # that would make the sniffer diverge from the oracle's %6 expectation.
+    ascii_t = F.regexp_replace(F.substring("text", 1, 64), "[^ -~]|[<>]", "")
     m6 = F.col("doc_id") % 6
     payload = (
         F.when(m6 == 1, F.concat(F.encode(ascii_t, "UTF-8"), F.lit(b"\xe9  ")))
@@ -2709,7 +2712,7 @@ def oracle_sql() -> dict[str, str]:
         "text_profile": f"""
             WITH sdocs AS (
                 SELECT doc_id, text, {script_seed_sql} AS st,
-                       regexp_replace(substr(text, 1, 64), '[^ -~]', '', 'g') AS at
+                       regexp_replace(substr(text, 1, 64), '[^ -~]|[<>]', '', 'g') AS at
                 FROM documents
             ),
             -- trained NB lang-ID replay (operators/langid.py): char

@@ -111,6 +111,8 @@ def test_badword_join_form_is_broadcast_no_doc_side_wide_shuffle(spark):
 
 def test_badword_join_rejects_overlong_entries(spark):
     import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
 
     from textractssmlprocessor_spark.operators.content import badword_hits_join
 
@@ -118,7 +120,15 @@ def test_badword_join_rejects_overlong_entries(spark):
     wl = spark.createDataFrame(
         [("one two three four",)], "word string"
     )
-    with pytest.raises(ValueError, match="can never match"):
-        badword_hits_join(df, wl, max_phrase_words=3)
+    # construction is a pure plan builder — no job, no error yet
+    lazy = badword_hits_join(df, wl, max_phrase_words=3)
+    # the deferred guard fires at execution time, naming the entry
+    with pytest.raises((PySparkException, Py4JJavaError)) as exc:
+        lazy.collect()
+    assert "can never match" in str(exc.value)
+    assert "one two three four" in str(exc.value)
     # validate=False restores the documented silent-subset behavior
-    assert badword_hits_join(df, wl, max_phrase_words=3, validate=False)
+    rows = badword_hits_join(
+        df, wl, max_phrase_words=3, validate=False
+    ).collect()
+    assert all(r["bw_hits"] == 0 for r in rows)

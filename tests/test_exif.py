@@ -275,3 +275,96 @@ def test_redact_media_gps_distributed(spark):
     assert (
         image_exif(red).agg({"exif_has_gps": "sum"}).first()[0] == 0
     )
+
+# ---- IFD1-chain and multi-APP1 GPS (audit + redaction completeness) ----
+
+
+def _tiff_ifd1_gps(loop: bool = False) -> bytes:
+    # IFD0 carries only orientation; the GPS pointer lives in IFD1,
+    # reached via IFD0's trailing next-IFD pointer (thumbnail metadata
+    # can carry its own GPS IFD). loop=True points IFD1's next pointer
+    # back at IFD0 — the hostile cycle the visited-set must break.
+    e = "<"
+    ifd0_off = 8
+    ifd1_off = ifd0_off + 2 + 12 + 4
+    gps_off = ifd1_off + 2 + 12 + 4
+
+    def entry(tag, typ, cnt, val4):
+        return struct.pack(e + "HHI", tag, typ, cnt) + val4
+
+    ifd0 = (
+        struct.pack(e + "H", 1)
+        + entry(0x0112, 3, 1, struct.pack(e + "H", 6) + b"\x00\x00")
+        + struct.pack(e + "I", ifd1_off)  # next-IFD pointer -> IFD1
+    )
+    ifd1 = (
+        struct.pack(e + "H", 1)
+        + entry(0x8825, 4, 1, struct.pack(e + "I", gps_off))
+        + struct.pack(e + "I", ifd0_off if loop else 0)
+    )
+    gps_ifd = (
+        struct.pack(e + "H", 1)
+        + entry(0x0000, 1, 4, b"\x02\x03\x00\x00")
+        + struct.pack(e + "I", 0)
+    )
+    return (
+        b"II" + struct.pack(e + "H", 42) + struct.pack(e + "I", ifd0_off)
+        + ifd0
+        + ifd1
+        + gps_ifd
+    )
+
+
+def _jpeg_two_app1(tiff_a: bytes, tiff_b: bytes) -> bytes:
+    def seg(t: bytes) -> bytes:
+        app1 = b"Exif\x00\x00" + t
+        return b"\xff\xe1" + struct.pack(">H", 2 + len(app1)) + app1
+
+    return b"\xff\xd8" + seg(tiff_a) + seg(tiff_b) + b"\xff\xd9"
+
+
+def test_gps_in_ifd1_is_audited_and_redacted():
+    from textractssmlprocessor_spark.operators.multimodal import (
+        exif_metadata,
+        redact_exif_gps,
+    )
+
+    j = _jpeg(_tiff_ifd1_gps())
+    meta = exif_metadata(j)
+    assert meta is not None and meta[4] == 1  # audit sees IFD1's GPS
+    assert meta[0] == 6  # IFD0 descriptive fields still parse
+    red, flag = redact_exif_gps(j)
+    assert flag == 1 and len(red) == len(j)
+    re_audit = exif_metadata(red)
+    assert re_audit is not None and re_audit[4] == 0
+    assert re_audit[0] == 6  # orientation survives redaction
+    assert redact_exif_gps(red) == (red, 0)  # idempotent
+
+
+def test_gps_in_second_app1_segment_is_audited_and_redacted():
+    from textractssmlprocessor_spark.operators.multimodal import (
+        exif_metadata,
+        redact_exif_gps,
+    )
+
+    j = _jpeg_two_app1(_tiff("II", gps=False), _tiff("MM", gps=True))
+    meta = exif_metadata(j)
+    assert meta == FULL  # descriptive fields from segment 1, GPS from 2
+    red, flag = redact_exif_gps(j)
+    assert flag == 1 and len(red) == len(j)
+    assert exif_metadata(red) == (6, "CanonX", "D5", "2023:05:01 10:00:00", 0)
+    assert redact_exif_gps(red) == (red, 0)
+
+
+def test_ifd_chain_cycle_is_contained():
+    from textractssmlprocessor_spark.operators.multimodal import (
+        exif_metadata,
+        redact_exif_gps,
+    )
+
+    j = _jpeg(_tiff_ifd1_gps(loop=True))
+    meta = exif_metadata(j)  # must terminate despite IFD1 -> IFD0 cycle
+    assert meta is not None and meta[4] == 1
+    red, flag = redact_exif_gps(j)
+    assert flag == 1
+    assert exif_metadata(red)[4] == 0

@@ -305,26 +305,40 @@ def badword_hits_join(
     ``words_df`` needs one string column ``word`` (raw entries; they are
     normalized here). An entry LONGER than ``max_phrase_words`` tokens
     can never match (the doc side only generates grams up to that
-    length); ``validate=True`` (default) spends one bounded action on
-    the small wordlist to raise ValueError instead of silently never
-    matching — pass ``validate=False`` only when the caller has already
-    vetted the list.
+    length); ``validate=True`` (default) folds a lazy guard into the
+    wordlist plan that raises at EXECUTION time on the first such entry
+    instead of silently never matching — construction stays a pure plan
+    builder (no job is triggered until the caller runs an action). Pass
+    ``validate=False`` only when the caller has already vetted the list.
     """
     wl = words_df.select(
         F.array_join(badword_tokens(F.col("word")), " ").alias("w")
     ).where(F.col("w") != "").distinct()
     if validate:
-        # bounded: blocklists are small by contract; this scans only wl
-        too_long = wl.where(
-            F.size(F.split("w", " ", -1)) > max_phrase_words
-        ).limit(3)
-        offenders = [r["w"] for r in too_long.collect()]
-        if offenders:
-            raise ValueError(
-                f"badword_hits_join(max_phrase_words={max_phrase_words}) "
-                f"can never match these longer entries: {offenders} — "
-                "raise max_phrase_words or drop them from the list"
+        # deferred guard: raise_error fires when the (small, broadcast)
+        # wordlist is actually evaluated — never a collect() at
+        # DataFrame-construction time
+        wl = wl.select(
+            F.when(
+                F.size(F.split("w", " ", -1)) > max_phrase_words,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "badword_hits_join(max_phrase_words="
+                            f"{max_phrase_words}) can never match longer "
+                            "entry: "
+                        ),
+                        F.col("w"),
+                        F.lit(
+                            " — raise max_phrase_words or drop it from "
+                            "the list"
+                        ),
+                    )
+                ).cast("string"),
             )
+            .otherwise(F.col("w"))
+            .alias("w")
+        )
     toks = df.select(id_col, badword_tokens(F.col(text_col)).alias("_t"))
 
     def _gram_lambda(n: int):

@@ -1971,31 +1971,34 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes] | None:
 #
 # Containment: every offset is validated against the APP1 segment bounds
 # before reading, IFD entry counts are capped, string values are capped,
-# and the walk is non-recursive (IFD0 -> one Exif sub-IFD, done) — a
-# hostile payload can neither loop nor read outside its own bytes.
+# the IFD0->IFD1 next-pointer chain is visited-set + length capped, and
+# the number of APP1 segments inspected is capped — a hostile payload can
+# neither loop nor read outside its own bytes.
+#
+# Privacy completeness: a GPS IFD is reachable from IFD0 of ANY Exif APP1
+# segment (writers sometimes emit two) or from a later IFD in the
+# next-pointer chain (IFD1 thumbnail metadata can carry its own GPS
+# pointer). Both the has_gps audit and redact_exif_gps walk ALL APP1 Exif
+# segments and the FULL IFD chain in each, so audit->redact->re-audit
+# converges to zero even on multi-segment / IFD1-carried coordinates.
 # --------------------------------------------------------------------------
 
 _EXIF_MAX_IFD_ENTRIES = 256
 _EXIF_MAX_STR = 128
+_EXIF_MAX_APP1 = 16  # hostile-payload cap on Exif segments inspected
+_EXIF_MAX_IFD_CHAIN = 8  # hostile-payload cap on IFD0->IFD1->... hops
 
 
-def exif_metadata(
-    payload: bytes,
-) -> tuple[int | None, str | None, str | None, str | None, int] | None:
-    """(orientation, make, model, datetime_original, has_gps) from a
-    JPEG's APP1 Exif segment; None for non-JPEG or EXIF-free payloads.
-    has_gps is 1 iff IFD0 carries a GPS-IFD pointer whose target is
-    inside the segment with at least one entry."""
+def _exif_tiff_segments(b: bytes) -> list[tuple[int, int]]:
+    """(tiff_start, tiff_end) byte ranges of every APP1 Exif segment in a
+    JPEG, in file order, capped at _EXIF_MAX_APP1. Shared marker walk for
+    exif_metadata and redact_exif_gps (same containment discipline as
+    image_dimensions)."""
     import struct
 
-    if payload is None or len(payload) < 4:
-        return None
-    b = bytes(payload)
-    if b[:2] != b"\xff\xd8":
-        return None
-    # marker walk to APP1/Exif (same discipline as image_dimensions)
-    i, tiff = 2, None
-    while i + 4 <= len(b):
+    out: list[tuple[int, int]] = []
+    i = 2
+    while i + 4 <= len(b) and len(out) < _EXIF_MAX_APP1:
         if b[i] != 0xFF:
             i += 1
             continue
@@ -2007,91 +2010,164 @@ def exif_metadata(
             i += 2
             continue
         if marker in (0xD9, 0xDA):
-            return None  # into entropy data with no APP1 seen
+            break  # entropy data: headers are done
         seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
         if seg_len < 2 or i + 2 + seg_len > len(b):
-            return None  # truncated/hostile length
+            break  # truncated/hostile length
         if marker == 0xE1 and b[i + 4 : i + 10] == b"Exif\x00\x00":
-            tiff = b[i + 10 : i + 2 + seg_len]
-            break
+            out.append((i + 10, i + 2 + seg_len))
         i += 2 + seg_len
-    if tiff is None or len(tiff) < 8:
+    return out
+
+
+def _ifd_chain_offsets(
+    tiff: bytes, e: str, ifd0_off: int
+) -> list[int]:
+    """Offsets of IFD0, IFD1, ... following each IFD's trailing
+    next-pointer; visited-set + _EXIF_MAX_IFD_CHAIN capped, every offset
+    bounds-checked against the segment."""
+    import struct
+
+    offs: list[int] = []
+    seen: set[int] = set()
+    off = ifd0_off
+    while (
+        off not in seen
+        and len(offs) < _EXIF_MAX_IFD_CHAIN
+        and 0 <= off
+        and off + 2 <= len(tiff)
+    ):
+        seen.add(off)
+        n = struct.unpack(e + "H", tiff[off : off + 2])[0]
+        if n == 0 or n > _EXIF_MAX_IFD_ENTRIES:
+            break
+        offs.append(off)
+        nxt_at = off + 2 + 12 * n
+        if nxt_at + 4 > len(tiff):
+            break
+        off = struct.unpack(e + "I", tiff[nxt_at : nxt_at + 4])[0]
+        if off == 0:
+            break
+    return offs
+
+
+def exif_metadata(
+    payload: bytes,
+) -> tuple[int | None, str | None, str | None, str | None, int] | None:
+    """(orientation, make, model, datetime_original, has_gps) from a
+    JPEG's APP1 Exif data; None for non-JPEG or EXIF-free payloads.
+    Descriptive fields come from the FIRST parseable Exif segment's IFD0
+    (the primary-image metadata). has_gps is 1 iff ANY IFD in the
+    IFD0->IFD1 chain of ANY APP1 Exif segment carries a GPS-IFD pointer
+    whose target is inside its segment with at least one entry — the
+    privacy audit must not be blind to IFD1/second-segment GPS."""
+    import struct
+
+    if payload is None or len(payload) < 4:
         return None
-    if tiff[:2] == b"II":
-        e = "<"
-    elif tiff[:2] == b"MM":
-        e = ">"
-    else:
+    b = bytes(payload)
+    if b[:2] != b"\xff\xd8":
         return None
-    if struct.unpack(e + "H", tiff[2:4])[0] != 42:
-        return None
+    segments = _exif_tiff_segments(b)
 
-    def u16(off: int) -> int | None:
-        return (
-            struct.unpack(e + "H", tiff[off : off + 2])[0]
-            if 0 <= off and off + 2 <= len(tiff)
-            else None
-        )
-
-    def u32(off: int) -> int | None:
-        return (
-            struct.unpack(e + "I", tiff[off : off + 4])[0]
-            if 0 <= off and off + 4 <= len(tiff)
-            else None
-        )
-
-    def read_ifd(off: int) -> dict[int, tuple[int, int, int]]:
-        """tag -> (type, count, value_field_offset); {} when unreadable."""
-        n = u16(off)
-        if n is None or n == 0 or n > _EXIF_MAX_IFD_ENTRIES:
-            return {}
-        out: dict[int, tuple[int, int, int]] = {}
-        for k in range(n):
-            base = off + 2 + 12 * k
-            tag, typ = u16(base), u16(base + 2)
-            cnt = u32(base + 4)
-            if tag is None or typ is None or cnt is None:
-                return out  # truncated entry table: keep what parsed
-            out[tag] = (typ, cnt, base + 8)
-        return out
-
-    def ascii_val(entry: tuple[int, int, int]) -> str | None:
-        typ, cnt, voff = entry
-        if typ != 2 or cnt == 0:
+    def parse_segment(
+        tiff: bytes,
+    ) -> tuple[int | None, str | None, str | None, str | None, int] | None:
+        if len(tiff) < 8:
             return None
-        cnt = min(cnt, _EXIF_MAX_STR)
-        src = voff if cnt <= 4 else u32(voff)
-        if src is None or src + cnt > len(tiff):
+        if tiff[:2] == b"II":
+            e = "<"
+        elif tiff[:2] == b"MM":
+            e = ">"
+        else:
             return None
-        raw = tiff[src : src + cnt]
-        return raw.split(b"\x00", 1)[0].decode("ascii", "replace") or None
+        if struct.unpack(e + "H", tiff[2:4])[0] != 42:
+            return None
 
-    def short_val(entry: tuple[int, int, int]) -> int | None:
-        typ, cnt, voff = entry
-        return u16(voff) if typ == 3 and cnt >= 1 else None
+        def u16(off: int) -> int | None:
+            return (
+                struct.unpack(e + "H", tiff[off : off + 2])[0]
+                if 0 <= off and off + 2 <= len(tiff)
+                else None
+            )
 
-    ifd0_off = u32(4)
-    if ifd0_off is None:
+        def u32(off: int) -> int | None:
+            return (
+                struct.unpack(e + "I", tiff[off : off + 4])[0]
+                if 0 <= off and off + 4 <= len(tiff)
+                else None
+            )
+
+        def read_ifd(off: int) -> dict[int, tuple[int, int, int]]:
+            """tag -> (type, count, value_field_offset); {} unreadable."""
+            n = u16(off)
+            if n is None or n == 0 or n > _EXIF_MAX_IFD_ENTRIES:
+                return {}
+            out: dict[int, tuple[int, int, int]] = {}
+            for k in range(n):
+                base = off + 2 + 12 * k
+                tag, typ = u16(base), u16(base + 2)
+                cnt = u32(base + 4)
+                if tag is None or typ is None or cnt is None:
+                    return out  # truncated entry table: keep what parsed
+                out[tag] = (typ, cnt, base + 8)
+            return out
+
+        def ascii_val(entry: tuple[int, int, int]) -> str | None:
+            typ, cnt, voff = entry
+            if typ != 2 or cnt == 0:
+                return None
+            cnt = min(cnt, _EXIF_MAX_STR)
+            src = voff if cnt <= 4 else u32(voff)
+            if src is None or src + cnt > len(tiff):
+                return None
+            raw = tiff[src : src + cnt]
+            return raw.split(b"\x00", 1)[0].decode("ascii", "replace") or None
+
+        def short_val(entry: tuple[int, int, int]) -> int | None:
+            typ, cnt, voff = entry
+            return u16(voff) if typ == 3 and cnt >= 1 else None
+
+        ifd0_off = u32(4)
+        if ifd0_off is None:
+            return None
+        ifd0 = read_ifd(ifd0_off)
+        if not ifd0:
+            return None
+        orientation = short_val(ifd0[0x0112]) if 0x0112 in ifd0 else None
+        make = ascii_val(ifd0[0x010F]) if 0x010F in ifd0 else None
+        model = ascii_val(ifd0[0x0110]) if 0x0110 in ifd0 else None
+        dt = None
+        if 0x8769 in ifd0:
+            p = u32(ifd0[0x8769][2])
+            if p is not None:
+                exif_ifd = read_ifd(p)
+                if 0x9003 in exif_ifd:
+                    dt = ascii_val(exif_ifd[0x9003])
+        has_gps = 0
+        for off in _ifd_chain_offsets(tiff, e, ifd0_off):
+            ifd = read_ifd(off)
+            if 0x8825 in ifd:
+                p = u32(ifd[0x8825][2])
+                if p is not None and read_ifd(p):
+                    has_gps = 1
+                    break
+        return (orientation, make, model, dt, has_gps)
+
+    first: tuple | None = None
+    any_gps = 0
+    for s, t in segments:
+        parsed = parse_segment(b[s:t])
+        if parsed is None:
+            continue
+        if first is None:
+            first = parsed
+        any_gps |= parsed[4]
+        if first is not None and any_gps:
+            break
+    if first is None:
         return None
-    ifd0 = read_ifd(ifd0_off)
-    if not ifd0:
-        return None
-    orientation = short_val(ifd0[0x0112]) if 0x0112 in ifd0 else None
-    make = ascii_val(ifd0[0x010F]) if 0x010F in ifd0 else None
-    model = ascii_val(ifd0[0x0110]) if 0x0110 in ifd0 else None
-    dt = None
-    if 0x8769 in ifd0:
-        p = u32(ifd0[0x8769][2])
-        if p is not None:
-            exif_ifd = read_ifd(p)
-            if 0x9003 in exif_ifd:
-                dt = ascii_val(exif_ifd[0x9003])
-    has_gps = 0
-    if 0x8825 in ifd0:
-        p = u32(ifd0[0x8825][2])
-        if p is not None and read_ifd(p):
-            has_gps = 1
-    return (orientation, make, model, dt, has_gps)
+    return (first[0], first[1], first[2], first[3], any_gps)
 
 
 EXIF_SCHEMA = StructType(
@@ -2150,11 +2226,17 @@ def redact_exif_gps(payload: bytes) -> tuple[bytes, int]:
     """Zero a JPEG's GPS EXIF data IN PLACE: every GPS-IFD entry's value
     bytes (inline and offset-stored — the RATIONAL lat/lon live outside
     the entry table) and then the GPS IFD itself (count, entries, next
-    pointer) are overwritten with zeros. The IFD0 pointer then targets a
-    valid empty IFD, every other byte of the file — pixels, orientation,
-    camera fields, segment lengths — is untouched, so the image decodes
-    identically and non-GPS metadata survives. Returns (payload,
-    redacted_flag 0/1); payloads without GPS come back unchanged.
+    pointer) are overwritten with zeros. The owning IFD's pointer then
+    targets a valid empty IFD; every other byte of the file — pixels,
+    orientation, camera fields, segment lengths — is untouched, so the
+    image decodes identically and non-GPS metadata survives. Returns
+    (payload, redacted_flag 0/1); payloads without GPS come back
+    unchanged.
+
+    Completeness: redacts a GPS IFD reachable from ANY IFD in the
+    IFD0->IFD1 next-pointer chain of ANY APP1 Exif segment (the same
+    surfaces ``exif_metadata``'s has_gps audits), so audit -> redact ->
+    re-audit always converges to has_gps=0.
 
     This is the privacy TRANSFORM paired with ``image_exif``'s has_gps
     audit: run the audit, redact the flagged images, re-audit to zero."""
@@ -2165,77 +2247,62 @@ def redact_exif_gps(payload: bytes) -> tuple[bytes, int]:
         return (b, 0)
     import struct
 
-    # re-locate the APP1 segment (same walk as exif_metadata)
-    i = 2
-    while i + 4 <= len(b):
-        if b[i] != 0xFF:
-            i += 1
-            continue
-        marker = b[i + 1]
-        if marker == 0xFF:
-            i += 1
-            continue
-        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-            i += 2
-            continue
-        if marker in (0xD9, 0xDA):
-            return (b, 0)
-        seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
-        if marker == 0xE1 and b[i + 4 : i + 10] == b"Exif\x00\x00":
-            break
-        i += 2 + seg_len
-    else:
-        return (b, 0)
-    tiff_start, tiff_end = i + 10, i + 2 + seg_len
-    tiff = b[tiff_start:tiff_end]
-    e = "<" if tiff[:2] == b"II" else ">"
-    ifd0_off = struct.unpack(e + "I", tiff[4:8])[0]
-
-    def u16(off):
-        return struct.unpack(e + "H", tiff[off : off + 2])[0]
-
-    def u32(off):
-        return struct.unpack(e + "I", tiff[off : off + 4])[0]
-
-    # find the GPS pointer in IFD0 (bounds already vetted by exif_metadata
-    # for the has_gps=1 path; re-check cheaply anyway)
-    if ifd0_off + 2 > len(tiff):
-        return (b, 0)
-    n = u16(ifd0_off)
-    gps_off = None
-    for k in range(min(n, _EXIF_MAX_IFD_ENTRIES)):
-        base = ifd0_off + 2 + 12 * k
-        if base + 12 > len(tiff):
-            return (b, 0)
-        if u16(base) == 0x8825:
-            gps_off = u32(base + 8)
-            break
-    if gps_off is None or gps_off + 2 > len(tiff):
-        return (b, 0)
-    gn = u16(gps_off)
-    if gn == 0 or gn > _EXIF_MAX_IFD_ENTRIES:
-        return (b, 0)
     out = bytearray(b)
+    redacted = 0
+    for tiff_start, tiff_end in _exif_tiff_segments(b):
+        tiff = b[tiff_start:tiff_end]
+        if len(tiff) < 8 or tiff[:2] not in (b"II", b"MM"):
+            continue
+        e = "<" if tiff[:2] == b"II" else ">"
+        if struct.unpack(e + "H", tiff[2:4])[0] != 42:
+            continue
+        ifd0_off = struct.unpack(e + "I", tiff[4:8])[0]
 
-    def zero(tiff_off: int, length: int) -> None:
-        lo = tiff_start + max(tiff_off, 0)
-        hi = min(tiff_start + tiff_off + length, tiff_end)
-        if lo < hi:
-            out[lo:hi] = bytes(hi - lo)
+        def u16(off, tiff=tiff, e=e):
+            return struct.unpack(e + "H", tiff[off : off + 2])[0]
 
-    ifd_len = 2 + 12 * gn + 4
-    if gps_off + ifd_len > len(tiff):
-        ifd_len = len(tiff) - gps_off  # truncated table: zero what exists
-    for k in range(gn):
-        base = gps_off + 2 + 12 * k
-        if base + 12 > len(tiff):
-            break
-        typ, cnt = u16(base + 2), u32(base + 4)
-        size = _TIFF_TYPE_SIZE.get(typ, 1) * min(cnt, 1 << 20)
-        if size > 4:  # offset-stored value: chase and zero it
-            zero(u32(base + 8), size)
-    zero(gps_off, ifd_len)
-    return (bytes(out), 1)
+        def u32(off, tiff=tiff, e=e):
+            return struct.unpack(e + "I", tiff[off : off + 4])[0]
+
+        def zero(tiff_off, length, tiff_start=tiff_start, tiff_end=tiff_end):
+            lo = tiff_start + max(tiff_off, 0)
+            hi = min(tiff_start + tiff_off + length, tiff_end)
+            if lo < hi:
+                out[lo:hi] = bytes(hi - lo)
+
+        # GPS pointers can live in IFD0 OR any later IFD on the chain
+        for ifd_off in _ifd_chain_offsets(tiff, e, ifd0_off):
+            if ifd_off + 2 > len(tiff):
+                continue
+            n = u16(ifd_off)
+            gps_off = None
+            for k in range(min(n, _EXIF_MAX_IFD_ENTRIES)):
+                base = ifd_off + 2 + 12 * k
+                if base + 12 > len(tiff):
+                    break
+                if u16(base) == 0x8825:
+                    gps_off = u32(base + 8)
+                    break
+            if gps_off is None or gps_off + 2 > len(tiff):
+                continue
+            gn = u16(gps_off)
+            if gn == 0 or gn > _EXIF_MAX_IFD_ENTRIES:
+                continue
+            ifd_len = 2 + 12 * gn + 4
+            if gps_off + ifd_len > len(tiff):
+                # truncated table: zero what exists
+                ifd_len = len(tiff) - gps_off
+            for k in range(gn):
+                base = gps_off + 2 + 12 * k
+                if base + 12 > len(tiff):
+                    break
+                typ, cnt = u16(base + 2), u32(base + 4)
+                size = _TIFF_TYPE_SIZE.get(typ, 1) * min(cnt, 1 << 20)
+                if size > 4:  # offset-stored value: chase and zero it
+                    zero(u32(base + 8), size)
+            zero(gps_off, ifd_len)
+            redacted = 1
+    return (bytes(out) if redacted else b, redacted)
 
 
 REDACTED_SCHEMA = StructType(

@@ -70,3 +70,40 @@ def test_registry_is_exactly_at_the_driver_cap():
     # the flagship/golden-backed queries must sit inside the swept prefix
     for must in ("extract_chunks", "extract_documents", "validate_corpus"):
         assert qs.index(must) < 50
+
+
+def test_oracle_columns_match_spark_columns_without_execution(spark):
+    """Schema-drift lint (cheap guard against a suite-query merge silently
+    breaking the driver's schema_match): for every oracle-backed contract
+    query, bind — don't execute — both sides at sf0.001 and compare the
+    sorted column-name sets. Spark side builds the logical plan only
+    (`df.columns`); DuckDB side describes the SQL (LIMIT-0 bind). Value
+    hashing stays check_correctness's job; this tier catches the drift
+    class at pytest speed."""
+    import os
+
+    import duckdb
+
+    import __spark_entry__ as e
+
+    sf_dir = "/root/testdata/sf0.001"
+    os.environ["SPARK_GRAFT_GOLDEN_SF"] = "sf0.001"
+    con = duckdb.connect()
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ):
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    drift: dict[str, tuple[list, list]] = {}
+    for name, sql in oracles.items():
+        spark_cols = sorted(qs[name](spark, sf_dir).columns)
+        oracle_cols = sorted(
+            d[0] for d in con.execute(f"DESCRIBE {sql}").fetchall()
+        )
+        if spark_cols != oracle_cols:
+            drift[name] = (spark_cols, oracle_cols)
+    assert not drift, f"column drift (spark vs oracle): {drift}"

@@ -133,3 +133,35 @@ def test_deterministic_tiebreak(spark):
     row = langid_scores(probe, weights, stats, buckets=256).collect()[0]
     assert row["lang_model_pred"] == "am"
     assert row["lang_model_margin"] == 0.0
+
+
+def test_materialized_model_replays_identically(spark, corpus):
+    from textractssmlprocessor_spark.operators.langid import (
+        langid_scores,
+        materialize_langid_model,
+        train_langid_nb,
+    )
+
+    train = corpus.filter(F.col("doc_id") % 2 == 0)
+    weights, stats = train_langid_nb(train, buckets=512)
+    w_local, s_local = materialize_langid_model(weights, stats)
+    direct = {
+        r["id"]: (r["lang_model_pred"], r["lang_model_score"])
+        for r in langid_scores(corpus, weights, stats, buckets=512).collect()
+    }
+    replayed_df = langid_scores(corpus, w_local, s_local, buckets=512)
+    replayed = {
+        r["id"]: (r["lang_model_pred"], r["lang_model_score"])
+        for r in replayed_df.collect()
+    }
+    assert replayed == direct
+    # the replay plan scores against frozen literal tables: the training
+    # aggregations (per-(lang,cell) counts, per-lang totals, doc priors)
+    # are gone, so it carries strictly fewer shuffles than inline training
+    def n_exchanges(df) -> int:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange")
+
+    assert n_exchanges(replayed_df) < n_exchanges(
+        langid_scores(corpus, weights, stats, buckets=512)
+    )

@@ -1,8 +1,9 @@
 """HTML -> SSML conversion via DOM heuristics (reference utils.py:236-272).
 
-The reference uses BeautifulSoup(html.parser); bs4 is not available here, so
-we build a minimal DOM on top of the stdlib ``html.parser`` tokenizer and
-replicate the reference's semantics:
+The reference parses with ``BeautifulSoup(html_content, 'html.parser')``
+(utils.py:238); bs4 is not installed in this environment, so we build a
+minimal DOM on top of the same stdlib ``html.parser`` tokenizer bs4's
+HTMLParserTreeBuilder wraps, and replicate the reference's semantics:
 
 - every ``<h4>``: replace its children with the single string
   ``<break time='500ms'/>{title.text}<break time='2s'/>``
@@ -18,20 +19,107 @@ replicate the reference's semantics:
 - strip bare ``h4/em/strong/p`` wrapper tags (utils.py:267)
 - wrap in ``<speak>...</speak>``
 
-Behavior is pinned by golden tests; bs4 quirks outside these semantics
-(e.g. broken-markup recovery) are out of scope for the fixture corpus.
+Broken-markup recovery models bs4's html.parser tree builder (public bs4
+source, builder/_htmlparser.py + element.py + formatter.py, 4.9+ line),
+because real crawl HTML is mostly malformed. The modeled behaviors, each
+pinned by tests/test_dom_recovery.py:
+
+- unmatched ``</x>``: ignored (bs4 ``_popToTag`` finds no open tag)
+- misnested ``<em>a<strong>b</em>``: ``</em>`` pops everything above and
+  including the matching open tag; later orphan closers are ignored
+- unclosed tags at EOF: closed implicitly in document order
+- NO implicit sibling close: ``<p>a<p>b`` NESTS (the html.parser builder,
+  unlike lxml/html5lib, applies no HTML5 auto-close rules)
+- comments / doctype / CDATA / declarations / processing instructions are
+  preserved (``<!--c-->``, ``<!DOCTYPE html>`` + newline, ``<![CDATA[x]]>``,
+  ``<!decl>``, ``<?pi?>``); none of them contribute to ``.text`` (bs4 4.9+
+  ``get_text`` yields only plain strings)
+- ``<script>``/``<style>`` content is raw text: no entity conversion on
+  parse (tokenizer CDATA mode) and no escaping on serialize (bs4
+  ``Formatter.cdata_containing_tags``)
+- boolean attributes serialize as ``name=""`` (builder maps the tokenizer's
+  None to the empty string); duplicate attributes keep the first position
+  with the last value (plain-dict semantics)
+- attribute values re-escape ``& < >`` and pick quotes like bs4's
+  ``quoted_attribute_value``: double quotes unless the (escaped) value
+  contains ``"`` — then single quotes, or ``&quot;`` when both appear
+- cdata-list attributes (``class`` etc., HTMLTreeBuilder.DEFAULT_CDATA_LIST)
+  split on whitespace at parse and re-join with single spaces on output,
+  so ``class=" a   b "`` serializes as ``class="a b"``
+- bs4's extended empty-element set (keygen/basefont/frame/... beyond the
+  HTML5 voids) self-closes as ``<tag/>``
+
+bs4 cannot execute in this sandbox (tests/reference_oracle.py stubs it), so
+byte-parity with a live BeautifulSoup is modeled from its public source and
+pinned by hand-derived goldens, not by running the library — the one
+declared fidelity boundary of this module.
 """
 
 from __future__ import annotations
 
 import re
 from html.parser import HTMLParser
-from typing import List, Optional, Union
+from typing import Dict, List, Optional, Union
 
+# bs4 HTMLTreeBuilder.empty_element_tags: the HTML5 void set plus the
+# legacy tags bs4 carries for pre-HTML5 markup.
 VOID_ELEMENTS = {
-    "area", "base", "br", "col", "embed", "hr", "img", "input",
-    "link", "meta", "param", "source", "track", "wbr",
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "keygen",
+    "link", "menuitem", "meta", "param", "source", "track", "wbr",
+    "basefont", "bgsound", "command", "frame", "image", "isindex",
+    "nextid", "spacer",
 }
+
+# bs4 Formatter.cdata_containing_tags: children are emitted unescaped.
+RAW_TEXT_ELEMENTS = {"script", "style"}
+
+# bs4 HTMLTreeBuilder.DEFAULT_CDATA_LIST: whitespace-separated multi-valued
+# attributes, split on parse and re-joined with ' ' on output.
+_CDATA_LIST_UNIVERSAL = {"class", "accesskey", "dropzone"}
+_CDATA_LIST_BY_TAG = {
+    "a": {"rel", "rev"},
+    "link": {"rel", "rev"},
+    "td": {"headers"},
+    "th": {"headers"},
+    "form": {"accept-charset"},
+    "object": {"archive"},
+    "area": {"rel"},
+    "icon": {"sizes"},
+    "iframe": {"sandbox"},
+    "output": {"for"},
+}
+_NONWS = re.compile(r"\S+")
+
+AttrValue = Union[str, List[str]]
+
+
+class Special:
+    """A non-element markup node preserved verbatim by bs4: comment,
+    doctype, CDATA section, declaration, or processing instruction.
+    Excluded from ``.text`` (bs4 4.9+ get_text yields plain strings only).
+    Prefix/suffix pairs are the bs4 PageElement subclasses' PREFIX/SUFFIX
+    (note Doctype's trailing newline) — except ``decl`` (a non-CDATA
+    unknown declaration such as downlevel-revealed ``<![if !IE]>``), which
+    round-trips ``<!...>`` here; bs4's Declaration class serialization for
+    that rare construct is not pinnable without executing bs4."""
+
+    __slots__ = ("kind", "data")
+
+    SYNTAX = {
+        "comment": ("<!--", "-->"),
+        "doctype": ("<!DOCTYPE ", ">\n"),
+        "cdata": ("<![CDATA[", "]]>"),
+        "decl": ("<!", ">"),
+        "pi": ("<?", ">"),
+    }
+
+    def __init__(self, kind: str, data: str):
+        self.kind = kind
+        self.data = data
+
+    def serialized(self) -> str:
+        pre, suf = self.SYNTAX[self.kind]
+        return f"{pre}{self.data}{suf}"
 
 
 class Node:
@@ -39,8 +127,8 @@ class Node:
 
     def __init__(self, tag: Optional[str], attrs=None, parent=None):
         self.tag = tag  # None for the document root
-        self.attrs = attrs or []
-        self.children: List[Union["Node", str]] = []
+        self.attrs: Dict[str, AttrValue] = attrs or {}
+        self.children: List[Union["Node", "Special", str]] = []
         self.parent = parent
 
     # -- bs4-like accessors ---------------------------------------------------
@@ -48,7 +136,11 @@ class Node:
     def text(self) -> str:
         out: List[str] = []
         for c in self.children:
-            out.append(c if isinstance(c, str) else c.text)
+            if isinstance(c, str):
+                out.append(c)
+            elif isinstance(c, Node):
+                out.append(c.text)
+            # Special nodes (comments/doctypes/...) carry no .text
         return "".join(out)
 
     def set_string(self, s: str) -> None:
@@ -84,14 +176,24 @@ class _TreeBuilder(HTMLParser):
         self.root = Node(None)
         self.stack = [self.root]
 
+    @staticmethod
+    def _attr_dict(tag: str, attrs) -> Dict[str, AttrValue]:
+        d: Dict[str, AttrValue] = {}
+        for k, v in attrs:
+            val: AttrValue = v if v is not None else ""
+            if k in _CDATA_LIST_UNIVERSAL or k in _CDATA_LIST_BY_TAG.get(tag, ()):
+                val = _NONWS.findall(val)
+            d[k] = val  # duplicate attr: first position, last value
+        return d
+
     def handle_starttag(self, tag, attrs):
-        node = Node(tag, attrs, parent=self.stack[-1])
+        node = Node(tag, self._attr_dict(tag, attrs), parent=self.stack[-1])
         self.stack[-1].children.append(node)
         if tag not in VOID_ELEMENTS:
             self.stack.append(node)
 
     def handle_startendtag(self, tag, attrs):
-        node = Node(tag, attrs, parent=self.stack[-1])
+        node = Node(tag, self._attr_dict(tag, attrs), parent=self.stack[-1])
         self.stack[-1].children.append(node)
 
     def handle_endtag(self, tag):
@@ -103,6 +205,30 @@ class _TreeBuilder(HTMLParser):
 
     def handle_data(self, data):
         self.stack[-1].children.append(data)
+
+    def handle_comment(self, data):
+        self.stack[-1].children.append(Special("comment", data))
+
+    def handle_decl(self, data):
+        # bs4 _htmlparser.handle_decl: the literal "DOCTYPE " prefix is
+        # stripped (case-SENSITIVE — a lowercase <!doctype html> round-trips
+        # as <!DOCTYPE doctype html>, a pinned bs4 quirk)
+        if data.startswith("DOCTYPE "):
+            data = data[len("DOCTYPE "):]
+        elif data == "DOCTYPE":
+            data = ""
+        self.stack[-1].children.append(Special("doctype", data))
+
+    def unknown_decl(self, data):
+        # the stdlib hook name (bs4's BeautifulSoupHTMLParser overrides
+        # this same method); default base behavior silently drops the node
+        if data.startswith("CDATA["):
+            self.stack[-1].children.append(Special("cdata", data[len("CDATA["):]))
+        else:
+            self.stack[-1].children.append(Special("decl", data))
+
+    def handle_pi(self, data):
+        self.stack[-1].children.append(Special("pi", data))
 
 
 def parse_html(html_content: str) -> Node:
@@ -116,20 +242,37 @@ def _escape(s: str) -> str:
     return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
 
-def serialize(node: Node, out: List[str]) -> None:
+def _attr_fragment(key: str, value: AttrValue) -> str:
+    """bs4 Tag.decode attribute emission: cdata-lists re-join with spaces,
+    values escape & < > (minimal formatter), quotes picked by
+    EntitySubstitution.quoted_attribute_value."""
+    if isinstance(value, list):
+        value = " ".join(value)
+    value = _escape(value)
+    quote = '"'
+    if '"' in value:
+        if "'" in value:
+            value = value.replace('"', "&quot;")
+        else:
+            quote = "'"
+    return f" {key}={quote}{value}{quote}"
+
+
+def serialize(node: Node, out: List[str], raw: bool = False) -> None:
     if node.tag is not None:
-        attrs = "".join(
-            f' {k}="{v}"' if v is not None else f" {k}" for k, v in node.attrs
-        )
+        attrs = "".join(_attr_fragment(k, v) for k, v in node.attrs.items())
         if node.tag in VOID_ELEMENTS:
             out.append(f"<{node.tag}{attrs}/>")
             return
         out.append(f"<{node.tag}{attrs}>")
+        raw = raw or node.tag in RAW_TEXT_ELEMENTS
     for c in node.children:
         if isinstance(c, str):
-            out.append(_escape(c))
+            out.append(c if raw else _escape(c))
+        elif isinstance(c, Special):
+            out.append(c.serialized())
         else:
-            serialize(c, out)
+            serialize(c, out, raw)
     if node.tag is not None:
         out.append(f"</{node.tag}>")
 

@@ -1851,9 +1851,16 @@ def q_media_features(spark, sf_dir):
     # samples at 8000 Hz — the DuckDB oracle replays the FORMULA's
     # arithmetic, never the bytes, so the operator's decode+features are
     # what the gate actually checks.
+    # (3) undec — the decode-blind-spot audit: VP8-lossy WebP payloads
+    # (valid container, arithmetic-coded pixels we honestly do not decode)
+    # constructed NATIVELY from header hex + formula dims for doc_id%7==0;
+    # image_pixels must tag each with undecodable_codec='webp-vp8-lossy'
+    # (per-url rows) and the corpus rollup counts them — quantifying the
+    # blind spot instead of folding it into NULLs.
     from textractssmlprocessor_spark.operators.multimodal import (
         audio_pcm_features,
         byte_histogram_features,
+        image_pixels,
     )
 
     d = _docs(spark, sf_dir).select(
@@ -1919,7 +1926,46 @@ def q_media_features(spark, sf_dir):
             )
         ).alias("dim", "value"),
     ).select("variant", "url", F.col("dim").cast("bigint").alias("dim"), "value")
-    return hist.unionByName(pcm)
+
+    # minimal VP8-lossy WebP: RIFF + WEBP + 'VP8 ' chunk + 3-byte frame tag
+    # + sync 9D012A + 14-bit LE dims (w = 16 + doc_id%8, h = 16) — 30 bytes,
+    # the exact container image_dimensions parses and no decoder covers
+    webp = _docs(spark, sf_dir).filter(F.col("doc_id") % 7 == 0).select(
+        F.concat(F.lit("webp://"), F.col("doc_id").cast("string")).alias("url"),
+        F.unhex(
+            F.concat(
+                F.lit("524946461600000057454250565038200A0000000000009D012A"),
+                _le_hex((F.lit(16) + F.col("doc_id") % 8).cast("bigint"), 2),
+                _le_hex(F.lit(16).cast("bigint"), 2),
+            )
+        ).alias("payload"),
+    )
+    px = image_pixels(webp)
+    undec = px.select(
+        F.lit("undec").alias("variant"),
+        "url",
+        F.lit(0).cast("bigint").alias("dim"),
+        F.when(F.col("undecodable_codec") == "webp-vp8-lossy", F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("value"),
+    )
+    total = (
+        px.groupBy()
+        .agg(
+            F.sum(
+                F.when(F.col("undecodable_codec") == "webp-vp8-lossy", 1).otherwise(0)
+            )
+            .cast("double")
+            .alias("value")
+        )
+        .select(
+            F.lit("undec_total").alias("variant"),
+            F.lit("corpus://webp-vp8-lossy").alias("url"),
+            F.lit(0).cast("bigint").alias("dim"),
+            "value",
+        )
+    )
+    return hist.unionByName(pcm).unionByName(undec).unionByName(total)
 
 
 def q_resize_media(spark, sf_dir):
@@ -4561,6 +4607,17 @@ def oracle_sql() -> dict[str, str]:
                    unnest([n::DOUBLE, round(n / 8000.0, 6), rms, peak,
                            zerox, clip, silence]) AS value
             FROM pcma
+            UNION ALL
+            -- undec variant: every constructed VP8-lossy payload must be
+            -- tagged (value 1.0) by the Spark-side audit column
+            SELECT 'undec' AS variant, 'webp://' || doc_id::VARCHAR AS url,
+                   0::BIGINT AS dim, 1.0 AS value
+            FROM documents WHERE doc_id % 7 = 0
+            UNION ALL
+            SELECT 'undec_total' AS variant,
+                   'corpus://webp-vp8-lossy' AS url,
+                   0::BIGINT AS dim, count(*)::DOUBLE AS value
+            FROM documents WHERE doc_id % 7 = 0
         """,
         "resize_media": """
             WITH d AS (

@@ -70,3 +70,38 @@ def test_kmeans_improves_or_matches_seed_centroids(emb, exact10):
     trained = set(_ids(ann_ivf_topk(emb, query_id=0, k=10, n_cells=8)))
     seeds = set(_ids(ann_ivf_topk(emb, query_id=0, k=10, n_cells=8, train_iters=0)))
     assert len(trained & exact10) >= len(seeds & exact10)
+
+
+def test_ivf_recall_floor_on_planted_structure(spark, emb):
+    """Quality floor on a corpus with REAL neighborhood structure: 10
+    sign-preserving near-copies of the query (cosine ~1) are planted into
+    the driver embeddings, so brute-force top-10 is exactly the planted
+    set and recall@10 is meaningful (unlike the near-random base corpus).
+    The trained IVF index must put >=9 of the 10 true neighbors in its
+    top-10 — the 'is the index actually good' guarantee a corpus-scale
+    user needs, beyond the oracle's determinism check."""
+    from pyspark.sql import functions as F
+
+    from textractssmlprocessor_spark.operators.similarity import (
+        ann_ivf_topk,
+        cosine_topk,
+    )
+
+    planted = None
+    for i in range(10):
+        scale = 1.0 + 0.001 * (i + 1)
+        copy = emb.filter(F.col("vec_id") == 0).select(
+            F.lit(20000 + i).cast("long").alias("vec_id"),
+            F.transform(
+                "embedding", lambda v: (v * scale).cast("float")
+            ).alias("embedding"),
+        )
+        planted = copy if planted is None else planted.unionByName(copy)
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+
+    exact = set(_ids(cosine_topk(corpus, query_id=0, k=10)))
+    assert {20000 + i for i in range(10)} == exact  # sanity: planted dominate
+
+    got = set(_ids(ann_ivf_topk(corpus, query_id=0, k=10, n_cells=8)))
+    recall = len(got & exact) / 10
+    assert recall >= 0.9, f"IVF planted recall@10 = {recall}"

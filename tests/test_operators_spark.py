@@ -2478,3 +2478,58 @@ def test_ocr_short_docs_and_roman_word_body_lines_survive(spark):
     assert ("u2", "mix") in kept  # body roman word survives
     assert ("u2", "IV") not in kept  # edge folio dies
     assert ("u2", "V") not in kept
+
+
+def test_undecodable_codec_audit(spark):
+    """The decode blind-spot audit: image_pixels tags rows whose container
+    is recognized but whose pixels no decoder covers (VP8-lossy WebP — the
+    documented codec boundary; corrupt PNG streams), and leaves non-image
+    payloads untagged so corpus rollups separate 'not an image' from
+    'image we could not decode'."""
+    import struct
+    import zlib
+
+    from textractssmlprocessor_spark.operators.multimodal import (
+        image_pixels,
+        undecodable_codec,
+    )
+
+    # minimal VP8-lossy container: sync code at 23, 14-bit LE dims
+    vp8 = (
+        b"RIFF" + struct.pack("<I", 22) + b"WEBP"
+        + b"VP8 " + struct.pack("<I", 10)
+        + b"\x00\x00\x00" + b"\x9d\x01\x2a"
+        + struct.pack("<HH", 20, 16)
+    )
+    assert undecodable_codec(vp8) == "webp-vp8-lossy"
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    good_png = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00ab\x00cd"))
+        + chunk(b"IEND", b"")
+    )
+    corrupt_png = good_png[:40]  # header parses, stream truncated
+    assert undecodable_codec(corrupt_png) == "png"
+    assert undecodable_codec(b"plain text payload") is None
+
+    df = spark.createDataFrame(
+        [
+            ("webp://1", bytearray(vp8)),
+            ("png://ok", bytearray(good_png)),
+            ("png://bad", bytearray(corrupt_png)),
+            ("txt://1", bytearray(b"plain text payload")),
+        ],
+        ["url", "payload"],
+    )
+    rows = {r["url"]: r for r in image_pixels(df).collect()}
+    assert rows["webp://1"]["pixels"] is None
+    assert rows["webp://1"]["undecodable_codec"] == "webp-vp8-lossy"
+    assert rows["png://ok"]["pixels"] is not None
+    assert rows["png://ok"]["undecodable_codec"] is None
+    assert rows["png://bad"]["undecodable_codec"] == "png"
+    assert rows["txt://1"]["undecodable_codec"] is None

@@ -349,6 +349,10 @@ PIXELS_SCHEMA = StructType(
         StructField("height", IntegerType(), True),
         StructField("channels", IntegerType(), True),
         StructField("pixels", BinaryType(), True),
+        # audit column: container recognized but pixels undecodable —
+        # quantifies codec blind spots (VP8-lossy WebP) and corrupt streams
+        # at corpus level instead of silently folding them into NULLs
+        StructField("undecodable_codec", StringType(), True),
     ]
 )
 
@@ -767,6 +771,27 @@ def decode_vp8l_pixels(payload: bytes) -> tuple[int, int, int, bytes] | None:
         return None  # truncated/corrupt stream: None, not a dead task
 
 
+def undecodable_codec(p: bytes) -> str | None:
+    """Codec label for an image payload the pixel chain could not decode:
+    the container is recognized (``image_dimensions``) but no decoder
+    covers it (VP8-lossy WebP — an arithmetic-coded codec, documented
+    boundary; BMP) or the stream is corrupt (a truncated PNG/JPEG/GIF).
+    None for unrecognized payloads (not an image at all). WebP flavors are
+    split by fourcc so corpus reports can size the VP8-lossy blind spot
+    exactly."""
+    d = image_dimensions(p)
+    if d is None:
+        return None
+    if d[0] == "webp":
+        fourcc = bytes(p)[12:16]
+        return {
+            b"VP8 ": "webp-vp8-lossy",
+            b"VP8L": "webp-vp8l",
+            b"VP8X": "webp-vp8x",
+        }.get(fourcc, "webp")
+    return d[0]
+
+
 def image_pixels(
     df: DataFrame, url_col: str = "url", bin_col: str = "payload",
 ) -> DataFrame:
@@ -774,9 +799,12 @@ def image_pixels(
     column ->
     (width, height, channels, row-major samples) via mapInPandas.
     Undecodable rows get NULLs (total function — one bad payload never
-    kills a 100 TB job). The pixel bytes feed ``byte_histogram_features``
-    or any downstream embedding UDF without leaving the Arrow batch
-    path."""
+    kills a 100 TB job) plus an ``undecodable_codec`` audit label when the
+    container was recognized, so a corpus rollup can quantify the decode
+    blind spot (VP8-lossy WebP, corrupt streams) instead of conflating it
+    with non-image payloads. The pixel bytes feed
+    ``byte_histogram_features`` or any downstream embedding UDF without
+    leaving the Arrow batch path."""
 
     def _decode_any(p):
         try:
@@ -809,6 +837,12 @@ def image_pixels(
                         [r[2] if r else None for r in rows], dtype="Int32"
                     ),
                     "pixels": [r[3] if r else None for r in rows],
+                    "undecodable_codec": [
+                        undecodable_codec(bytes(p))
+                        if r is None and p is not None
+                        else None
+                        for r, p in zip(rows, pdf[bin_col])
+                    ],
                 }
             )
 

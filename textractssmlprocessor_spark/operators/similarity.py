@@ -125,32 +125,60 @@ def ann_lsh_topk(
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
 
 
+def _collect_centroids(centroids: DataFrame) -> list[tuple[int, list[float]]]:
+    """Centroid table -> sorted local (cell, cvec) rows. Bounded by
+    construction (k rows); the ONE place the kmeans/IVF family touches the
+    driver."""
+    return sorted(
+        ((int(r["cell"]), [float(x) for x in r["cvec"]]) for r in centroids.collect()),
+    )
+
+
+def _assign_expr(
+    cent_rows: list[tuple[int, list[float]]], vec_col: str
+) -> Column:
+    """Nearest-cell assignment expression against INLINED local centroids —
+    pure map-side, zero exchange, zero job. Ties break toward the lowest
+    cell id (rounded sims, first occurrence of the max), reproducible in
+    any engine.
+
+    MUST be evaluated in its own Project (ivf_assign's select) and never
+    alongside a generator: expressions selected next to posexplode are
+    re-evaluated per GENERATED row (the higher-order-function gotcha), which
+    turned a fused select(cell, posexplode(v)) trainer iteration 17x slower
+    than projecting the cell first (same-boot probe, 2k x 64 vectors)."""
+    cvec_lits = F.array(
+        *[F.array(*[F.lit(x) for x in cvec]) for _, cvec in cent_rows]
+    )
+    cell_lits = F.array(*[F.lit(c) for c, _ in cent_rows])
+    v = _doubled(vec_col)
+    sims = F.transform(cvec_lits, lambda c: F.round(cosine(v, c), 6))
+    best_pos = F.array_position(sims, F.array_max(sims))  # 1-based first max
+    return F.element_at(cell_lits, best_pos.cast("int"))
+
+
 def ivf_assign(
     embeddings: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | list[tuple[int, list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF cell assignment: nearest centroid by cosine. The centroid table
-    is tiny by construction, so it is collected once and inlined as an
-    array literal — assignment is then a pure MAP-SIDE expression (transform
+    is tiny by construction, so it is collected once (pass pre-collected
+    (cell, cvec) rows to skip even that job) and inlined as an array
+    literal — assignment is then a pure MAP-SIDE expression (transform
     over the centroid array + first-max position), shuffling nothing. The
     previous formulation (crossJoin + per-id argmin window) shuffled the
-    entire corpus on id. Ties break toward the lowest cell id (rounded sims,
-    first occurrence of the max), reproducible in any engine."""
-    cents = sorted(centroids.collect(), key=lambda r: r["cell"])
-    cell_ids = [int(r["cell"]) for r in cents]
-    cvec_lits = F.array(
-        *[F.array(*[F.lit(float(x)) for x in r["cvec"]]) for r in cents]
+    entire corpus on id."""
+    cent_rows = (
+        centroids
+        if isinstance(centroids, list)
+        else _collect_centroids(centroids)
     )
-    cell_lits = F.array(*[F.lit(c) for c in cell_ids])
-    v = _doubled(vec_col)
-    sims = F.transform(cvec_lits, lambda c: F.round(cosine(v, c), 6))
-    best_pos = F.array_position(sims, F.array_max(sims))  # 1-based first max
     return embeddings.select(
         F.col(id_col).alias("id"),
-        v.alias("v"),
-        F.element_at(cell_lits, best_pos.cast("int")).alias("cell"),
+        _doubled(vec_col).alias("v"),
+        _assign_expr(cent_rows, vec_col).alias("cell"),
     )
 
 
@@ -238,9 +266,34 @@ def kmeans_centroids(
     drop out (documented; with first-k seeds on real corpora this is rare).
     Per iteration: one job over the corpus + a k-row collect. At 10^12 docs
     train on a sample — the search structure is unchanged."""
-    cents = default_centroids(embeddings, k, id_col, vec_col)
+    rows = kmeans_centroids_rows(embeddings, k, iters, id_col, vec_col)
+    return embeddings.sparkSession.createDataFrame(
+        [(c, v) for c, v in rows], "cell int, cvec array<double>"
+    )
+
+
+def kmeans_centroids_rows(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """The trainer's local-rows form: centroids are carried as plain
+    driver data between Lloyd iterations (k rows — bounded by
+    construction), so each iteration is exactly ONE corpus job (the
+    (cell, dim) mean aggregation + k-row collect) with the assignment
+    inlined as literals. Downstream consumers (semdedup, ann_ivf_topk)
+    fuse assignment + centroid_sim into one map-side projection from
+    these rows instead of re-collecting / re-joining a lazy centroid
+    plan — the job-count fusion that keeps the fixed per-job scheduling
+    overhead flat."""
+    rows = _collect_centroids(default_centroids(embeddings, k, id_col, vec_col))
     for _ in range(iters):
-        assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+        # two-step on purpose: assign in its OWN Project, then explode the
+        # projected column — selecting the assignment expression next to
+        # posexplode re-evaluates it per generated row (64x per vector)
+        assigned = ivf_assign(embeddings, rows, id_col, vec_col)
         cents = (
             assigned.select("cell", F.posexplode("v").alias("i", "x"))
             .groupBy("cell", "i")
@@ -253,7 +306,8 @@ def kmeans_centroids(
                 ).alias("cvec")
             )
         )
-    return cents
+        rows = _collect_centroids(cents)
+    return rows
 
 
 def ann_ivf_topk(
@@ -274,12 +328,14 @@ def ann_ivf_topk(
     deterministic k-means trainer (kmeans_centroids); pass ``centroids``
     to search an externally-trained structure, or ``train_iters=0`` for
     the raw first-k-seeds layout."""
-    cents = (
-        centroids
+    cent_rows = (
+        _collect_centroids(centroids)
         if centroids is not None
-        else kmeans_centroids(embeddings, n_cells, train_iters, id_col, vec_col)
+        else kmeans_centroids_rows(
+            embeddings, n_cells, train_iters, id_col, vec_col
+        )
     )
-    assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+    assigned = ivf_assign(embeddings, cent_rows, id_col, vec_col)
     q = assigned.filter(F.col("id") == query_id).select(
         F.col("v").alias("qvec"), F.col("cell").alias("qcell")
     )
@@ -330,13 +386,25 @@ def semdedup(
     from .dedup import _cooccurrence_member_pairs
     from .graph import _truncate, connected_components
 
-    cents = (
-        centroids
+    cent_rows = (
+        _collect_centroids(centroids)
         if centroids is not None
-        else kmeans_centroids(embeddings, n_cells, train_iters, id_col, vec_col)
+        else kmeans_centroids_rows(
+            embeddings, n_cells, train_iters, id_col, vec_col
+        )
     )
-    assigned = ivf_assign(embeddings, cents, id_col, vec_col)  # (id, v, cell)
-    a = assigned.join(F.broadcast(cents), "cell").select(
+    # the centroid table joined back for centroid_sim is rebuilt from the
+    # LOCAL rows (a k-row createDataFrame), so neither the assignment nor
+    # the broadcast re-executes the trainer plan — the job-count fusion
+    # this query needed. (Computing centroid_sim as a second inlined
+    # expression instead would double-evaluate the k-cosine sims block per
+    # row; the k-row broadcast join costs one cosine.)
+    cents_local = embeddings.sparkSession.createDataFrame(
+        cent_rows, "cell int, cvec array<double>"
+    )
+    a = ivf_assign(embeddings, cent_rows, id_col, vec_col).join(
+        F.broadcast(cents_local), "cell"
+    ).select(
         "id", "v", "cell",
         F.round(cosine(F.col("v"), F.col("cvec")), 6).alias("centroid_sim"),
     )

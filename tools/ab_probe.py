@@ -34,7 +34,39 @@ def _patch_cold_model():
     return lambda: None
 
 
-PATCHES = {"cold_model": _patch_cold_model}
+def _patch_head_similarity():
+    """Time a query against the committed (HEAD) similarity module: loads
+    `git show HEAD:.../similarity.py` into a shadow module and swaps the
+    public entry points the contract queries import at call time. Gives the
+    pre-change leg of a same-boot formulation A/B without a second checkout
+    (the working tree holds the candidate; HEAD holds the baseline)."""
+    import subprocess
+    import types
+
+    import textractssmlprocessor_spark.operators.similarity as sim
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = subprocess.run(
+        ["git", "show", "HEAD:textractssmlprocessor_spark/operators/similarity.py"],
+        capture_output=True, text=True, cwd=repo, check=True,
+    ).stdout
+    old = types.ModuleType("similarity_head")
+    old.__package__ = "textractssmlprocessor_spark.operators"  # relative imports
+    exec(compile(src, "similarity_head", "exec"), old.__dict__)
+    swapped = {}
+    for name in ("semdedup", "ann_ivf_topk", "kmeans_centroids", "ivf_assign"):
+        if hasattr(old, name):
+            swapped[name] = getattr(sim, name)
+            setattr(sim, name, getattr(old, name))
+
+    def undo():
+        for name, fn in swapped.items():
+            setattr(sim, name, fn)
+
+    return undo
+
+
+PATCHES = {"cold_model": _patch_cold_model, "head_similarity": _patch_head_similarity}
 
 
 def main() -> None:

@@ -74,3 +74,41 @@ def test_extract_job_flag_injects_conf(tmp_path):
     src = inspect.getsource(extract_job.main)
     assert "--iceberg-catalog" in src and "--iceberg-warehouse" in src
     assert "iceberg_submit_conf" in src
+
+
+GOLDENS = "goldens/iceberg"
+
+
+def _golden(name: str) -> str:
+    with open(f"{GOLDENS}/{name}", encoding="utf-8") as f:
+        return f.read()
+
+
+def test_ddl_and_conf_byte_goldens():
+    """The deployment artifacts are byte-pinned: a regression in DDL/conf
+    generation (lost bucket transform, drifted table property) fails here
+    even though no Iceberg runtime exists to execute them. Regenerate the
+    goldens/iceberg/ files deliberately when the spec changes."""
+    assert pages_table_ddl("lake.crawl.pages") == _golden("pages_ddl.sql")
+    assert chunks_table_ddl("lake.crawl.chunks") == _golden("chunks_ddl.sql")
+    assert iceberg_submit_args_shell("lake", "s3://bucket/wh") == _golden(
+        "submit_hadoop.conf"
+    )
+    assert iceberg_submit_args_shell(
+        "lake", "https://cat.example/api", "rest"
+    ) == _golden("submit_rest.conf")
+
+
+def test_ddl_parses_as_spark_sql(spark):
+    """Stronger than a byte pin: Spark's own SQL parser accepts both DDLs
+    (DataSource-v2 partition-transform syntax — days()/bucket() — parses
+    without the Iceberg extension; only execution needs the catalog). A
+    typo that still matches the golden regenerator would die here."""
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    for ddl in (
+        pages_table_ddl("lake.crawl.pages"),
+        chunks_table_ddl("lake.crawl.chunks"),
+    ):
+        parser.parsePlan(ddl)  # raises ParseException on invalid SQL
+    with pytest.raises(Exception, match="PARSE_SYNTAX_ERROR"):
+        parser.parsePlan("CREATE TABLE broken ( USING iceberg")

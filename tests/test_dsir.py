@@ -104,3 +104,35 @@ def test_train_nb_weights_separates_classes(spark):
     hp = {r["id"]: r["clf_prob"] for r in linear_text_classifier(
         held, w, buckets=500).collect()}
     assert hp[900] > 0.5 > hp[901], hp
+
+
+def test_prefit_model_replays_identically_with_fewer_shuffles(spark):
+    """Train-once idiom (the langid-memo precedent): dsir_scores against a
+    collected/rebuilt (cell, c_raw, c_tgt) model must equal the inline fit
+    value-for-value, and its plan must drop the training aggregations —
+    the model side becomes a local literal table."""
+    from textractssmlprocessor_spark.operators.dsir import dsir_model, dsir_scores
+
+    raw = spark.createDataFrame(
+        [(i, f"tok{i % 5} common words here tok{i % 3}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    tgt = raw.filter("doc_id % 4 = 0")
+    m = dsir_model(raw, tgt, buckets=64)
+    local = spark.createDataFrame(m.collect(), m.schema)
+
+    refit = {
+        r["id"]: (r["dsir_n_grams"], r["dsir_logratio"])
+        for r in dsir_scores(raw, tgt, buckets=64).collect()
+    }
+    replay_df = dsir_scores(raw, tgt, buckets=64, model=local)
+    replay = {
+        r["id"]: (r["dsir_n_grams"], r["dsir_logratio"])
+        for r in replay_df.collect()
+    }
+    assert replay == refit
+
+    def n_exchanges(df) -> int:
+        return df._jdf.queryExecution().executedPlan().toString().count("Exchange")
+
+    assert n_exchanges(replay_df) < n_exchanges(dsir_scores(raw, tgt, buckets=64))

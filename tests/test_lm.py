@@ -114,3 +114,34 @@ def test_perplexity_buckets_terciles(spark):
     # empty input: NULL labels, no crash
     empty = spark.createDataFrame([], "id bigint, lm_avg_logprob double")
     assert perplexity_buckets(empty).count() == 0
+
+
+def test_threshold_fit_label_split_matches_composed(spark):
+    """fit_perplexity_thresholds + label_perplexity_buckets must equal the
+    composed perplexity_buckets byte-for-byte (the memoized replay path is
+    the same scalars inlined), and the empty-sample edge stays NULL."""
+    from textractssmlprocessor_spark.operators.lm import (
+        fit_perplexity_thresholds,
+        label_perplexity_buckets,
+        perplexity_buckets,
+    )
+
+    scored = spark.createDataFrame(
+        [(i, float(-i)) for i in range(30)], "id long, lm_avg_logprob double"
+    )
+    th = fit_perplexity_thresholds(scored)
+    assert th is not None
+    split = {
+        r["id"]: r["ppl_bucket"]
+        for r in label_perplexity_buckets(scored, th).collect()
+    }
+    composed = {
+        r["id"]: r["ppl_bucket"] for r in perplexity_buckets(scored).collect()
+    }
+    assert split == composed
+    assert set(split.values()) == {"head", "middle", "tail"}
+
+    empty = scored.filter("id < 0")
+    assert fit_perplexity_thresholds(empty) is None
+    labeled = label_perplexity_buckets(empty, None)
+    assert labeled.columns[-1] == "ppl_bucket"

@@ -79,6 +79,7 @@ def dsir_scores(
     text_col: str = "text",
     buckets: int = 10000,
     alpha: float = 1.0,
+    model: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document DSIR importance columns over the raw corpus:
     (id, dsir_logratio, dsir_n_grams). ``dsir_logratio`` is the mean over
@@ -86,19 +87,16 @@ def dsir_scores(
     Laplace(alpha)-smoothed cell multinomials — positive means the
     document reads more like ``target`` than like the raw average.
     Documents with no bigrams keep their row with 0 grams and NULL score.
+
+    ``model``: a prefit (cell, c_raw, c_tgt) table from
+    :func:`dsir_model` (at most ``buckets`` rows — collect/replay it for
+    the train-once idiom); default refits from ``raw``/``target``. Totals
+    derive from the model table itself (a bounded agg), so a replayed
+    model never touches the training corpora.
     """
     raw_cells = hashed_gram_cells(raw, id_col, text_col, buckets)
-    tgt_cells = hashed_gram_cells(target, id_col, text_col, buckets)
-    raw_counts = _cell_counts(raw_cells.select("cell"), "c_raw")
-    tgt_counts = _cell_counts(tgt_cells.select("cell"), "c_tgt")
-    model = (
-        raw_counts.join(tgt_counts, "cell", "full_outer")
-        .select(
-            "cell",
-            F.coalesce("c_raw", F.lit(0)).alias("c_raw"),
-            F.coalesce("c_tgt", F.lit(0)).alias("c_tgt"),
-        )
-    )
+    if model is None:
+        model = dsir_model(raw, target, id_col, text_col, buckets)
     totals = model.agg(
         F.sum("c_raw").cast("double").alias("n_raw"),
         F.sum("c_tgt").cast("double").alias("n_tgt"),
@@ -135,6 +133,29 @@ def dsir_scores(
             ),
             "dsir_logratio",
         )
+    )
+
+
+def dsir_model(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 10000,
+) -> DataFrame:
+    """The DSIR cell-count model: (cell, c_raw, c_tgt), at most ``buckets``
+    rows — one aggregation per corpus with map-side partials. Bounded by
+    construction, so it collects/replays like any trained-weights table."""
+    raw_counts = _cell_counts(
+        hashed_gram_cells(raw, id_col, text_col, buckets).select("cell"), "c_raw"
+    )
+    tgt_counts = _cell_counts(
+        hashed_gram_cells(target, id_col, text_col, buckets).select("cell"), "c_tgt"
+    )
+    return raw_counts.join(tgt_counts, "cell", "full_outer").select(
+        "cell",
+        F.coalesce("c_raw", F.lit(0)).alias("c_raw"),
+        F.coalesce("c_tgt", F.lit(0)).alias("c_tgt"),
     )
 
 

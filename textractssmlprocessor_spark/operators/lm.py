@@ -227,7 +227,29 @@ def perplexity_buckets(
     IVF-centroid precedent (similarity.py); labeling the full corpus is
     then pure map-side. Keep ``sample_frac`` small enough that
     sample/3 rows fit the driver comfortably (the TakeOrdered merge);
-    at 10^12 docs use ~10^-6."""
+    at 10^12 docs use ~10^-6.
+
+    Fit and label are exposed separately (:func:`fit_perplexity_thresholds`
+    / :func:`label_perplexity_buckets`) so a caller can fit ONCE and replay
+    the two scalars across passes — the train-once idiom (the thresholds
+    are plain floats; persisting them is a config entry, not a table)."""
+    thresholds = fit_perplexity_thresholds(
+        scored, score_col, id_col, sample_frac, salt
+    )
+    return label_perplexity_buckets(scored, thresholds, score_col, out_col)
+
+
+def fit_perplexity_thresholds(
+    scored: DataFrame,
+    score_col: str = "lm_avg_logprob",
+    id_col: str = "id",
+    sample_frac: float = 1.0,
+    salt: str = "ppl-v1",
+) -> tuple[float, float] | None:
+    """The fit half of :func:`perplexity_buckets`: the two tercile cut
+    scores as driver floats (None for an empty sample). Three bounded
+    driver actions over the deterministic sample; everything upstream of
+    ``scored`` executes here, so fit once and replay."""
     import math
 
     from textractssmlprocessor_spark.operators.sampling import hash_bucket
@@ -243,11 +265,25 @@ def perplexity_buckets(
     samp = samp.select(F.col(score_col).alias("v")).localCheckpoint(eager=False)
     m = samp.count()
     if m == 0:
-        return scored.withColumn(out_col, F.lit(None).cast("string"))
+        return None
     k1 = max(1, math.ceil(m / 3.0))
     k2 = max(1, math.ceil(2.0 * m / 3.0))
     t1 = samp.orderBy(F.col("v").desc()).limit(k1).agg(F.min("v")).first()[0]
     t2 = samp.orderBy(F.col("v").desc()).limit(k2).agg(F.min("v")).first()[0]
+    return (t1, t2)
+
+
+def label_perplexity_buckets(
+    scored: DataFrame,
+    thresholds: tuple[float, float] | None,
+    score_col: str = "lm_avg_logprob",
+    out_col: str = "ppl_bucket",
+) -> DataFrame:
+    """The label half of :func:`perplexity_buckets`: pure map-side tagging
+    against fitted (or replayed) threshold literals."""
+    if thresholds is None:
+        return scored.withColumn(out_col, F.lit(None).cast("string"))
+    t1, t2 = thresholds
     return scored.withColumn(
         out_col,
         F.when(F.col(score_col) >= t1, F.lit("head"))

@@ -30,6 +30,24 @@ from pyspark.sql import Window
 _MODEL_CACHE: dict[tuple, tuple] = {}
 
 
+def _replay_models(spark, key: tuple, fit) -> list[DataFrame]:
+    """Train-once / broadcast-replay memo shared by every model-carrying
+    contract query (the operator-level sibling of
+    ``langid.materialize_langid_model``): the FIRST profile of a corpus
+    executes ``fit()`` — which must return BOUNDED model DataFrames
+    (weights / cell tables, never corpus-shaped data) — collects them to
+    driver rows, and memoizes (rows, schema) per key. Every later pass
+    rebuilds them as literal tables, so steady-state scoring never
+    re-executes the training aggregations. This is what persisting
+    ``weights.write.parquet()`` buys in production, expressed without a
+    scratch directory."""
+    cached = _MODEL_CACHE.get(key)
+    if cached is None:
+        cached = tuple((df.collect(), df.schema) for df in fit())
+        _MODEL_CACHE[key] = cached
+    return [spark.createDataFrame(rows, schema) for rows, schema in cached]
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -222,17 +240,13 @@ def q_text_profile(spark, sf_dir):
     # pass, so steady-state scoring never re-executes the training aggs.
     # This is what persisting weights.write.parquet() buys in production,
     # expressed without a scratch directory.
-    key = ("langid_nb", sf_dir, 2048)
-    cached = _MODEL_CACHE.get(key)
-    if cached is None:
-        w_df, s_df = train_langid_nb(
+    weights, lstats = _replay_models(
+        spark,
+        ("langid_nb", sf_dir, 2048),
+        lambda: train_langid_nb(
             d0.filter(F.col("doc_id") % 2 == 0), buckets=2048
-        )
-        cached = (w_df.collect(), w_df.schema, s_df.collect(), s_df.schema)
-        _MODEL_CACHE[key] = cached
-    w_rows, w_schema, s_rows, s_schema = cached
-    weights = spark.createDataFrame(w_rows, w_schema)
-    lstats = spark.createDataFrame(s_rows, s_schema)
+        ),
+    )
     lm = langid_scores(d0, weights, lstats, buckets=2048).withColumnRenamed(
         "id", "doc_id"
     )
@@ -852,24 +866,23 @@ def q_gopher_quality(spark, sf_dir):
         train_nb_weights,
     )
 
-    mkey = ("gopher_models", sf_dir, 2000)
-    mcached = _MODEL_CACHE.get(mkey)
-    if mcached is None:
-        w_df = train_nb_weights(
-            d.filter(F.col("doc_id") % 5 == 0),
-            d.filter(F.col("doc_id") % 5 != 0),
-            buckets=2000,
-        )
-        m_df = dsir_model(d, d.filter(F.col("doc_id") % 5 == 0), buckets=2000)
-        mcached = (w_df.collect(), w_df.schema, m_df.collect(), m_df.schema)
-        _MODEL_CACHE[mkey] = mcached
-    w_rows, w_schema, m_rows, m_schema = mcached
-    weights = spark.createDataFrame(w_rows, w_schema)
+    weights, dsir_m = _replay_models(
+        spark,
+        ("gopher_models", sf_dir, 2000),
+        lambda: (
+            train_nb_weights(
+                d.filter(F.col("doc_id") % 5 == 0),
+                d.filter(F.col("doc_id") % 5 != 0),
+                buckets=2000,
+            ),
+            dsir_model(d, d.filter(F.col("doc_id") % 5 == 0), buckets=2000),
+        ),
+    )
     ds = dsir_scores(
         d,
         d.filter(F.col("doc_id") % 5 == 0),
         buckets=2000,
-        model=spark.createDataFrame(m_rows, m_schema),
+        model=dsir_m,
     ).withColumnRenamed("id", "doc_id")
     clf = linear_text_classifier(
         d, weights, buckets=2000, bias=0.25
@@ -1980,15 +1993,12 @@ def q_media_features(spark, sf_dir):
         .otherwise(F.lit(0.0))
         .alias("value"),
     )
+    # Grand total derives from the audited per-row values (not a second
+    # filter over px), and coalesces to 0.0: an empty slice must match the
+    # oracle's count(*) = 0, not hash-mismatch on a NULL sum.
     total = (
-        px.groupBy()
-        .agg(
-            F.sum(
-                F.when(F.col("undecodable_codec") == "webp-vp8-lossy", 1).otherwise(0)
-            )
-            .cast("double")
-            .alias("value")
-        )
+        undec.groupBy()
+        .agg(F.coalesce(F.sum("value"), F.lit(0.0)).alias("value"))
         .select(
             F.lit("undec_total").alias("variant"),
             F.lit("corpus://webp-vp8-lossy").alias("url"),

@@ -356,6 +356,53 @@ def test_gps_in_second_app1_segment_is_audited_and_redacted():
     assert redact_exif_gps(red) == (red, 0)
 
 
+def _tiff_duplicate_gps_tags() -> bytes:
+    # Hostile entry table: TWO 0x8825 entries in IFD0 — the first points
+    # out of the segment (unreadable), the second at a real GPS IFD.
+    # exif_metadata's read_ifd dict keeps the LAST duplicate (audit sees
+    # GPS); redaction must chase EVERY duplicate, not stop at the first.
+    e = "<"
+    ifd0_off = 8
+    n = 2
+    gps_off = ifd0_off + 2 + n * 12 + 4
+
+    def entry(tag, typ, cnt, val4):
+        return struct.pack(e + "HHI", tag, typ, cnt) + val4
+
+    ifd0 = (
+        struct.pack(e + "H", n)
+        + entry(0x8825, 4, 1, struct.pack(e + "I", 1 << 30))  # decoy
+        + entry(0x8825, 4, 1, struct.pack(e + "I", gps_off))  # real
+        + struct.pack(e + "I", 0)
+    )
+    gps_ifd = (
+        struct.pack(e + "H", 1)
+        + entry(0x0000, 1, 4, b"\x02\x03\x00\x00")
+        + struct.pack(e + "I", 0)
+    )
+    return (
+        b"II" + struct.pack(e + "H", 42) + struct.pack(e + "I", ifd0_off)
+        + ifd0
+        + gps_ifd
+    )
+
+
+def test_duplicate_gps_tags_are_all_redacted():
+    from textractssmlprocessor_spark.operators.multimodal import (
+        exif_metadata,
+        redact_exif_gps,
+    )
+
+    j = _jpeg(_tiff_duplicate_gps_tags())
+    meta = exif_metadata(j)
+    assert meta is not None and meta[4] == 1  # audit keeps last duplicate
+    red, flag = redact_exif_gps(j)
+    assert flag == 1 and len(red) == len(j)
+    re_audit = exif_metadata(red)
+    assert re_audit is None or re_audit[4] == 0  # converges to clean
+    assert redact_exif_gps(red) == (red, 0)  # idempotent
+
+
 def test_ifd_chain_cycle_is_contained():
     from textractssmlprocessor_spark.operators.multimodal import (
         exif_metadata,

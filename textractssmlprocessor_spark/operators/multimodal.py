@@ -2304,38 +2304,42 @@ def redact_exif_gps(payload: bytes) -> tuple[bytes, int]:
             if lo < hi:
                 out[lo:hi] = bytes(hi - lo)
 
-        # GPS pointers can live in IFD0 OR any later IFD on the chain
+        # GPS pointers can live in IFD0 OR any later IFD on the chain;
+        # a hostile entry table may carry DUPLICATE 0x8825 entries (the
+        # audit's read_ifd dict keeps the LAST duplicate, so redacting
+        # only the first would leave an audit-visible GPS IFD behind) —
+        # chase and zero every one.
         for ifd_off in _ifd_chain_offsets(tiff, e, ifd0_off):
             if ifd_off + 2 > len(tiff):
                 continue
             n = u16(ifd_off)
-            gps_off = None
+            gps_offs = []
             for k in range(min(n, _EXIF_MAX_IFD_ENTRIES)):
                 base = ifd_off + 2 + 12 * k
                 if base + 12 > len(tiff):
                     break
                 if u16(base) == 0x8825:
-                    gps_off = u32(base + 8)
-                    break
-            if gps_off is None or gps_off + 2 > len(tiff):
-                continue
-            gn = u16(gps_off)
-            if gn == 0 or gn > _EXIF_MAX_IFD_ENTRIES:
-                continue
-            ifd_len = 2 + 12 * gn + 4
-            if gps_off + ifd_len > len(tiff):
-                # truncated table: zero what exists
-                ifd_len = len(tiff) - gps_off
-            for k in range(gn):
-                base = gps_off + 2 + 12 * k
-                if base + 12 > len(tiff):
-                    break
-                typ, cnt = u16(base + 2), u32(base + 4)
-                size = _TIFF_TYPE_SIZE.get(typ, 1) * min(cnt, 1 << 20)
-                if size > 4:  # offset-stored value: chase and zero it
-                    zero(u32(base + 8), size)
-            zero(gps_off, ifd_len)
-            redacted = 1
+                    gps_offs.append(u32(base + 8))
+            for gps_off in gps_offs:
+                if gps_off + 2 > len(tiff):
+                    continue
+                gn = u16(gps_off)
+                if gn == 0 or gn > _EXIF_MAX_IFD_ENTRIES:
+                    continue
+                ifd_len = 2 + 12 * gn + 4
+                if gps_off + ifd_len > len(tiff):
+                    # truncated table: zero what exists
+                    ifd_len = len(tiff) - gps_off
+                for k in range(gn):
+                    base = gps_off + 2 + 12 * k
+                    if base + 12 > len(tiff):
+                        break
+                    typ, cnt = u16(base + 2), u32(base + 4)
+                    size = _TIFF_TYPE_SIZE.get(typ, 1) * min(cnt, 1 << 20)
+                    if size > 4:  # offset-stored value: chase and zero it
+                        zero(u32(base + 8), size)
+                zero(gps_off, ifd_len)
+                redacted = 1
     return (bytes(out) if redacted else b, redacted)
 
 

@@ -2442,6 +2442,14 @@ _WORD_RE_SQL = r"\b[\w-]+\b"
 _BPE_RE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+def _url_suspect_re_sql() -> str:
+    # boundary-anchored suspect-token pattern, shared with the Spark side
+    # (weburl.URL_SUSPECT_RE) so both engines flag the same URLs
+    from textractssmlprocessor_spark.operators.weburl import URL_SUSPECT_RE
+
+    return URL_SUSPECT_RE
+
+
 def _sql_str(s: str) -> str:
     """Render a Python string as a DuckDB expression, emitting non-ASCII
     (and quote) codepoints as chr(n) so the oracle seeds the EXACT same
@@ -2814,7 +2822,7 @@ def oracle_sql() -> dict[str, str]:
                          THEN len(list_filter(string_split(substr(string_split(rest, '#')[1],
                               strpos(string_split(rest, '#')[1], '?') + 1), '&'), p -> p != ''))
                          ELSE 0 END)::BIGINT AS query_param_count,
-                   nullif(lower(regexp_extract(lower(u), '(ads|tracker|clickbait|redirect|popup)', 1)), '') AS url_suspect
+                   nullif(lower(regexp_extract(lower(u), '{_url_suspect_re_sql()}', 1)), '') AS url_suspect
             FROM dq
         """,
         "text_profile": f"""

@@ -2533,3 +2533,40 @@ def test_undecodable_codec_audit(spark):
     assert rows["png://ok"]["undecodable_codec"] is None
     assert rows["png://bad"]["undecodable_codec"] == "png"
     assert rows["txt://1"]["undecodable_codec"] is None
+
+
+def test_blank_docs_never_form_nearup_cliques(spark):
+    """NULL/blank text shares the single md5('') shingle: without the
+    _shingleable guard, m blank docs emit ~m^2/2 jaccard=1.0 pairs and a
+    blank history doc rejects every future blank doc. Blank docs must be
+    invisible to the shingle family (exact dedup owns them)."""
+    from textractssmlprocessor_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_lsh_pairs,
+        near_dupes_against_history,
+        ngram_jaccard_pairs,
+    )
+
+    rows = [(1, None), (2, ""), (3, "   \t  "), (4, "")]
+    real = [(10, "the quick brown fox jumps over the lazy dog"),
+            (11, "the quick brown fox jumps over the lazy cat")]
+    docs = spark.createDataFrame(rows + real, "doc_id bigint, text string")
+    # no pair involves a blank doc; real near-dupes still pair
+    for pairs in (
+        ngram_jaccard_pairs(docs, n=3, threshold=0.1),
+        minhash_lsh_pairs(docs, n=3, threshold=0.1, materialize=False),
+    ):
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert got == {(10, 11)}
+    # a blank doc in history must not gate future blank docs
+    hist = minhash_band_table(docs, n=3)
+    assert hist.filter(F.col("id") < 10).count() == 0
+    survivors = near_dupes_against_history(docs, hist, n=3)
+    assert {r["doc_id"] for r in survivors.collect()} == {1, 2, 3, 4}
+
+
+def test_band_count_must_divide_num_hashes(spark, docs):
+    from textractssmlprocessor_spark.operators.dedup import minhash_lsh_pairs
+
+    with pytest.raises(ValueError, match="must divide"):
+        minhash_lsh_pairs(docs, num_hashes=16, bands=5).collect()

@@ -248,3 +248,88 @@ def test_bom_prefixed_robots_txt_still_parses(spark):
 
     rules = _parse_robots_txt("\ufeffUser-agent: *\nDisallow: /private/\n")
     assert rules == [("disallow", "/private/")]
+
+
+def test_resolve_url_reference_forms(spark):
+    from textractssmlprocessor_spark.operators.weburl import resolve_url
+
+    base = "https://ex.org/a/b/page.html?q=1#frag"
+    cases = [
+        ("http://other.org/x", "http://other.org/x"),      # absolute
+        ("//cdn.org/x", "https://cdn.org/x"),               # scheme-relative
+        ("/index.html", "https://ex.org/index.html"),       # root-relative
+        ("c.html", "https://ex.org/a/b/c.html"),            # path-relative
+        ("?page=2", "https://ex.org/a/b/page.html?page=2"),  # query-only
+        ("#top", "https://ex.org/a/b/page.html"),            # fragment-only
+        ("", "https://ex.org/a/b/page.html"),                # empty = base
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, base, h) for i, (h, _) in enumerate(cases)],
+        "i bigint, base string, href string",
+    )
+    got = {
+        r["i"]: r["resolved"]
+        for r in df.select(
+            "i", resolve_url(F.col("base"), F.col("href")).alias("resolved")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+    # host-root base: relative resolves against '/'
+    df2 = spark.createDataFrame(
+        [("https://ex.org", "x.html"), ("not-a-url", "x.html")],
+        "base string, href string",
+    )
+    r2 = [
+        r["r"]
+        for r in df2.select(
+            resolve_url(F.col("base"), F.col("href")).alias("r")
+        ).collect()
+    ]
+    assert r2[0] == "https://ex.org/x.html"
+    assert r2[1] == "x.html"  # unresolvable base passes href through
+
+
+def test_canonical_url_dedup_resolves_relative_hrefs(spark):
+    """Relative canonical hrefs are extremely common on real crawls; the
+    group key must be the RESOLVED target, or two unrelated sites that
+    both declare href="/index.html" collapse onto one key (silent
+    cross-site deletion)."""
+    from textractssmlprocessor_spark.operators.weburl import canonical_url_dedup
+
+    pages = spark.createDataFrame(
+        [
+            (1, "https://alpha.org/home?x=1", '<link rel="canonical" href="/index.html">'),
+            (2, "https://beta.org/welcome", '<link rel="canonical" href="/index.html">'),
+            (3, "https://alpha.org/home2", '<link rel="canonical" href="/index.html">'),
+        ],
+        "doc_id bigint, url string, html string",
+    )
+    got = {r["canonical_url"]: (r["keep_id"], r["n_dupes"])
+           for r in canonical_url_dedup(pages).collect()}
+    # same-host relative canonicals collapse; different hosts stay apart
+    assert got["https://alpha.org/index.html"] == (1, 2)
+    assert got["https://beta.org/index.html"] == (2, 1)
+
+
+def test_url_suspect_tokens_need_boundaries(spark):
+    from textractssmlprocessor_spark.operators.weburl import url_quality_columns
+
+    urls = spark.createDataFrame(
+        [
+            (1, "https://example.com/downloads/file.zip"),   # not 'ads'
+            (2, "https://gnome.org/backtracker"),             # not 'tracker'
+            (3, "https://auth.org/cb?redirect_uri=x"),        # '_' joins words
+            (4, "https://ads.example.org/page"),              # '.' delimits
+            (5, "https://spam.org/cheap-ads-here"),           # '-' delimits
+            (6, "https://x.org/a?popup=1"),                   # '?'/'=' delimit
+        ],
+        "id bigint, u string",
+    )
+    cols = url_quality_columns(F.col("u"))
+    got = {
+        r["id"]: r["url_suspect"]
+        for r in urls.select("id", cols["url_suspect"].alias("url_suspect")).collect()
+    }
+    assert got == {1: None, 2: None, 3: None, 4: "ads", 5: "ads", 6: "popup"}

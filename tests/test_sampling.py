@@ -221,3 +221,42 @@ def test_epoch_shuffle_reproducible_total_order(spark):
         for r in epoch_shuffle(docs, epoch=4).collect()
     }
     assert other != got and sorted(other.values()) == list(range(1, 201))
+
+
+def test_temperature_target_total_zero_means_zero(spark):
+    from textractssmlprocessor_spark.operators.sampling import (
+        temperature_mixture_rates,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(100)],
+        "doc_id bigint, source string",
+    )
+    # 0.0 is a real target (keep nothing), not "no target given"
+    rates = temperature_mixture_rates(docs, alpha=0.5, target_total=0.0)
+    assert rates and all(v == 0.0 for v in rates.values())
+
+
+def test_subsample_by_group_null_group_key(spark):
+    """NULL group values must take their OWN rate (eqNullSafe), not fall
+    through to `default` — temperature_mixture_rates keys them as None."""
+    from textractssmlprocessor_spark.operators.sampling import (
+        subsample_by_group,
+        temperature_mixture_rates,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, None if i % 2 else "a") for i in range(200)],
+        "doc_id bigint, source string",
+    )
+    rates = temperature_mixture_rates(docs, alpha=0.5)
+    assert None in rates
+    out = subsample_by_group(docs, {None: 0.0, "a": 1.0}, group_col="source")
+    kept = out.filter("keep")
+    assert kept.filter(F.col("source").isNull()).count() == 0
+    assert kept.filter(F.col("source") == "a").count() == 100
+
+
+def test_split_assign_rejects_all_zero_weights(ids):
+    with pytest.raises(ValueError, match="sum to 0"):
+        split_assign(ids, splits={"train": 0.0, "test": 0.0})

@@ -156,3 +156,45 @@ def test_assignment_view_unchanged_by_refactor(spark):
     assert set(rows[0].asDict()) == {
         "id", "seq_id", "frag_start", "frag_len", "seq_offset"
     }
+
+
+def test_assemble_ignores_null_token_arrays(spark):
+    """A NULL token_ids row counts 0 tokens: without the guard, legacy
+    size(NULL) = -1 enters the blocked running sum and shifts every LATER
+    document's global offset by one (corrupted sequences). The assembled
+    stream must be identical to simply omitting the NULL row."""
+    rows = [(1, [1, 2, 3]), (2, None), (3, [4, 5, 6, 7])]
+    with_null = spark.createDataFrame(
+        rows, "id bigint, token_ids array<int>"
+    )
+    without = spark.createDataFrame(
+        [r for r in rows if r[1] is not None], "id bigint, token_ids array<int>"
+    )
+    a = {r["seq_id"]: r["token_ids"]
+         for r in assemble_training_sequences(with_null, seq_len=5).collect()}
+    b = {r["seq_id"]: r["token_ids"]
+         for r in assemble_training_sequences(without, seq_len=5).collect()}
+    assert a == b == {0: [1, 2, 3, 4, 5], 1: [6, 7]}
+
+
+def test_blocked_packing_requires_numeric_ids(spark):
+    from pyspark.sql import functions as F
+
+    from textractssmlprocessor_spark.operators.shards import (
+        make_training_sequences,
+        pack_shards,
+    )
+
+    strs = spark.createDataFrame(
+        [("doc_00012", "a b c"), ("doc_5", "d e")], "doc_id string, text string"
+    )
+    with pytest.raises(ValueError, match="numeric id"):
+        pack_shards(strs, tokens_per_shard=10)
+    with pytest.raises(ValueError, match="numeric id"):
+        make_training_sequences(strs, seq_len=5)
+    with pytest.raises(ValueError, match="numeric id"):
+        assemble_training_sequences(
+            strs.select(F.col("doc_id").alias("id"),
+                        F.split("text", " ").alias("token_ids")),
+            seq_len=5,
+        )

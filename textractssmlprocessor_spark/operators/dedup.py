@@ -28,6 +28,20 @@ from pyspark.sql import functions as F
 from .textstats import fingerprint
 
 
+def _shingleable(df: DataFrame, text_col: str) -> DataFrame:
+    """NULL/blank text is not shingle-fingerprintable: word_shingles'
+    short-doc fallback gives every such document the IDENTICAL single
+    shingle (md5 of ''), so m blank docs would form one co-occurrence
+    group emitting ~m^2/2 jaccard=1.0 pairs — a quadratic clique at crawl
+    scale (10^6 blank pages is ~5*10^11 rows), and one blank history doc
+    would reject every future blank doc. Blank docs belong to EXACT dedup;
+    the near-dup paths filter them out (winnow_fingerprint_table's guard,
+    applied to the shingle family). rlike(\\S), not trim() != '': Spark's
+    trim strips SPACES only, so a tab-only doc would slip through and seed
+    its own whitespace-pattern clique."""
+    return df.filter(F.col(text_col).rlike(r"\S"))
+
+
 def _spread(df: DataFrame, id_col: str) -> DataFrame:
     """Spread a possibly few-partition input (single parquet file) across the
     cluster BEFORE the md5-heavy shingle/signature computation — otherwise
@@ -178,6 +192,7 @@ def ngram_jaccard_pairs(
     Shingles ride as 8-hex md5 prefixes so the shuffle moves 8-byte keys,
     not full n-gram strings.
     """
+    df = _shingleable(df, text_col)
     shingled = _spread(df, id_col).select(
         F.col(id_col).alias("id"),
         hashed_shingles(F.col(text_col), n, hash_fn).alias("sh"),
@@ -273,6 +288,12 @@ def _band_explode(num_hashes: int, bands: int, hash_fn: str):
     minhash_lsh_pairs and the band-table/history path so both produce
     IDENTICAL buckets (a history table written by one is probeable by the
     other across passes)."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}): the "
+            "trailing signature rows would be computed but silently never "
+            "banded, changing the LSH S-curve from what was configured"
+        )
     rows_per_band = num_hashes // bands
     return F.explode(
         F.array(
@@ -314,7 +335,7 @@ def minhash_band_table(
     (two hashes per row), content-free (no text leaves the pass), and
     append-only — exactly what near_dupes_against_history probes."""
     return (
-        _spread(df, id_col)
+        _spread(_shingleable(df, text_col), id_col)
         .select(
             F.col(id_col).alias("id"),
             hashed_shingles(F.col(text_col), n, hash_fn).alias("sh"),
@@ -355,6 +376,10 @@ def near_dupes_against_history(
     _spread); the collision test is one left_semi join on the band
     bucket — co-partitioned on an Iceberg layout bucketed by the band
     key — then one left_anti of ids. The corpus text never shuffles.
+
+    NULL/blank documents produce no bands (the _shingleable guard), so
+    they always PASS this gate — route them through exact dedup, where
+    blank-vs-blank identity actually means something.
     """
     new_bands = minhash_band_table(
         new, id_col, text_col, n=n, num_hashes=num_hashes,
@@ -409,7 +434,7 @@ def minhash_lsh_pairs(
     (e.g. the all-identical-boilerplate cluster), accepting that pairs
     inside skipped buckets are NOT reported.
     """
-    sig = _spread(df, id_col).select(
+    sig = _spread(_shingleable(df, text_col), id_col).select(
         F.col(id_col).alias("id"),
         hashed_shingles(F.col(text_col), n, hash_fn).alias("sh"),
     ).withColumn(

@@ -59,6 +59,10 @@ def split_assign(
     if not splits or any(w < 0 for w in splits.values()):
         raise ValueError("splits must be non-empty with non-negative weights")
     total = sum(splits.values())
+    if total <= 0:
+        raise ValueError(
+            "splits weights sum to 0 — at least one must be positive"
+        )
     b = hash_bucket(F.col(id_col), salt)
     names = list(splits)
     expr = None
@@ -111,8 +115,12 @@ def subsample_by_group(
     thresh = None
     for name, frac in fractions.items():
         hi = int(round(frac * _BUCKETS))
+        # eqNullSafe: temperature_mixture_rates keys NULL groups as None,
+        # and `col == None` is SQL NULL (never true) — a plain == would
+        # silently route NULL-group rows to `default` instead of their
+        # computed rate
         t = (F.when if thresh is None else thresh.when)(
-            F.col(group_col) == name, F.lit(hi)
+            F.col(group_col).eqNullSafe(F.lit(name)), F.lit(hi)
         )
         thresh = t
     thresh = (
@@ -153,7 +161,11 @@ def temperature_mixture_rates(
     # cap binds at the group with the largest w_g/count_g ratio
     max_ratio = max(weights[g] / counts[g] for g in counts)
     max_total = wsum / max_ratio / n
-    total = min(target_total, max_total) if target_total else max_total
+    # `is not None`, not truthiness: target_total=0.0 must mean "keep
+    # nothing", not "no target given"
+    total = (
+        min(target_total, max_total) if target_total is not None else max_total
+    )
     return {
         g: min(1.0, total * n * (weights[g] / wsum) / counts[g])
         for g in counts

@@ -21,6 +21,26 @@ from pyspark.sql import functions as F
 from .ordering import block_of, blocked_running_sum
 from .textstats import count_words
 
+_NUMERIC_TYPES = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+
+def _require_numeric_id(df: DataFrame, id_col: str, op: str) -> None:
+    """block_of(id) = floor(id / block) needs a NUMERIC global order key:
+    with string ids, ANSI mode crashes on the cast, and legacy mode sends
+    every row to the single NULL block — silently re-creating the
+    corpus-global single-task sort the blocked construction exists to
+    avoid (and a numeric-looking string id would block numerically but
+    sort lexicographically, breaking the documented global-id order).
+    Fail loud at construction instead."""
+    dtype = dict(df.dtypes).get(id_col)
+    base = (dtype or "").split("(")[0]
+    if base not in _NUMERIC_TYPES and not base.startswith("decimal"):
+        raise ValueError(
+            f"{op} needs a numeric id column for blocked ordering; "
+            f"{id_col!r} is {dtype!r} — map ids to a numeric key first "
+            "(e.g. a dense rank or ingest sequence)"
+        )
+
 
 def token_count(col: Column) -> Column:
     # one definition of word-count semantics (textstats.count_words);
@@ -39,6 +59,7 @@ def pack_shards(
     """-> (id, n_tokens, shard_id). Documents keep global id order inside
     and across shards; shard_id derives from the EXCLUSIVE running token
     sum so a document lands in the shard that was open when it arrived."""
+    _require_numeric_id(df, id_col, "pack_shards")
     d = df.select(
         F.col(id_col).alias("id"), token_count(F.col(text_col)).alias("n_tokens")
     )
@@ -97,6 +118,7 @@ def make_training_sequences(
     arithmetic plus one bounded explode (a document overlaps at most
     n_tokens/seq_len + 1 sequences, so output is linear in corpus
     tokens)."""
+    _require_numeric_id(df, id_col, "make_training_sequences")
     d = df.select(
         F.col(id_col).alias("id"), token_count(F.col(text_col)).alias("n_tokens")
     )
@@ -161,10 +183,17 @@ def assemble_training_sequences(
     join side), and without the cut Spark would re-run the upstream
     tokenizer UDF — the most expensive map stage in the pipeline — for
     each branch."""
+    _require_numeric_id(tokenized, id_col, "assemble_training_sequences")
+    # NULL token arrays count 0 tokens: size(NULL) is -1 (legacy) or NULL
+    # (ANSI) — either would poison the blocked running sum every later
+    # document's offsets build on (the token_count hazard, same guard)
     d = tokenized.select(
         F.col(id_col).alias("id"),
         F.col(tokens_col).alias("_toks"),
-        F.size(F.col(tokens_col)).cast("bigint").alias("n_tokens"),
+        F.when(F.col(tokens_col).isNull(), F.lit(0))
+        .otherwise(F.size(F.col(tokens_col)))
+        .cast("bigint")
+        .alias("n_tokens"),
     )
     if materialize:
         from .graph import _truncate

@@ -80,6 +80,43 @@ def url_host(col: Column) -> Column:
     ).otherwise(F.substring_index(hostport, ":", 1))
 
 
+def resolve_url(base: Column, href: Column) -> Column:
+    """Resolve an href against its page URL (RFC 3986 §5 reference
+    resolution, native codegen): absolute hrefs pass through; scheme-
+    relative (``//host/...``) take the base's scheme; root-relative
+    (``/path``) take the base's scheme://authority; query-only (``?x``)
+    replace the base's query; fragment-only / empty resolve to the base
+    (fragments are dropped by normalize_url anyway); everything else is
+    merge-paths relative resolution against the base path's directory.
+
+    Honest subset: dot segments (``../``) are kept literal rather than
+    normalized away — dedup keys only need to be CONSISTENT across
+    spellings of the same reference, and a literal ``a/../b`` resolves
+    identically every time. A base without a scheme://authority prefix is
+    unresolvable; the href passes through unchanged."""
+    sh = F.regexp_extract(base, _SCHEME_HOST_RE, 1)
+    scheme = F.substring_index(sh, "://", 1)
+    base_nofq = F.substring_index(F.regexp_replace(base, "#.*", ""), "?", 1)
+    path = F.substring(base_nofq, F.length(sh) + 1, 1 << 30)
+    dir_ = F.regexp_replace(path, "[^/]*$", "")
+    dir_ = F.when(dir_ == "", F.lit("/")).otherwise(dir_)
+    return (
+        F.when(href.isNull(), F.lit(None).cast("string"))
+        .when(href.rlike(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://"), href)
+        .when(sh == "", href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(sh, href))
+        .when(
+            href.startswith("?"),
+            F.concat(
+                sh, F.when(path == "", F.lit("/")).otherwise(path), href
+            ),
+        )
+        .when((href == "") | href.startswith("#"), base_nofq)
+        .otherwise(F.concat(sh, dir_, href))
+    )
+
+
 def with_canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
     return df.withColumn("canonical_url", normalize_url(F.col(url_col))).withColumn(
         "host", url_host(F.col(url_col))
@@ -316,16 +353,24 @@ def canonical_url_dedup(
     html_col: str = "html",
 ) -> DataFrame:
     """URL dedup where a page's self-declared canonical outranks its crawl
-    URL: group key = normalize_url(coalesce(canonical_href, url)). Same
-    single narrow groupBy as url_dedup (min-id survivor, group size); the
-    canonical extraction rides the same map-side projection, so the only
-    shuffle is the final aggregation on the canonical key."""
+    URL: group key = normalize_url(resolve_url(url, canonical_href)),
+    falling back to the crawl url when no canonical is declared. The
+    resolve step matters on real crawls: relative canonical hrefs
+    (``<link rel=canonical href="/index.html">``) are common, and keying
+    on the RAW href would collapse unrelated pages across different hosts
+    onto one group key — silent cross-site data loss. Same single narrow
+    groupBy as url_dedup (min-id survivor, group size); extraction and
+    resolution ride the same map-side projection, so the only shuffle is
+    the final aggregation on the canonical key."""
     link, og = _canonical_signals(html_col)
+    href = F.coalesce(link, og)
     return (
         df.select(
             F.col(id_col),
             normalize_url(
-                F.coalesce(link, og, F.col(url_col))
+                F.coalesce(
+                    resolve_url(F.col(url_col), href), F.col(url_col)
+                )
             ).alias("canonical_url"),
         )
         .groupBy("canonical_url")
@@ -425,6 +470,19 @@ def crawl_frontier_order(
 # production); shared with the DuckDB oracle via this constant
 URL_SUSPECT_TOKENS = ("ads", "tracker", "clickbait", "redirect", "popup")
 
+# tokens must sit on URL-delimiter boundaries: a raw substring match flags
+# 'downloads', 'backtracker', or any OAuth 'redirect_uri=' callback. No
+# lookbehind (RE2/oracle portability) — the boundary chars are consumed by
+# non-capturing groups, the token stays group 1. '_' is a word JOINER
+# ('redirect_uri' is not the token 'redirect'); '-' and '.' delimit
+# ('ads.example.org', 'cheap-ads-here'). Shared with the oracle.
+_URL_TOKEN_BOUNDARY = r"[/.?&=:-]"
+URL_SUSPECT_RE = (
+    "(?:^|" + _URL_TOKEN_BOUNDARY + ")("
+    + "|".join(URL_SUSPECT_TOKENS)
+    + ")(?:" + _URL_TOKEN_BOUNDARY + "|$)"
+)
+
 
 def url_quality_columns(col: Column) -> dict[str, Column]:
     """URL-shape quality signals (the FineWeb/UT1-adjacent pre-content
@@ -448,11 +506,7 @@ def url_quality_columns(col: Column) -> dict[str, Column]:
     n = F.length(col)
     digits = F.length(F.regexp_replace(col, "[^0-9]", ""))
     nz = F.when(n > 0, n.cast("double"))
-    suspect = F.lower(
-        F.regexp_extract(
-            F.lower(col), "(" + "|".join(URL_SUSPECT_TOKENS) + ")", 1
-        )
-    )
+    suspect = F.lower(F.regexp_extract(F.lower(col), URL_SUSPECT_RE, 1))
     return {
         "url_len": n.cast("bigint"),
         "path_depth": F.size(

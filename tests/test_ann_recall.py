@@ -105,3 +105,40 @@ def test_ivf_recall_floor_on_planted_structure(spark, emb):
     got = set(_ids(ann_ivf_topk(corpus, query_id=0, k=10, n_cells=8)))
     recall = len(got & exact) / 10
     assert recall >= 0.9, f"IVF planted recall@10 = {recall}"
+
+
+def test_zero_vector_never_wins_topk(spark):
+    """cosine() must score zero-norm vectors 0.0: unguarded 0/0 = NaN
+    ranks ABOVE every real similarity in Spark's ordering and passes
+    every >= threshold, chaining unrelated docs into near-dup groups."""
+    from textractssmlprocessor_spark.operators.similarity import (
+        cosine_topk,
+        pairwise_near_duplicates,
+    )
+
+    rows = [
+        (0, [1.0] * 64),
+        (1, [1.0] * 63 + [0.9]),    # genuinely close to 0
+        (2, [0.0] * 64),            # zero vector
+        (3, [-1.0] * 64),           # opposite
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    top = cosine_topk(emb, query_id=0, k=2).collect()
+    assert [r["vec_id"] for r in top] == [1, 2]  # zero ranks by 0.0, not NaN
+    assert top[1]["cosine_sim"] == 0.0
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in pairwise_near_duplicates(emb, threshold=0.9).collect()
+    }
+    assert all(2 not in p for p in pairs)
+
+
+def test_ann_lsh_dim_count_matches_short_vectors(spark):
+    from textractssmlprocessor_spark.operators.similarity import ann_lsh_topk
+
+    rows = [(i, [float(i == j or i == 0) for j in range(16)]) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    # dim_count must track the true width: with the default 64 this would
+    # probe element 57 of a 16-dim vector (ANSI crash)
+    got = ann_lsh_topk(emb, query_id=0, k=3, n_bits=4, dim_count=16).collect()
+    assert len(got) > 0

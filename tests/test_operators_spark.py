@@ -2570,3 +2570,64 @@ def test_band_count_must_divide_num_hashes(spark, docs):
 
     with pytest.raises(ValueError, match="must divide"):
         minhash_lsh_pairs(docs, num_hashes=16, bands=5).collect()
+
+
+def test_redact_pii_null_text_is_total(spark):
+    from textractssmlprocessor_spark.operators.privacy import with_pii_redaction
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.com"), (2, None)], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r for r in with_pii_redaction(df).collect()}
+    assert out[1]["n_email"] == 1
+    # NULL text counts 0 (not NULL) so audit-counter sums stay non-NULL
+    assert out[2]["n_email"] == 0 and out[2]["n_phone"] == 0 and out[2]["n_ip"] == 0
+    assert out[2]["redacted_text"] == ""
+
+
+def test_boilerplate_handles_duplicate_urls(spark):
+    """Re-crawled pages (duplicate url rows) must rebuild independently:
+    a url-only rebuild key interleaves the copies' lines and emits
+    negative n_dropped."""
+    from textractssmlprocessor_spark.operators.boilerplate import (
+        remove_boilerplate_lines,
+    )
+
+    nav = "HOME | ABOUT"
+    rows = [
+        ("https://h.org/p1", f"{nav}\nbody one"),
+        ("https://h.org/p2", f"{nav}\nbody two"),
+        ("https://h.org/p3", f"{nav}\nbody three"),
+        # p1 re-crawled with DIFFERENT text
+        ("https://h.org/p1", f"{nav}\nbody one updated"),
+        # p2 re-crawled with IDENTICAL text
+        ("https://h.org/p2", f"{nav}\nbody two"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = remove_boilerplate_lines(df).collect()
+    assert len(out) == len(rows)  # one row per input row
+    assert all(r["n_dropped"] == 1 for r in out)  # exactly the nav line
+    texts = sorted(r["cleaned_text"] for r in out)
+    assert texts == sorted(
+        ["body one", "body two", "body three", "body one updated", "body two"]
+    )
+
+
+def test_pagerank_round_to_none_survives_large_n(spark):
+    """round_to=None keeps full doubles: at 6dp, 1/N underflows to 0 for
+    N past ~2M nodes and every score stays 0. Proxy check on a small
+    graph: unrounded ranks still sum to ~1 and rounding-off matches the
+    rounded trajectory to ~1e-6."""
+    from textractssmlprocessor_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 1)], "src bigint, dst bigint"
+    )
+    r6 = {r["node"]: r["rank"] for r in pagerank(edges, iterations=2).collect()}
+    rn = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, iterations=2, round_to=None).collect()
+    }
+    assert set(r6) == set(rn)
+    assert abs(sum(rn.values()) - 1.0) < 1e-9
+    assert all(abs(r6[n] - rn[n]) < 5e-6 for n in rn)

@@ -168,3 +168,21 @@ def test_bm25_property_matches_reference(spark, texts, query):
     assert [i for i, _ in got] == [i for i, _ in expect]
     for (_, a), (_, b) in zip(got, expect):
         assert a == pytest.approx(b, abs=2e-6)
+
+
+def test_bm25_empty_query_keeps_id_type(spark):
+    """The empty-query frame must derive doc_id's type from the input: a
+    hardcoded bigint schema makes the result schema depend on query
+    content for string-id corpora (unions break only on this edge)."""
+    from textractssmlprocessor_spark.operators.retrieval import bm25_topk
+
+    df = spark.createDataFrame(
+        [("u1", "alpha beta"), ("u2", "beta gamma")], "doc_id string, text string"
+    )
+    empty = bm25_topk(df, "!!!", id_col="doc_id")
+    assert empty.count() == 0
+    assert dict(empty.dtypes) == {"doc_id": "string", "score": "double"}
+    nonempty = bm25_topk(df, "beta", id_col="doc_id")
+    assert dict(nonempty.dtypes) == dict(empty.dtypes)
+    # unionable across the edge
+    assert nonempty.unionByName(empty).count() == nonempty.count()

@@ -333,3 +333,46 @@ def test_url_suspect_tokens_need_boundaries(spark):
         for r in urls.select("id", cols["url_suspect"].alias("url_suspect")).collect()
     }
     assert got == {1: None, 2: None, 3: None, 4: "ads", 5: "ads", 6: "popup"}
+
+
+def test_verdicts_wildcard_and_anchor_rules(spark):
+    """RFC 9309 wildcard matching: '*' spans any chars, trailing '$'
+    anchors. Truncating at the first '*' instead turns 'Disallow: /*.php$'
+    into 'Disallow: /' and blocks the whole host — silent corpus loss."""
+    from textractssmlprocessor_spark.operators.robots import (
+        parse_robots,
+        robots_verdicts,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            ("w.org", "User-agent: *\nDisallow: /*.php$\n"),
+            ("x.org", "User-agent: *\nDisallow: *.pdf\n"),
+            ("y.org", "User-agent: *\nDisallow: /exact$\n"),
+            ("z.org", "User-agent: *\nDisallow: /a/*/secret\nAllow: /a/\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "https://w.org/index.php"),    # blocked ($ after .php)
+            (2, "https://w.org/index.html"),   # NOT blocked
+            (3, "https://w.org/index.php5"),   # NOT blocked ($ anchors)
+            (4, "https://x.org/doc.pdf"),      # blocked
+            (5, "https://x.org/doc.pdfx"),     # blocked (no anchor)
+            (6, "https://x.org/page"),         # NOT blocked
+            (7, "https://y.org/exact"),        # blocked (anchored)
+            (8, "https://y.org/exactly"),      # NOT blocked
+            (9, "https://z.org/a/b/secret"),   # wildcard beats shorter allow
+            (10, "https://z.org/a/open"),      # allow, no wildcard match
+        ],
+        "doc_id long, url string",
+    )
+    out = {
+        r["id"]: r["allowed"]
+        for r in robots_verdicts(urls, parse_robots(robots)).collect()
+    }
+    assert out == {
+        1: False, 2: True, 3: True, 4: False, 5: False,
+        6: True, 7: False, 8: True, 9: False, 10: True,
+    }

@@ -11,8 +11,10 @@ strips what repeats ACROSS documents of a host).
 Plan shape (scales to 10^12 docs):
 - one explode of (url, line) with positions — map-side, no shuffle;
 - one aggregation keyed (host, line_fp) counting distinct urls — the only
-  corpus-sized exchange; line_fp is an 8-byte-prefix md5, not the line
-  text, so the shuffle stays narrow;
+  corpus-sized exchange; line_fp is a FULL md5 (32 hex chars), not the
+  line text: dropping a line is irreversible deletion, so this is a
+  set-membership decision and gets the full-width hash (dedup.gram_hash's
+  doctrine), still far narrower than shuffling line text;
 - the per-host doc totals ride a tiny (host) aggregate joined back
   (AQE-broadcast while small);
 - a left_anti join drops flagged lines; the rebuild is one groupBy(url)
@@ -38,9 +40,16 @@ def remove_boilerplate_lines(
     min_frac: float = 0.5,
 ) -> DataFrame:
     """Drop lines that appear (trim-normalized) in >= ``min_frac`` of a
-    host's documents (and at least ``min_docs`` of them). Returns
-    (url, cleaned_text, n_dropped); line order is preserved, blank lines
-    never count as boilerplate."""
+    host's documents (and at least ``min_docs`` of them). Returns one row
+    PER INPUT ROW: (url, cleaned_text, n_dropped); line order is
+    preserved, blank lines never count as boilerplate.
+
+    Duplicate-url inputs (re-crawled pages) are safe: the rebuild is
+    keyed (url, text-fingerprint), so two copies with different text
+    rebuild independently, exact copies' doubled exploded lines collapse
+    via array_distinct on the (pos, line) structs, and the frequency
+    statistics already countDistinct urls — a url-only rebuild key would
+    interleave the copies' lines and emit negative n_dropped."""
     base = df.select(
         F.col(url_col).alias("url"),
         url_host(F.col(url_col)).alias("host"),
@@ -54,10 +63,11 @@ def remove_boilerplate_lines(
         F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)).alias(
             "n_lines"
         ),
-    )
+    ).withColumn("tfp", F.md5("text"))
     lines = base.select(
         "url",
         "host",
+        "tfp",
         F.posexplode(F.split("text", "\n", -1)).alias("pos", "line"),
     ).withColumn("fp", F.md5(F.trim("line")))
 
@@ -77,21 +87,25 @@ def remove_boilerplate_lines(
     )
 
     kept = lines.join(freq, ["host", "fp"], "left_anti")
-    rebuilt = kept.groupBy("url").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("pos").alias("p"),
-                                            F.col("line").alias("l")))
-                ),
-                lambda s: s["l"],
-            ),
-            "\n",
-        ).alias("cleaned_text"),
-        F.count(F.lit(1)).alias("n_kept"),
+    # array_distinct: exact-duplicate input rows explode their (pos, line)
+    # structs twice; distinct collapses them (within ONE document pos is
+    # unique, so nothing legitimate is removed). n_kept counts the
+    # distinct structs, not the raw collected rows, for the same reason.
+    survivors = F.array_distinct(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("pos").alias("p"), F.col("line").alias("l"))
+            )
+        )
+    )
+    rebuilt = kept.groupBy("url", "tfp").agg(
+        F.array_join(F.transform(survivors, lambda s: s["l"]), "\n").alias(
+            "cleaned_text"
+        ),
+        F.size(survivors).alias("n_kept"),
     )
     return (
-        rebuilt.join(base.select("url", "n_lines"), "url", "right")
+        rebuilt.join(base.select("url", "tfp", "n_lines"), ["url", "tfp"], "right")
         .select(
             "url",
             F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),

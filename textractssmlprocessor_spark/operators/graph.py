@@ -123,8 +123,15 @@ def connected_components(
 
     Per-round materialization is a plan-truncating checkpoint (see
     ``_truncate``: localCheckpoint by default, reliable checkpoint under
-    ``materialize='persist'`` for executor-loss recoverability) with
-    DETERMINISTIC cleanup: once a round's fingerprint action has
+    ``materialize='persist'`` for executor-loss recoverability).
+    ``materialize=False`` is accepted for signature symmetry with the
+    other iterative ops but still localCheckpoints: the per-round cut is
+    CORRECTNESS-critical here (each round references the edge set ~4
+    times, so an uncut plan grows ~4^rounds and OOMs the driver just
+    stringifying the tree — the CLAUDE.md iterative-graph invariant), and
+    unlike pagerank/hits the round count is data-dependent, so there is
+    no safe 'tiny plan-inspection' mode to honor. Cleanup is
+    DETERMINISTIC: once a round's fingerprint action has
     materialized the new edge set, the superseded round's checkpoint
     blocks are unpersisted by registry id — at most one round of dead
     copies is ever live, instead of O(log n) leaked checkpoint RDDs
@@ -268,6 +275,7 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     materialize=True,
+    round_to: int | None = 6,
 ) -> DataFrame:
     """Host-graph PageRank by unrolled power iteration — the web-graph
     authority signal crawl schedulers and quality filters consume.
@@ -276,10 +284,14 @@ def pagerank(
 
         rank = (1-d)/N + d * (sum_in contrib + dangling_mass / N)
 
-    with per-iteration rounding to 6 decimals (the repo's oracle-parity
-    convention — keeps both engines' float trajectories in lockstep,
-    kmeans precedent). Dangling nodes (no outlinks) redistribute their
-    mass uniformly, the standard correction.
+    with per-iteration rounding to ``round_to`` decimals (default 6 —
+    the repo's oracle-parity convention: keeps both engines' float
+    trajectories in lockstep, kmeans precedent). CAUTION at web scale:
+    above ~2x10^6 nodes the initial 1/N itself rounds to 0 at 6dp and
+    every subsequent score stays 0 — pass ``round_to=None`` (full
+    doubles, no lockstep) for production host graphs; the default is for
+    oracle-compared runs. Dangling nodes (no outlinks) redistribute
+    their mass uniformly, the standard correction.
 
     Scale shape per iteration: one join of the edge list with the rank
     table on src (both hash-partitioned on the node key — co-partitioned
@@ -312,9 +324,12 @@ def pagerank(
     if materialize:
         nodes = _truncate(nodes, materialize)
         out_deg = _truncate(out_deg, materialize)
+    def _r(c):
+        return F.round(c, round_to) if round_to is not None else c
+
     n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
-        "node", F.round(F.lit(1.0) / F.col("n"), 6).alias("rank")
+        "node", _r(F.lit(1.0) / F.col("n")).alias("rank")
     )
     d = float(damping)
     prev_round_ids: set = set()
@@ -337,14 +352,13 @@ def pagerank(
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
-                F.round(
+                _r(
                     (1.0 - d) / F.col("n")
                     + d
                     * (
                         F.coalesce(F.col("in_sum"), F.lit(0.0))
                         + F.col("dang") / F.col("n")
-                    ),
-                    6,
+                    )
                 ).alias("rank"),
             )
         )
@@ -367,6 +381,7 @@ def hits(
     dst: str = "dst",
     iterations: int = 3,
     materialize=True,
+    round_to: int | None = 6,
 ) -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg 1999) by unrolled synchronous
     iteration — the complement to pagerank for link-graph curation: good
@@ -376,9 +391,11 @@ def hits(
 
         auth = normalize(sum_in hub);   hub = normalize(sum_out auth)
 
-    with sum-normalization and per-half-step rounding to 6 decimals (the
-    repo's lockstep convention — kmeans/pagerank precedent — so the
-    DuckDB CTE replay tracks bit-for-bit through the rounding).
+    with sum-normalization and per-half-step rounding to ``round_to``
+    decimals (default 6 — the repo's lockstep convention, kmeans/pagerank
+    precedent — so the DuckDB CTE replay tracks bit-for-bit through the
+    rounding; pass None for production graphs past ~2x10^6 nodes, where
+    6dp sum-normalized scores underflow to all-zero, pagerank's caveat).
 
     Scale shape per half-step: one edge⋈score join on the node key, one
     groupBy sum with map-side partials, one 1-row broadcast total via
@@ -398,6 +415,9 @@ def hits(
     )
     if materialize:
         nodes = _truncate(nodes, materialize)
+    def _r(c):
+        return F.round(c, round_to) if round_to is not None else c
+
     scores = nodes.select(
         "node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
     )
@@ -416,8 +436,8 @@ def hits(
             .crossJoin(F.broadcast(a_tot))
             .select(
                 "node",
-                F.round(
-                    F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("tot"), 6
+                _r(
+                    F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("tot")
                 ).alias("auth"),
             )
         )
@@ -434,8 +454,8 @@ def hits(
             .crossJoin(F.broadcast(h_tot))
             .select(
                 "node",
-                F.round(
-                    F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("tot"), 6
+                _r(
+                    F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("tot")
                 ).alias("hub"),
             )
         )

@@ -29,9 +29,11 @@ REDACTIONS = [
 def redact_pii(col: Column) -> dict[str, Column]:
     """-> {'redacted_text', 'n_email', 'n_phone', 'n_ip'}. Counts are taken
     BEFORE replacement (email first, so an address is never double-counted
-    as a phone-like digit run)."""
+    as a phone-like digit run). NULL text coalesces to '' (counts 0,
+    redacted '') so downstream audit-counter sums never silently turn
+    NULL-propagating — the same totality rule boilerplate follows."""
     out: dict[str, Column] = {}
-    redacted = col
+    redacted = F.coalesce(col, F.lit(""))
     for name, pattern, token in REDACTIONS:
         out[f"n_{name}"] = (
             F.size(F.regexp_extract_all(redacted, F.lit(pattern), F.lit(0)))

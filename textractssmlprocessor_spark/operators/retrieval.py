@@ -145,9 +145,12 @@ def bm25_topk(
     P*k rows). An empty or all-unmatched query returns 0 rows."""
     terms = sorted(set(_tokenize(query)))
     if not terms:
-        return df.sparkSession.createDataFrame(
-            [], "doc_id bigint, score double"
-        )
+        # empty frame built FROM df's id type: a hardcoded bigint schema
+        # would make the result schema depend on query content for string
+        # id columns (union/schema checks break only on this edge)
+        return df.select(
+            F.col(id_col).alias("doc_id"), F.lit(0.0).alias("score")
+        ).limit(0)
     toks = _spread(df, text_col).select(
         F.col(id_col).alias("doc_id"),
         tokens_column(F.col(text_col)).alias("toks"),

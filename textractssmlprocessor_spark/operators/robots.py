@@ -118,10 +118,20 @@ def robots_verdicts(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Per-url crawl verdict under the parsed rule table: (id, host, path,
-    allowed, matched_path). Longest matching literal prefix wins; allow
-    beats disallow on ties; no match -> allowed with NULL matched_path.
-    ``path`` is the RFC 9309 match target: path + query, fragment
-    stripped (``/search?q=x`` — so query-anchored rules can match)."""
+    allowed, matched_path). RFC 9309 matching: ``*`` matches any char
+    sequence, a trailing ``$`` anchors the end, everything else is a
+    literal prefix; the most specific match (longest rule path, pattern
+    octets) wins and allow beats disallow on ties; no match -> allowed
+    with NULL matched_path. ``path`` is the RFC 9309 match target: path +
+    query, fragment stripped (``/search?q=x`` — so query-anchored rules
+    can match).
+
+    Wildcard rules compile to anchored Java regexes built NATIVELY from
+    the rule path (metachars escaped, ``*`` -> ``.*``); wildcard-free
+    rules take a startswith fast path (no per-row regex). Truncating at
+    the first ``*`` instead would OVER-match — the very common
+    ``Disallow: /*.php$`` would become ``Disallow: /`` and silently block
+    entire hosts."""
     # match target = everything after the authority, minus the fragment;
     # a query with no path ("http://h?q=x") normalizes to "/?q=x"
     rest = F.regexp_extract(
@@ -135,25 +145,41 @@ def robots_verdicts(
         .otherwise(rest)
         .alias("path"),
     )
-    # literal-prefix subset: a rule's effective prefix stops at its first '*'
+    rpath = F.col("path")
+    has_end = rpath.endswith("$")
+    core = F.when(
+        has_end, F.substring(rpath, 1, F.length(rpath) - 1)
+    ).otherwise(rpath)
+    # escape Java-regex metachars in the literal parts, then '*' -> '.*'
+    esc = F.regexp_replace(core, r"([.^$+?(){}\[\]|\\])", r"\\$1")
+    rx = F.concat(
+        F.lit("^"),
+        F.regexp_replace(esc, r"\*", ".*"),
+        F.when(has_end, F.lit("$")).otherwise(F.lit("")),
+    )
     eff = rules.select(
         "host",
         "rule",
-        F.substring_index(F.col("path"), "*", 1).alias("prefix"),
+        rpath.alias("rpath"),
+        (rpath.contains("*") | has_end).alias("wild"),
+        rx.alias("rx"),
     )
+    matches = F.when(
+        ~F.col("wild"), F.col("path").startswith(F.col("rpath"))
+    ).otherwise(F.regexp_like(F.col("path"), F.col("rx")))
     hits = (
         base.join(eff, "host")
-        .filter(F.col("path").startswith(F.col("prefix")))
+        .filter(matches)
         .groupBy("id")
         .agg(
-            # longest prefix wins; tie -> allow (rule 'allow' < 'disallow',
-            # so max on (len, negated-rule-flag) needs allow to sort HIGHER:
-            # use (len, rule=='allow') — true > false in struct ordering
+            # most specific rule wins (pattern length, RFC 9309); tie ->
+            # allow (max on (len, rule=='allow'): true > false in struct
+            # ordering)
             F.max(
                 F.struct(
-                    F.length("prefix").alias("l"),
+                    F.length("rpath").alias("l"),
                     (F.col("rule") == "allow").alias("a"),
-                    F.col("prefix").alias("p"),
+                    F.col("rpath").alias("p"),
                 )
             ).alias("win"),
         )

@@ -27,7 +27,15 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; ZERO-NORM vectors score 0.0 (guarded CASE WHEN
+    — lazily evaluated, so the division never runs on a zero denominator).
+    Unguarded, a zero vector kills the job under ANSI (div-by-zero raises
+    even for doubles — observed) or, with ANSI off, gives 0/0 = NaN, which
+    Spark orders ABOVE every number and passes through >= filters — an
+    all-zeros embedding would rank #1 in every top-k and chain unrelated
+    documents into one near-dup cluster."""
+    d = norm(a) * norm(b)
+    return F.when(d == 0, F.lit(0.0)).otherwise(dot(a, b) / d)
 
 
 def _doubled(col: str) -> Column:
@@ -92,6 +100,7 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_bits: int = 8,
+    dim_count: int = 64,
 ) -> DataFrame:
     """Approximate top-k with MULTI-PROBE sign-LSH: score vectors in the
     query's bucket plus every Hamming-1 neighbor bucket (the vectors most
@@ -102,8 +111,10 @@ def ann_lsh_topk(
 
     ``n_bits`` drives BOTH the bucket hash and the probe set (dims derive
     from lsh_dims(n_bits), so probes can never XOR a bit the bucket doesn't
-    have)."""
-    dims = lsh_dims(n_bits)
+    have). ``dim_count`` MUST match the embedding width: probing a
+    dimension past the vector's end crashes under ANSI mode (element_at
+    out of bounds) instead of bucketing."""
+    dims = lsh_dims(n_bits, dim_count)
     with_bucket = embeddings.withColumn("bucket", sign_lsh_bucket(vec_col, dims))
     probes = F.array(
         F.col("qbucket"),
@@ -135,24 +146,47 @@ def _collect_centroids(centroids: DataFrame) -> list[tuple[int, list[float]]]:
 
 
 def _assign_expr(
-    cent_rows: list[tuple[int, list[float]]], vec_col: str
+    cent_rows: list[tuple[int, list[float]]], vec_col: str,
+    vnorm_col: str | None = None,
 ) -> Column:
     """Nearest-cell assignment expression against INLINED local centroids —
     pure map-side, zero exchange, zero job. Ties break toward the lowest
     cell id (rounded sims, first occurrence of the max), reproducible in
-    any engine.
+    any engine. ``vec_col`` must name a BOUND array<double> column (a
+    projected attribute, not an expression).
+
+    Built as a FLAT k-element F.array of per-centroid sims, NOT as
+    transform() over a centroid-array literal: a transform lambda that
+    references the vector expression re-evaluates it (and its norm) once
+    PER CENTROID — 2k extra O(dim) passes per row, the documented
+    higher-order re-evaluation trap. Centroid norms are driver-side
+    constants (bit-identical to Spark's aggregate: same left-fold IEEE
+    order); pass ``vnorm_col`` to reuse a pre-projected vector norm.
 
     MUST be evaluated in its own Project (ivf_assign's select) and never
     alongside a generator: expressions selected next to posexplode are
-    re-evaluated per GENERATED row (the higher-order-function gotcha), which
-    turned a fused select(cell, posexplode(v)) trainer iteration 17x slower
-    than projecting the cell first (same-boot probe, 2k x 64 vectors)."""
-    cvec_lits = F.array(
-        *[F.array(*[F.lit(x) for x in cvec]) for _, cvec in cent_rows]
-    )
+    re-evaluated per GENERATED row, which turned a fused
+    select(cell, posexplode(v)) trainer iteration 17x slower than
+    projecting the cell first (same-boot probe, 2k x 64 vectors)."""
+    import math
+
+    v = F.col(vec_col)
+    vn = norm(v) if vnorm_col is None else F.col(vnorm_col)
+    def _sim(cvec: list[float]) -> Column:
+        nc = math.sqrt(sum(x * x for x in cvec))
+        if nc == 0.0:
+            return F.lit(0.0)  # zero centroid: 0 sim to everything
+        d = vn * F.lit(nc)
+        # CASE WHEN guard (lazy): ANSI div-by-zero raises even on doubles
+        return F.round(
+            F.when(d == 0, F.lit(0.0)).otherwise(
+                dot(v, F.array(*[F.lit(x) for x in cvec])) / d
+            ),
+            6,
+        )
+
+    sims = F.array(*[_sim(cvec) for _, cvec in cent_rows])
     cell_lits = F.array(*[F.lit(c) for c, _ in cent_rows])
-    v = _doubled(vec_col)
-    sims = F.transform(cvec_lits, lambda c: F.round(cosine(v, c), 6))
     best_pos = F.array_position(sims, F.array_max(sims))  # 1-based first max
     return F.element_at(cell_lits, best_pos.cast("int"))
 
@@ -165,20 +199,24 @@ def ivf_assign(
 ) -> DataFrame:
     """IVF cell assignment: nearest centroid by cosine. The centroid table
     is tiny by construction, so it is collected once (pass pre-collected
-    (cell, cvec) rows to skip even that job) and inlined as an array
-    literal — assignment is then a pure MAP-SIDE expression (transform
-    over the centroid array + first-max position), shuffling nothing. The
-    previous formulation (crossJoin + per-id argmin window) shuffled the
+    (cell, cvec) rows to skip even that job) and inlined as literals —
+    assignment is then a pure MAP-SIDE expression (k dot products + first-
+    max position), shuffling nothing. The doubled vector and its norm are
+    projected ONCE and referenced as bound attributes, so the k-sim block
+    reads row fields instead of re-casting/re-norming per centroid. The
+    original formulation (crossJoin + per-id argmin window) shuffled the
     entire corpus on id."""
     cent_rows = (
         centroids
         if isinstance(centroids, list)
         else _collect_centroids(centroids)
     )
-    return embeddings.select(
+    base = embeddings.select(
         F.col(id_col).alias("id"),
         _doubled(vec_col).alias("v"),
-        _assign_expr(cent_rows, vec_col).alias("cell"),
+    ).select("id", "v", norm(F.col("v")).alias("_vn"))
+    return base.select(
+        "id", "v", _assign_expr(cent_rows, "v", vnorm_col="_vn").alias("cell")
     )
 
 
@@ -410,7 +448,9 @@ def semdedup(
     )
     # the assigned table feeds FOUR consumers (candidate gen, two vector
     # join-backs, the totalization); without a cut each one re-runs the
-    # scan + assignment (materialize=False keeps the lazy plan)
+    # scan + assignment. materialize=False keeps THIS table lazy; the CC
+    # stage below still checkpoints per round regardless (its cut is
+    # correctness-critical — see connected_components' docstring)
     if materialize:
         a = _truncate(a, materialize)
     cand = _cooccurrence_member_pairs(
@@ -447,9 +487,11 @@ def pairwise_near_duplicates(
     vec_col: str = "embedding",
     n_bits: int = 8,
     max_bucket: int | None = None,
+    dim_count: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within LSH buckets (scale path for
-    embedding dedup).
+    embedding dedup). ``dim_count`` MUST match the embedding width (ANSI
+    element_at crashes past the vector's end).
 
     Candidates come from group-and-pair-explode over the bucket key
     (dedup._cooccurrence_member_pairs) on a NARROW (id, bucket) table — the
@@ -467,7 +509,7 @@ def pairwise_near_duplicates(
     b = embeddings.select(
         F.col(id_col).alias("id"),
         _doubled(vec_col).alias("v"),
-        sign_lsh_bucket(vec_col, lsh_dims(n_bits)).alias("bucket"),
+        sign_lsh_bucket(vec_col, lsh_dims(n_bits, dim_count)).alias("bucket"),
     )
     # each vector lands in exactly one bucket -> pairs are already unique
     cand = _cooccurrence_member_pairs(

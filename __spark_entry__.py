@@ -2667,7 +2667,11 @@ def oracle_sql() -> dict[str, str]:
         TABLE_TR_RE,
         TAG_RE as _MC_TAG_RE,
     )
-    from textractssmlprocessor_spark.operators.textstats import STOPWORDS
+    from textractssmlprocessor_spark.operators.textstats import (
+        BULLET_CHAR as _bullet,
+        ELLIPSIS_CHAR as _ell,
+        STOPWORDS,
+    )
 
     lang_keys = ", ".join(
         "lpad(greatest(0, 100000 - len(regexp_extract_all(lower(text), '\\b(?:%s)\\b')))::VARCHAR, 6, '0') || '%s'"
@@ -3128,7 +3132,7 @@ def oracle_sql() -> dict[str, str]:
                    span_start, span_end
             FROM es_spans
         """,
-        "curate_corpus": """
+        "curate_corpus": f"""
             WITH d0 AS (
                 SELECT doc_id,
                        text || ' ' || text || ' ' || text || ' ' || text || ' ' || text
@@ -3148,7 +3152,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, lang,
                        len(regexp_extract_all(text, '\\b[\\w-]+\\b'))::BIGINT AS n_words,
                        length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
-                       len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS syms,
+                       len(regexp_extract_all(text, '#|\\.\\.\\.|{_ell}')) AS syms,
                        string_split(text, chr(10)) AS lines,
                        string_split_regex(trim(text), '\\s+') AS ws,
                        ((CASE WHEN regexp_matches(lower(text), '\\bthe\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\band\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bof\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bto\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bin\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bis\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bthat\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bwith\\b') THEN 1 ELSE 0 END)) AS stops,
@@ -3161,9 +3165,9 @@ def oracle_sql() -> dict[str, str]:
                        coalesce(n_words >= 50 AND n_words <= 100000
                         AND round(alpha / (CASE WHEN n_words > 0 THEN n_words END)::DOUBLE, 6) BETWEEN 3 AND 10
                         AND round(syms / (CASE WHEN n_words > 0 THEN n_words END)::DOUBLE, 6) <= 0.1
-                        AND round(len(list_filter(lines, l -> substr(trim(l), 1, 1) IN ('•', '-', '*')))
+                        AND round(len(list_filter(lines, l -> substr(trim(l), 1, 1) IN ('{_bullet}', '-', '*')))
                                   / (CASE WHEN len(lines) > 0 THEN len(lines) END)::DOUBLE, 6) <= 0.9
-                        AND round(len(list_filter(lines, l -> trim(l) LIKE '%...' OR trim(l) LIKE '%…'))
+                        AND round(len(list_filter(lines, l -> trim(l) LIKE '%...' OR trim(l) LIKE '%{_ell}'))
                                   / (CASE WHEN len(lines) > 0 THEN len(lines) END)::DOUBLE, 6) <= 0.3
                         AND round(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
                                   / (CASE WHEN len(ws) > 0 THEN len(ws) END)::DOUBLE, 6) >= 0.8
@@ -3439,12 +3443,12 @@ def oracle_sql() -> dict[str, str]:
                    NULL::BIGINT, NULL::BIGINT, NULL::VARCHAR
             FROM documents
         """,
-        "gopher_quality": """
+        "gopher_quality": f"""
             WITH base AS (
                 SELECT doc_id, text,
                        len(regexp_extract_all(text, '\\b[\\w-]+\\b'))::BIGINT AS n_words,
                        length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
-                       len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS syms,
+                       len(regexp_extract_all(text, '#|\\.\\.\\.|{_ell}')) AS syms,
                        string_split(text, chr(10)) AS lines,
                        list_filter(string_split_regex(trim(text), '\\s+'), w -> w != '') AS ws
                 FROM documents
@@ -3453,9 +3457,9 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, n_words,
                        round(alpha / (CASE WHEN n_words > 0 THEN n_words END)::DOUBLE, 6) AS mean_word_len,
                        round(syms / (CASE WHEN n_words > 0 THEN n_words END)::DOUBLE, 6) AS symbol_word_ratio,
-                       round(len(list_filter(lines, l -> substr(trim(l), 1, 1) IN ('•', '-', '*')))
+                       round(len(list_filter(lines, l -> substr(trim(l), 1, 1) IN ('{_bullet}', '-', '*')))
                              / (CASE WHEN len(lines) > 0 THEN len(lines) END)::DOUBLE, 6) AS bullet_line_frac,
-                       round(len(list_filter(lines, l -> trim(l) LIKE '%...' OR trim(l) LIKE '%…'))
+                       round(len(list_filter(lines, l -> trim(l) LIKE '%...' OR trim(l) LIKE '%{_ell}'))
                              / (CASE WHEN len(lines) > 0 THEN len(lines) END)::DOUBLE, 6) AS ellipsis_line_frac,
                        round(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
                              / (CASE WHEN len(ws) > 0 THEN len(ws) END)::DOUBLE, 6) AS alpha_word_frac,

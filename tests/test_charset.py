@@ -216,3 +216,28 @@ def test_fast_flag_routing(spark):
     got = {r["id"]: r["f"] for r in flagged.collect()}
     for rid, want_fast in got.items():
         assert want_fast == rid.startswith(("fast", "null")), (rid, got)
+
+
+def test_prescan_window_counts_bytes_not_chars(spark):
+    """The {0,512} meta-attribute window is a BYTE budget in the spec and
+    in decode_payload's byte-compiled prescan. The native fast flag must
+    count the same way (latin-1 prefix decode): a meta tag whose
+    multibyte attribute span fits 512 chars but exceeds 512 bytes must
+    NOT fast-route on a label the Python prescan never sees."""
+    from textractssmlprocessor_spark.operators.charset import (
+        decode_payload,
+        sniffed_decode,
+    )
+
+    pad = ("é" * 300).encode("utf-8")  # 300 chars, 600 bytes
+    payload = (
+        b'<meta x="' + pad + b'" charset=utf-8>'
+        b"<meta charset=windows-1251>"
+        + "café".encode("utf-8")
+    )
+    want_text, want_codec = decode_payload(payload)
+    assert want_codec == "cp1251"  # python prescan skips meta#1
+    df = spark.createDataFrame([(1, bytearray(payload))], "id bigint, html binary")
+    row = sniffed_decode(df).collect()[0]
+    assert row["charset"] == want_codec
+    assert row["page_text"] == want_text

@@ -2631,3 +2631,26 @@ def test_pagerank_round_to_none_survives_large_n(spark):
     assert set(r6) == set(rn)
     assert abs(sum(rn.values()) - 1.0) < 1e-9
     assert all(abs(r6[n] - rn[n]) < 5e-6 for n in rn)
+
+
+def test_crawl_delta_null_text_is_presence_not_absence(spark):
+    """fingerprint(NULL text) is NULL; presence must come from explicit
+    markers, or a failed extraction masquerades as added/removed."""
+    from textractssmlprocessor_spark.operators.delta import crawl_delta
+
+    old = spark.createDataFrame(
+        [("u1", None), ("u2", "same"), ("u3", "bye"), ("u4", None)],
+        "url string, text string",
+    )
+    new = spark.createDataFrame(
+        [("u1", "hello"), ("u2", "same"), ("u4", None), ("u5", "new")],
+        "url string, text string",
+    )
+    got = {r["url"]: r["status"] for r in crawl_delta(old, new).collect()}
+    assert got == {
+        "u1": "changed",    # present in both; NULL -> text is a change
+        "u2": "unchanged",
+        "u3": "removed",
+        "u4": "unchanged",  # NULL -> NULL: identically absent content
+        "u5": "added",
+    }

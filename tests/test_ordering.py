@@ -193,3 +193,26 @@ def test_levels_validation():
 
     with _pytest.raises(ValueError):
         _block_offsets(None, F.lit(1), levels=3)
+
+
+def test_blocked_running_sum_null_leading_values(spark):
+    """A block whose LEADING values are NULL must carry the prior blocks'
+    offset (NULL contributes 0), not poison the whole block with NULL —
+    running offsets must be defined for every row."""
+    from pyspark.sql import functions as F
+
+    from textractssmlprocessor_spark.operators.ordering import (
+        block_of,
+        blocked_running_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 5.0), (1, 1.0), (2, None), (3, 2.0)], "k bigint, v double"
+    )
+    got = {
+        r["k"]: r["running"]
+        for r in blocked_running_sum(
+            df, block_of("k", 2), ["k"], "v"
+        ).collect()
+    }
+    assert got == {0: 5.0, 1: 6.0, 2: 6.0, 3: 8.0}

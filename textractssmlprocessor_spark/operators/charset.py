@@ -231,12 +231,15 @@ def fast_utf8_flag(bin_col: Column) -> Column:
         | (F.substring(bin_col, 1, 2) == F.lit(codecs.BOM_UTF16_LE))
         | (F.substring(bin_col, 1, 2) == F.lit(codecs.BOM_UTF16_BE))
     )
-    # byte-slice the prescan window, then repair-cast for the label regexp
-    # (the label itself is ASCII; a multibyte char split at the window edge
-    # repairs to U+FFFD without touching the match)
-    prefix = F.make_valid_utf8(
-        F.substring(bin_col, 1, PRESCAN_BYTES).cast("string")
-    )
+    # byte-slice the prescan window, then decode as ISO-8859-1: one byte =
+    # one char, so the Java regex's {0,512} attribute window counts BYTES —
+    # exactly what decode_payload's byte-compiled _META_RE_BYTES counts.
+    # (A utf-8 repair-cast would count CHARS: a meta tag whose multibyte
+    # attribute span fits 512 chars but exceeds 512 bytes would match here,
+    # miss in the Python prescan, and fast-route a page the slow path
+    # would decode differently. Latin-1 maps bytes >= 0x80 to chars that
+    # are never '>' or label chars, so matches are bit-identical.)
+    prefix = F.decode(F.substring(bin_col, 1, PRESCAN_BYTES), "ISO-8859-1")
     declared = F.lower(F.regexp_extract(prefix, META_CHARSET_RE, 1))
     fast_label = declared.isin("", *FAST_PATH_LABELS)
     return F.is_valid_utf8(bin_col) & no_bom & fast_label

@@ -42,7 +42,7 @@ def _shingleable(df: DataFrame, text_col: str) -> DataFrame:
     return df.filter(F.col(text_col).rlike(r"\S"))
 
 
-def _spread(df: DataFrame, id_col: str) -> DataFrame:
+def _spread(df: DataFrame, id_col: str | None) -> DataFrame:
     """Spread a possibly few-partition input (single parquet file) across the
     cluster BEFORE the md5-heavy shingle/signature computation — otherwise
     the whole corpus hashes on a handful of tasks. At real scale the scan
@@ -87,6 +87,13 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
             )
             if -(-total_bytes // max(int(max_split), 1)) >= parallelism:
                 return df
+    # id_col=None -> round-robin: for callers with no cheap key (e.g. a
+    # text-only LM trainer), hashing full document bodies as the partition
+    # key would both pay megabyte-string hashing per row and send all
+    # duplicate/empty texts to ONE partition — the exact straggler skew
+    # this helper exists to prevent
+    if id_col is None:
+        return df.repartition(parallelism)
     return df.repartition(parallelism, F.col(id_col))
 
 

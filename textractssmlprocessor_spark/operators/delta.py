@@ -28,17 +28,28 @@ def crawl_delta(
     fingerprint differs), ``unchanged``. Returns (key, old_fp, new_fp,
     status). Content equality is the same whitespace/case-normalized md5
     used by exact dedup, so "changed" means the text a model would train
-    on changed — not that a byte of markup moved."""
+    on changed — not that a byte of markup moved.
+
+    Presence is tracked with EXPLICIT marker columns, never fp nullity:
+    fingerprint(NULL text) is NULL, so a url present in both snapshots
+    with a failed extraction on one side would otherwise masquerade as
+    'added'/'removed'. NULL-vs-NULL fingerprints compare 'unchanged'
+    (eqNullSafe — the trainable content state is identically absent);
+    NULL-vs-text compares 'changed'."""
     o = old.select(
-        F.col(key_col).alias("k"), fingerprint(F.col(text_col)).alias("old_fp")
+        F.col(key_col).alias("k"),
+        fingerprint(F.col(text_col)).alias("old_fp"),
+        F.lit(True).alias("_in_old"),
     )
     n = new.select(
-        F.col(key_col).alias("k"), fingerprint(F.col(text_col)).alias("new_fp")
+        F.col(key_col).alias("k"),
+        fingerprint(F.col(text_col)).alias("new_fp"),
+        F.lit(True).alias("_in_new"),
     )
     status = (
-        F.when(F.col("old_fp").isNull(), F.lit("added"))
-        .when(F.col("new_fp").isNull(), F.lit("removed"))
-        .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.col("old_fp").eqNullSafe(F.col("new_fp")), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     return (

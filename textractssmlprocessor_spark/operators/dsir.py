@@ -37,20 +37,17 @@ from .lm import TOKEN_DELIM_RE, tokens_column
 
 
 def _gram_buckets(toks: Column, buckets: int) -> Column:
-    """Hashed bigram cells as an array column: md5 of 'w1 w2', first 8 hex
-    chars as a uniform 32-bit int, mod ``buckets``. zip_with over the
-    materialized token array (attribute-bound lambda — not the
-    higher-order re-evaluation trap)."""
-    grams = F.zip_with(
+    """Hashed bigram cells as an array column: sampling.hash_bucket over
+    'w1 w2' (one definition of the md5->conv->pmod recipe, oracle-synced
+    by construction). zip_with over the materialized token array
+    (attribute-bound lambda — not the higher-order re-evaluation trap)."""
+    from textractssmlprocessor_spark.operators.sampling import hash_bucket
+
+    return F.zip_with(
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
         F.slice(toks, 2, 1 << 30),
-        lambda a, b: F.pmod(
-            F.conv(F.substring(F.md5(F.concat_ws(" ", a, b)), 1, 8), 16, 10)
-            .cast("bigint"),
-            F.lit(buckets),
-        ),
+        lambda a, b: hash_bucket(F.concat_ws(" ", a, b), "", buckets),
     )
-    return grams
 
 
 def hashed_gram_cells(

@@ -91,8 +91,10 @@ def train_ngram_lm(
     the model broadcastable; bigrams additionally require both words in
     vocab so the table size is capped by the vocab's pair support)."""
     # spread a single-file input before the explode-heavy counting (at real
-    # scale the scan already has thousands of splits — _spread is identity)
-    toks = _spread(df, text_col).select(tokens_column(F.col(text_col)).alias("toks"))
+    # scale the scan already has thousands of splits — _spread is identity).
+    # Round-robin (None key): hashing document TEXT as the partition key
+    # would colocate every duplicate/empty text on one straggler partition
+    toks = _spread(df, None).select(tokens_column(F.col(text_col)).alias("toks"))
     vocab = (
         toks.select(F.explode("toks").alias("tok"))
         .groupBy("tok")
@@ -249,16 +251,26 @@ def fit_perplexity_thresholds(
     """The fit half of :func:`perplexity_buckets`: the two tercile cut
     scores as driver floats (None for an empty sample). Three bounded
     driver actions over the deterministic sample; everything upstream of
-    ``scored`` executes here, so fit once and replay."""
+    ``scored`` executes here, so fit once and replay.
+
+    ``sample_frac`` quantizes to hash_bucket's 1/10000 granularity (the
+    engine-portable sampling convention). A fraction below 1e-4 would
+    quantize to an EMPTY sample and silently label the whole corpus NULL,
+    so it raises instead — at 10^12 docs, sample at 1e-4 (10^8 rows of
+    one double each) or pre-sample upstream with a wider hash."""
     import math
 
     from textractssmlprocessor_spark.operators.sampling import hash_bucket
 
     samp = scored
     if sample_frac < 1.0:
-        samp = scored.filter(
-            hash_bucket(F.col(id_col), salt) < int(sample_frac * 10000)
-        )
+        hi = int(sample_frac * 10000)
+        if hi == 0:
+            raise ValueError(
+                f"sample_frac={sample_frac} quantizes to an empty sample "
+                "(hash_bucket granularity is 1/10000); use >= 1e-4"
+            )
+        samp = scored.filter(hash_bucket(F.col(id_col), salt) < hi)
     # the narrow score projection feeds THREE driver actions (count + two
     # TakeOrdered) — checkpoint it once or each action re-runs the whole
     # upstream scoring pipeline (observed 2.2x on the contract suite)

@@ -134,7 +134,13 @@ def blocked_running_sum(
     integral value columns; for doubles the add order matches a sequential
     left fold within each block (differences vs a strict global fold are the
     usual float-reassociation ulps). ``levels=2`` recurses the offset scan
-    (blocks of blocks) when #blocks itself outgrows one task."""
+    (blocks of blocks) when #blocks itself outgrows one task.
+
+    NULL values contribute 0 and the output is TOTAL (never NULL). A raw
+    global-window sum returns NULL until the first non-NULL value; here a
+    block whose LEADING values are NULL would otherwise poison the whole
+    block (NULL in-block prefix + offset = NULL) — and running offsets
+    (token budgets, durations) must be defined for every row."""
     blocked = _with_block(df, block)
     w = Window.partitionBy(_G).orderBy(*within).rowsBetween(
         Window.unboundedPreceding, 0
@@ -142,7 +148,7 @@ def blocked_running_sum(
     offsets = _block_offsets(blocked, F.sum(value_col), levels=levels)
     return (
         _join_blocks(blocked.withColumn("_run_in", F.sum(value_col).over(w)), offsets)
-        .withColumn(out, F.col("_offset") + F.col("_run_in"))
+        .withColumn(out, F.col("_offset") + F.coalesce(F.col("_run_in"), F.lit(0)))
         .drop(_G, "_run_in", "_offset")
     )
 

@@ -44,13 +44,12 @@ from textractssmlprocessor_spark.operators.lm import tokens_column
 
 
 def cms_bucket(col: Column, row: int, width: int) -> Column:
-    """Row `row`'s bucket for a token column: first 8 md5 hex chars of
-    'cms<row>:<token>' as an integer, mod width."""
-    key = F.md5(F.concat(F.lit(f"cms{row}:"), col))
-    return F.pmod(
-        F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint"),
-        F.lit(width),
-    )
+    """Row `row`'s bucket for a token column: sampling.hash_bucket with a
+    per-row salt — ONE definition of the engine-portability-critical
+    md5->conv->pmod recipe, kept in sync with the oracle by construction."""
+    from textractssmlprocessor_spark.operators.sampling import hash_bucket
+
+    return hash_bucket(col, salt=f"cms{row}:", buckets=width)
 
 
 def count_min_cells(

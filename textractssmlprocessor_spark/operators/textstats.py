@@ -43,12 +43,12 @@ def count_words(col: Column) -> Column:
 
 def count_tokens_pretok(col: Column) -> Column:
     """PRE-tokenizer match count (letter runs / digit runs / single
-    symbols) — a fast native UPPER BOUND proxy for BPE token counts, NOT
+    symbols) — a fast native LOWER BOUND proxy for BPE token counts, NOT
     a merges-table BPE (every alpha word counts 1 regardless of how many
-    pieces a real tokenizer would split it into). Shard budgets sized
-    from this undercount long-word-heavy corpora; use the real
-    ``count_tokens_bpe`` (distinct-word merges application) where the
-    budget must match a trained tokenizer."""
+    pieces a real tokenizer would split it into, so pretok <= BPE always).
+    Shard budgets sized from this undercount long-word-heavy corpora; use
+    the real ``count_tokens_bpe`` (distinct-word merges application) where
+    the budget must match a trained tokenizer."""
     return F.size(F.regexp_extract_all(col, F.lit(PRETOK_RE), F.lit(0)))
 
 
@@ -371,7 +371,13 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 # --- Gopher-style document quality rules (Rae et al. 2021, public) -----------
 
-GOPHER_BULLETS = ("•", "-", "*")
+# Non-ASCII signal characters built from codepoints (the SCRIPT_RANGES /
+# MOJIBAKE_SAMPLE convention): both engines' oracle-checked literals derive
+# from THESE constants — never hand-paste the raw characters on both sides.
+ELLIPSIS_CHAR = chr(0x2026)  # horizontal ellipsis
+BULLET_CHAR = chr(0x2022)  # bullet
+GOPHER_BULLETS = (BULLET_CHAR, "-", "*")
+GOPHER_SYMBOL_RE = r"#|\.\.\.|" + ELLIPSIS_CHAR
 
 
 def gopher_columns(col: Column) -> dict[str, Column]:
@@ -388,7 +394,7 @@ def gopher_columns(col: Column) -> dict[str, Column]:
     nzw = F.when(n_words > 0, n_words.cast("double")).otherwise(F.lit(None))
     mean_word_len = alpha_chars / nzw
     symbols = F.size(
-        F.regexp_extract_all(col, F.lit(r"#|\.\.\.|…"), F.lit(0))
+        F.regexp_extract_all(col, F.lit(GOPHER_SYMBOL_RE), F.lit(0))
     )
     lines = F.split(col, "\n")
     n_lines = F.size(lines)
@@ -402,7 +408,8 @@ def gopher_columns(col: Column) -> dict[str, Column]:
     ellipsis_ends = F.size(
         F.filter(
             lines,
-            lambda l: F.trim(l).endswith("...") | F.trim(l).endswith("…"),
+            lambda l: F.trim(l).endswith("...")
+            | F.trim(l).endswith(ELLIPSIS_CHAR),
         )
     )
     alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))

@@ -337,13 +337,17 @@ def main() -> None:
     langs = args.languages.split(",") if args.languages else None
     hist_fp = hist_bands = None
     if args.history_dir:
-        import os
+        import posixpath
 
-        fp_path = os.path.join(args.history_dir, "fingerprints.parquet")
-        bd_path = os.path.join(args.history_dir, "bands.parquet")
-        if os.path.exists(fp_path):
+        from textractssmlprocessor_spark.fsutil import fs_exists
+
+        # scheme-aware existence checks: a history dir on hdfs://s3a://
+        # must not be silently skipped (os.path.exists sees driver disk)
+        fp_path = posixpath.join(args.history_dir, "fingerprints.parquet")
+        bd_path = posixpath.join(args.history_dir, "bands.parquet")
+        if fs_exists(spark, fp_path):
             hist_fp = spark.read.parquet(fp_path)
-        if os.path.exists(bd_path):
+        if fs_exists(spark, bd_path):
             hist_bands = spark.read.parquet(bd_path)
     manifest = build_manifest(
         docs,

@@ -10,10 +10,10 @@ bucket granularity (partitionBy(bucket) parquet overwrite per bucket).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .fsutil import fs_exists
 
 N_BUCKETS_DEFAULT = 64
 
@@ -42,7 +42,7 @@ def lineage_rows(chunks: DataFrame) -> DataFrame:
 
 def completed_buckets(spark: SparkSession, lineage_path: str) -> DataFrame:
     """Read the lineage table if it exists; else an empty frame."""
-    if not _exists(lineage_path):
+    if not fs_exists(spark, lineage_path):
         from .schema import LINEAGE_SCHEMA
 
         return spark.createDataFrame([], LINEAGE_SCHEMA)
@@ -141,7 +141,3 @@ def run_with_lineage(
     return written
 
 
-def _exists(path: str) -> bool:
-    if path.startswith("file:"):
-        path = path[len("file:"):]
-    return os.path.exists(path)

@@ -38,17 +38,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _history_paths(root: str, before_batch: int) -> list[str]:
+def _history_paths(spark, root: str, before_batch: int) -> list[str]:
     """Band-table epochs STRICTLY EARLIER than the current batch id. A
     replayed batch must not gate against its own previously-written bands
     (it would drop every one of its documents as 'seen'); filtering by
-    epoch makes replays idempotent rather than self-poisoning."""
-    try:
-        names = os.listdir(root)
-    except FileNotFoundError:
-        return []
+    epoch makes replays idempotent rather than self-poisoning. Listing
+    goes through the Hadoop FileSystem API (fsutil) so a history dir on
+    hdfs://s3a:// lists exactly like a local one — os.listdir would see
+    the driver's disk only and silently forget all history at scale."""
+    from textractssmlprocessor_spark.fsutil import fs_list_names
+
     out = []
-    for n in names:
+    for n in fs_list_names(spark, root):
         if n.startswith("batch-"):
             try:
                 if int(n.split("-", 1)[1]) < before_batch:
@@ -79,7 +80,7 @@ def process_near_dedup_batch(
     spark = batch.sparkSession
     batch = batch.select(id_col, text_col)
 
-    hist_paths = _history_paths(history_dir, batch_id)
+    hist_paths = _history_paths(spark, history_dir, batch_id)
     have_history = bool(hist_paths)
     if have_history:
         history = spark.read.parquet(*hist_paths)

@@ -244,3 +244,90 @@ def test_warc_negative_content_length_resyncs(spark, tmp_path):
 
     urls = {r["url"] for r in read_warc(spark, str(p)).collect()}
     assert urls == {"https://ok.example.org/1"}
+
+
+def test_warc_gz_corrupt_member_contained(spark, tmp_path):
+    """Compressed-stream containment (_safe_records): a .warc.gz whose
+    gzip stream goes bad mid-segment (truncated member, then flipped
+    bytes inside a member's deflate data) must yield the records decoded
+    BEFORE the corruption and never raise — one bad segment byte must not
+    fail the task (and, after Spark's 4 retries, the 100 TB job)."""
+    import gzip
+
+    good = gzip.compress(
+        _record(
+            "response",
+            b"HTTP/1.1 200 OK\r\n\r\n<p>before corruption</p>",
+            url="https://ok.example.org/1",
+        )
+    )
+    trailing = gzip.compress(
+        _record("resource", b"<p>never reached</p>", url="https://lost.example.org/2")
+    )
+    from textractssmlprocessor_spark.sources import read_warc
+
+    # (a) truncated second member: EOFError path
+    p1 = tmp_path / "trunc.warc.gz"
+    p1.write_bytes(good + trailing[: len(trailing) // 2])
+    rows = read_warc(spark, str(p1)).collect()
+    assert [r["url"] for r in rows] == ["https://ok.example.org/1"]
+
+    # (b) corrupt deflate bytes inside the second member: zlib.error/
+    # BadGzipFile path (header intact, payload garbage)
+    corrupt = bytearray(trailing)
+    for i in range(12, min(len(corrupt), 40)):
+        corrupt[i] ^= 0xFF
+    p2 = tmp_path / "flip.warc.gz"
+    p2.write_bytes(good + bytes(corrupt))
+    rows = read_warc(spark, str(p2)).collect()
+    assert [r["url"] for r in rows] == ["https://ok.example.org/1"]
+
+
+def test_wat_hostile_payload_types_contained(spark, tmp_path):
+    """WAT envelopes are UNTRUSTED JSON: a numeric Title, a dict Links,
+    or a numeric Links[].url must drop to NULL/skip — not reach the
+    pandas->Arrow cast as an int cell in a string column and fail the
+    task."""
+    import json
+
+    def env(title, links):
+        return json.dumps(
+            {
+                "Envelope": {
+                    "Payload-Metadata": {
+                        "HTTP-Response-Metadata": {
+                            "HTML-Metadata": {
+                                "Head": {"Title": title},
+                                "Links": links,
+                            }
+                        }
+                    }
+                }
+            }
+        ).encode()
+
+    data = (
+        _record(
+            "metadata",
+            env(12345, [{"url": 999}, {"url": "https://kept.example.org/"}]),
+            url="https://wat.example.org/1",
+        )
+        + _record(
+            "metadata",
+            env("Good Title", {"not": "a list"}),
+            url="https://wat.example.org/2",
+        )
+    )
+    p = tmp_path / "seg.wat"
+    p.write_bytes(data)
+
+    from textractssmlprocessor_spark.sources import read_wat
+
+    rows = {r["url"]: r for r in read_wat(spark, str(p)).collect()}
+    r1 = rows["https://wat.example.org/1"]
+    assert r1["title"] is None  # numeric title dropped
+    assert r1["links"] == ["https://kept.example.org/"]  # numeric url skipped
+    assert r1["n_links"] == 1
+    r2 = rows["https://wat.example.org/2"]
+    assert r2["title"] == "Good Title"
+    assert r2["links"] == []  # dict Links treated as absent-list

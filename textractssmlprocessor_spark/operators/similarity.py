@@ -139,9 +139,20 @@ def ann_lsh_topk(
 def _collect_centroids(centroids: DataFrame) -> list[tuple[int, list[float]]]:
     """Centroid table -> sorted local (cell, cvec) rows. Bounded by
     construction (k rows); the ONE place the kmeans/IVF family touches the
-    driver."""
+    driver.
+
+    Totality: rows whose cell or cvec is NULL — or whose cvec carries a
+    NULL component (a NULL element in the source embedding survives the
+    per-dimension mean as NULL) — are SKIPPED, not crashed on: a filtered-
+    to-empty or NULL-poisoned training slice must degrade to "no centroids"
+    (downstream: NULL assignment, empty search results), never to a driver
+    TypeError that fails the job."""
     return sorted(
-        ((int(r["cell"]), [float(x) for x in r["cvec"]]) for r in centroids.collect()),
+        (int(r["cell"]), [float(x) for x in r["cvec"]])
+        for r in centroids.collect()
+        if r["cell"] is not None
+        and r["cvec"] is not None
+        and not any(x is None for x in r["cvec"])
     )
 
 
@@ -169,6 +180,13 @@ def _assign_expr(
     select(cell, posexplode(v)) trainer iteration 17x slower than
     projecting the cell first (same-boot probe, 2k x 64 vectors)."""
     import math
+
+    if not cent_rows:
+        # zero trained centroids (empty/all-NULL training slice): every
+        # vector's assignment is undefined — NULL cell, so cell-equijoins
+        # downstream (probe, centroid_sim) produce empty results instead
+        # of F.array() failing to type-resolve a zero-element sims array
+        return F.lit(None).cast("int")
 
     v = F.col(vec_col)
     vn = norm(v) if vnorm_col is None else F.col(vnorm_col)
@@ -226,9 +244,12 @@ def default_centroids(
 ) -> DataFrame:
     """Deterministic IVF 'training': the first k vectors by id are the
     centroids (IVF-flat with externally supplied centroids; a production
-    build would run k-means — the search structure is identical)."""
+    build would run k-means — the search structure is identical). NULL
+    embeddings never seed: a leading NULL row would otherwise poison the
+    whole family's driver-side centroid collect."""
     return (
-        embeddings.orderBy(id_col)
+        embeddings.filter(F.col(vec_col).isNotNull())
+        .orderBy(id_col)
         .limit(k)
         .select(
             F.col(id_col).cast("int").alias("cell"), _doubled(vec_col).alias("cvec")
@@ -327,6 +348,10 @@ def kmeans_centroids_rows(
     plan — the job-count fusion that keeps the fixed per-job scheduling
     overhead flat."""
     rows = _collect_centroids(default_centroids(embeddings, k, id_col, vec_col))
+    if not rows:
+        # no trainable vectors (empty or all-NULL slice): iterating would
+        # just run `iters` empty corpus jobs to rediscover the same fact
+        return []
     for _ in range(iters):
         # two-step on purpose: assign in its OWN Project, then explode the
         # projected column — selecting the assignment expression next to

@@ -89,6 +89,22 @@ def _record_stream(data: bytes):
     return io.BytesIO(data)
 
 
+def _safe_records(data: bytes):
+    """Record iteration with compressed-stream containment: a corrupt or
+    truncated gzip member raises BadGzipFile/EOFError (OSError family) or
+    zlib.error out of the walker's readline/read — without this guard ONE
+    bad .warc.gz segment fails its task, and after Spark's retries the
+    whole 100 TB job. Records decoded before the corruption point are
+    kept; the walk stops at the first undecodable byte (same policy as
+    the walker's truncated-tail rule, one layer down)."""
+    import zlib
+
+    try:
+        yield from _iter_warc_records(_record_stream(data))
+    except (OSError, EOFError, zlib.error):
+        return
+
+
 def _iter_warc_records(stream):
     """Minimal WARC/1.0-1.1 record walker (public ISO 28500 format) over a
     binary STREAM: 'WARC/…' header block terminated by a blank line,
@@ -167,9 +183,7 @@ def read_warc(
                 "url": [], "warc_ts": [], "html": [], "text": [], "lang": [],
             }
             for content in pdf["content"]:
-                for headers, body in _iter_warc_records(
-                    _record_stream(bytes(content))
-                ):
+                for headers, body in _safe_records(bytes(content)):
                     if headers.get("warc-type") not in record_types:
                         continue
                     url = headers.get("warc-target-uri")
@@ -267,9 +281,7 @@ def read_wat(spark: SparkSession, path: str) -> DataFrame:
                 "url": [], "warc_ts": [], "title": [], "n_links": [], "links": [],
             }
             for content in pdf["content"]:
-                for headers, body in _iter_warc_records(
-                    _record_stream(bytes(content))
-                ):
+                for headers, body in _safe_records(bytes(content)):
                     if headers.get("warc-type") != "metadata":
                         continue
                     url = headers.get("warc-target-uri")
@@ -289,11 +301,21 @@ def read_wat(spark: SparkSession, path: str) -> DataFrame:
                             .get("HTML-Metadata", {})
                         )
                         head = html_md.get("Head", {})
+                        # type containment: the envelope is UNTRUSTED JSON —
+                        # a numeric Title or Links[].url would flow into the
+                        # pandas->Arrow cast and fail the TASK (string column,
+                        # int cell). Non-string values drop, not crash.
                         title = head.get("Title")
+                        if not isinstance(title, str):
+                            title = None
                         raw_links = html_md.get("Links", [])
+                        if not isinstance(raw_links, list):
+                            raw_links = []
                         links = [
                             l["url"] for l in raw_links
-                            if isinstance(l, dict) and l.get("url")
+                            if isinstance(l, dict)
+                            and isinstance(l.get("url"), str)
+                            and l["url"]
                         ]
                     except (ValueError, AttributeError, TypeError):
                         pass

@@ -207,3 +207,49 @@ def test_attributed_wrapper_survives_bare_strip_with_bs4_attrs():
     # survives with bs4-normalized attribute bytes
     out = convert_html_to_ssml("<p class=' x  y '>kept</p><p>stripped</p>")
     assert out == '<speak><p class="x y">keptstripped</speak>'
+
+
+# --- depth containment ----------------------------------------------------
+
+
+def test_deep_nesting_does_not_hit_recursion_limit():
+    """A hostile crawl page with thousands of nested tags (comment-spam
+    and broken-generator markup do this in the wild) must parse,
+    serialize, and convert without RecursionError: one such page would
+    otherwise kill its task and - after Spark's retries - the whole job.
+    The walkers (text/find_all/serialize) are explicit-stack iterative;
+    depth is bounded by memory, not by Python's ~1000-frame limit."""
+    import sys
+
+    depth = sys.getrecursionlimit() * 4
+    html = ("<em>" * depth) + "x" + ("</em>" * depth)
+    rt = roundtrip(html)
+    assert rt == html
+
+    root = parse_html(html)
+    assert root.text == "x"
+    assert len(root.find_all("em")) == depth
+
+    # the flagship conversion path end-to-end (em-heuristics walk every
+    # <em> node; the outermost one's .text covers the whole spine)
+    out = convert_html_to_ssml("<p>" + "<span>" * depth + "deep" + "</span>" * depth + "</p>")
+    assert "deep" in out
+
+
+def test_deep_ssml_nesting_does_not_hit_recursion_limit():
+    """Same hazard one stage later: clean_ssml_tags parses chunk content
+    with expat (iterative, no depth limit) and then walks the tree —
+    well-formed allowed-tag nests ('<s>' is in ALLOWED_TAGS) thousands
+    deep must splice+serialize, not RecursionError. Mixed case: a
+    disallowed tag at the bottom still splices out."""
+    import sys
+
+    from textractssmlprocessor_spark.functions.ssml import clean_ssml_tags
+
+    depth = sys.getrecursionlimit() * 4
+    nest = ("<s>" * depth) + "<bad>x</bad>" + ("</s>" * depth)
+    out = clean_ssml_tags(nest)
+    assert out.startswith("<speak>")
+    assert "<bad>" not in out
+    assert "x" in out
+    assert out.count("<s>") == depth

@@ -286,3 +286,62 @@ def test_writer_replaces_non_latin1_instead_of_crashing():
     pdf = build_simple_pdf([[(72, 720, 12, "em—dash “quoted”")]])
     blocks = parse_pdf_blocks(pdf)
     assert blocks[0][6] == "em?dash ?quoted?"
+
+
+def test_deeply_nested_object_is_skipped_not_fatal():
+    """A hostile object nesting arrays thousands deep would RecursionError
+    out of the recursive-descent parser; the tolerant scan must skip that
+    OBJECT and still parse every well-formed page in the file."""
+    import sys
+
+    from textractssmlprocessor_spark.operators.pdf import (
+        build_simple_pdf,
+        parse_pdf_blocks,
+    )
+
+    depth = sys.getrecursionlimit() * 4
+    bomb = b"99 0 obj\n" + b"[" * depth + b"]" * depth + b"\nendobj\n"
+    pdf = build_simple_pdf([[(72.0, 700.0, 12.0, "survives")]], compress=False)
+    # splice the hostile object ahead of the document body
+    data = pdf.replace(b"%PDF-1.4\n", b"%PDF-1.4\n" + bomb, 1)
+    blocks = parse_pdf_blocks(data)
+    assert [b[-1] for b in blocks] == ["survives"]
+
+
+def test_flate_bomb_stream_is_dropped():
+    """A kilobyte-scale zlib bomb in a /FlateDecode content stream must not
+    inflate without bound into executor memory: streams that exceed the
+    64 MiB decompressed cap drop (hostile by construction), and the rest
+    of the document still parses."""
+    import zlib
+
+    from textractssmlprocessor_spark.operators.pdf import (
+        build_simple_pdf,
+        parse_pdf_blocks,
+    )
+
+    bomb_body = zlib.compress(b" " * (200 * (1 << 20)))  # 200 MiB of spaces
+    assert len(bomb_body) < (1 << 20)
+    bomb_obj = (
+        b"98 0 obj\n<< /Filter /FlateDecode /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(bomb_body), bomb_body)
+    )
+    pdf = build_simple_pdf([[(72.0, 700.0, 12.0, "kept page")]], compress=True)
+    data = pdf.replace(b"%PDF-1.4\n", b"%PDF-1.4\n" + bomb_obj, 1)
+    blocks = parse_pdf_blocks(data)
+    assert [b[-1] for b in blocks] == ["kept page"]
+
+    # and when the bomb IS a page's /Contents, the page text drops but
+    # parsing still terminates quickly with no inflation
+    pdf2 = build_simple_pdf([[(72.0, 700.0, 12.0, "shadowed")]], compress=True)
+    # find the page's stream object (5 0 obj) and replace its body wholesale
+    import re as _re
+
+    m = _re.search(rb"5 0 obj\n.*?endobj\n", pdf2, _re.S)
+    assert m
+    repl = (
+        b"5 0 obj\n<< /Filter /FlateDecode /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(bomb_body), bomb_body)
+    )
+    data2 = pdf2[: m.start()] + repl + pdf2[m.end() :]
+    assert parse_pdf_blocks(data2) == []

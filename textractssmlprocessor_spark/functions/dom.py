@@ -134,12 +134,17 @@ class Node:
     # -- bs4-like accessors ---------------------------------------------------
     @property
     def text(self) -> str:
+        # explicit-stack pre-order walk: a hostile page nests tags
+        # thousands deep (comment spam, broken generators) and a recursive
+        # walk RecursionErrors the UDF's task at ~1000 frames
         out: List[str] = []
-        for c in self.children:
+        stack: List[Union["Node", "Special", str]] = [self]
+        while stack:
+            c = stack.pop()
             if isinstance(c, str):
                 out.append(c)
             elif isinstance(c, Node):
-                out.append(c.text)
+                stack.extend(reversed(c.children))
             # Special nodes (comments/doctypes/...) carry no .text
         return "".join(out)
 
@@ -147,12 +152,18 @@ class Node:
         self.children = [s]
 
     def find_all(self, tag: str) -> List["Node"]:
+        # iterative pre-order (document order), same depth rationale as text
         found: List[Node] = []
-        for c in self.children:
-            if isinstance(c, Node):
-                if c.tag == tag:
-                    found.append(c)
-                found.extend(c.find_all(tag))
+        stack: List[Node] = [
+            c for c in reversed(self.children) if isinstance(c, Node)
+        ]
+        while stack:
+            cur = stack.pop()
+            if cur.tag == tag:
+                found.append(cur)
+            stack.extend(
+                c for c in reversed(cur.children) if isinstance(c, Node)
+            )
         return found
 
     def next_sibling_tag(self, tag: str) -> Optional["Node"]:
@@ -259,22 +270,35 @@ def _attr_fragment(key: str, value: AttrValue) -> str:
 
 
 def serialize(node: Node, out: List[str], raw: bool = False) -> None:
-    if node.tag is not None:
-        attrs = "".join(_attr_fragment(k, v) for k, v in node.attrs.items())
-        if node.tag in VOID_ELEMENTS:
-            out.append(f"<{node.tag}{attrs}/>")
-            return
-        out.append(f"<{node.tag}{attrs}>")
-        raw = raw or node.tag in RAW_TEXT_ELEMENTS
-    for c in node.children:
-        if isinstance(c, str):
-            out.append(c if raw else _escape(c))
-        elif isinstance(c, Special):
-            out.append(c.serialized())
-        else:
-            serialize(c, out, raw)
-    if node.tag is not None:
-        out.append(f"</{node.tag}>")
+    # Explicit work stack, not recursion: real crawl pages nest thousands
+    # of tags deep and must serialize instead of RecursionError-ing the
+    # task. Entries are (item, raw-flag, is_close_marker); a non-void
+    # node pushes its close marker BENEATH its children so it emits after
+    # them (LIFO), byte-identical to the recursive form.
+    stack: list = [(node, raw, False)]
+    while stack:
+        item, r, closing = stack.pop()
+        if closing:
+            out.append(f"</{item.tag}>")
+            continue
+        if isinstance(item, str):
+            out.append(item if r else _escape(item))
+            continue
+        if isinstance(item, Special):
+            out.append(item.serialized())
+            continue
+        if item.tag is not None:
+            attrs = "".join(
+                _attr_fragment(k, v) for k, v in item.attrs.items()
+            )
+            if item.tag in VOID_ELEMENTS:
+                out.append(f"<{item.tag}{attrs}/>")
+                continue
+            out.append(f"<{item.tag}{attrs}>")
+            r = r or item.tag in RAW_TEXT_ELEMENTS
+            stack.append((item, r, True))
+        for c in reversed(item.children):
+            stack.append((c, r, False))
 
 
 _BARE_WRAPPERS = re.compile(r"<(/?)(h4|em|strong|p)>")

@@ -64,41 +64,57 @@ def _escape_attr(s: str) -> str:
 
 def _serialize(elem: ET.Element, out: List[str]) -> None:
     """lxml-style serialization: attribute order preserved, empty elements
-    self-closed as ``<tag/>`` (no space), text escaped minimally."""
-    out.append(f"<{elem.tag}")
-    for k, v in elem.attrib.items():
-        out.append(f' {k}="{_escape_attr(v)}"')
-    has_children = len(elem) > 0
-    if elem.text is None and not has_children:
-        out.append("/>")
-    else:
+    self-closed as ``<tag/>`` (no space), text escaped minimally.
+
+    Explicit work stack, not recursion (same rationale as dom.serialize):
+    a hostile page can carry well-formed allowed-tag nests thousands deep
+    and must serialize instead of RecursionError-ing the task."""
+    stack: List[tuple] = [(elem, False)]
+    while stack:
+        e, closing = stack.pop()
+        if closing:
+            out.append(f"</{e.tag}>")
+            if e.tail:
+                out.append(_escape_text(e.tail))
+            continue
+        out.append(f"<{e.tag}")
+        for k, v in e.attrib.items():
+            out.append(f' {k}="{_escape_attr(v)}"')
+        if e.text is None and len(e) == 0:
+            out.append("/>")
+            if e.tail:
+                out.append(_escape_text(e.tail))
+            continue
         out.append(">")
-        if elem.text:
-            out.append(_escape_text(elem.text))
-        for child in elem:
-            _serialize(child, out)
-        out.append(f"</{elem.tag}>")
-    if elem.tail:
-        out.append(_escape_text(elem.tail))
+        if e.text:
+            out.append(_escape_text(e.text))
+        stack.append((e, True))
+        for child in reversed(list(e)):
+            stack.append((child, False))
 
 
 def _splice_disallowed(element: ET.Element) -> None:
     """Remove children not in ALLOWED_TAGS, promoting ``text + tail`` into the
     previous sibling's tail (or the parent's text). Descendants of removed
     elements are dropped — reference utils.py:385-399 behavior."""
-    children = list(element)
-    for child in children:
-        if child.tag not in ALLOWED_TAGS:
-            text = (child.text or "") + (child.tail or "")
-            idx = list(element).index(child)
-            if idx > 0:
-                prev = list(element)[idx - 1]
-                prev.tail = (prev.tail or "") + text
+    # iterative walk (allowed-child subtrees are disjoint, so visit order
+    # cannot change the result): depth is attacker-controlled — see
+    # _serialize's containment note
+    stack: List[ET.Element] = [element]
+    while stack:
+        el = stack.pop()
+        for child in list(el):
+            if child.tag not in ALLOWED_TAGS:
+                text = (child.text or "") + (child.tail or "")
+                idx = list(el).index(child)
+                if idx > 0:
+                    prev = list(el)[idx - 1]
+                    prev.tail = (prev.tail or "") + text
+                else:
+                    el.text = (el.text or "") + text
+                el.remove(child)
             else:
-                element.text = (element.text or "") + text
-            element.remove(child)
-        else:
-            _splice_disallowed(child)
+                stack.append(child)
 
 
 def _clean_tags_once(content: str) -> str:

@@ -206,7 +206,12 @@ def _scan_objects(data: bytes) -> dict[int, tuple[dict, bytes | None]]:
             if data[i : i + 2] != b"<<":
                 continue  # other scalar objects carry no page structure
             d, j = _parse_dict(data, i)
-        except (ValueError, IndexError):
+        except (ValueError, IndexError, RecursionError):
+            # RecursionError: a hostile object nesting arrays/dicts
+            # thousands deep ('[[[[…') would otherwise escape the
+            # tolerant scan and kill the task — by the time the except
+            # runs the recursive frames have unwound, so skipping the
+            # object is safe
             continue
         stream = None
         j = _skip_ws(data, j)
@@ -233,6 +238,9 @@ def _deref(objs, v):
     return v
 
 
+_MAX_STREAM_BYTES = 1 << 26  # 64 MiB decompressed cap per content stream
+
+
 def _page_content(objs, page_dict) -> bytes:
     """Concatenated, decompressed content stream(s) of one page."""
     contents = page_dict.get("Contents")
@@ -252,7 +260,15 @@ def _page_content(objs, page_dict) -> bytes:
         filts = filt if isinstance(filt, list) else ([filt] if filt else [])
         if any(str(f) == "FlateDecode" for f in filts):
             try:
-                stream = zlib.decompress(stream)
+                # bounded decompress: a kilobyte-sized zlib bomb otherwise
+                # inflates without limit into executor memory (the text
+                # content of a real page is nowhere near the cap; an
+                # over-cap stream is hostile by construction and drops,
+                # mirroring the image decoder's 64 MP containment)
+                dec = zlib.decompressobj()
+                stream = dec.decompress(stream, _MAX_STREAM_BYTES)
+                if dec.unconsumed_tail:
+                    continue
             except zlib.error:
                 continue
         elif filts:

@@ -132,3 +132,31 @@ def test_contract_query_on_empty_corpus(spark, empty_sf_dir, name, fn):
 def test_contract_query_on_null_payload_corpus(spark, null_text_sf_dir, name, fn):
     n = fn(spark, null_text_sf_dir).count()
     assert n >= 0
+
+
+def test_flagship_extraction_on_hostile_deep_page(spark):
+    """End-to-end lock on the iterative DOM/SSML walkers THROUGH the fused
+    pandas UDF: the worker process has the same ~1000-frame recursion
+    limit as the driver, so a crawl page with thousands of nested tags
+    must extract chunks (not RecursionError the task). Covers both a
+    stripped-wrapper nest (<em>) and an allowed-SSML nest (<s>) that
+    reaches clean_ssml_tags' splice."""
+    import datetime
+
+    from textractssmlprocessor_spark.operators.extract import extract_chunks
+
+    depth = 5000
+    deep_em = "<h4>T</h4>" + "<em>" * depth + "deep body text" + "</em>" * depth
+    deep_s = "<p>" + "<s>" * depth + "inner" + "</s>" * depth + "</p>"
+    ts = datetime.datetime(2024, 1, 1)
+    pages = spark.createDataFrame(
+        [
+            ("https://hostile.example.org/em", ts, deep_em.encode(), None, "en"),
+            ("https://hostile.example.org/s", ts, deep_s.encode(), None, "en"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    rows = extract_chunks(pages, num_partitions=2).collect()
+    texts = {r["url"]: r["extracted_text"] for r in rows}
+    assert "deep body text" in texts["https://hostile.example.org/em"]
+    assert "inner" in texts["https://hostile.example.org/s"]

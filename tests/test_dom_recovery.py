@@ -253,3 +253,17 @@ def test_deep_ssml_nesting_does_not_hit_recursion_limit():
     assert "<bad>" not in out
     assert "x" in out
     assert out.count("<s>") == depth
+
+
+def test_nested_em_matches_bs4_detach_semantics():
+    """Nested <em> through convert_html_to_ssml: bs4's .string setter runs
+    clear() (immediate children EXTRACTED, parent=None) before appending,
+    so the inner <em> found by the earlier find_all is detached when its
+    turn comes — find_next_sibling returns None and its own mutation is
+    invisible in the output. Hand-derived trace for
+    '<em>a<em>b</em></em>c<strong>d</strong>':
+    outer: text 'ab' (<=100) -> em.string='ab', strong sibling decomposed;
+    inner (detached): no sibling, mutation off-tree;
+    serialize '<em>ab</em>c' -> bare-wrapper strip -> '<speak>abc</speak>'."""
+    out = convert_html_to_ssml("<em>a<em>b</em></em>c<strong>d</strong>")
+    assert out == "<speak>abc</speak>"

@@ -149,6 +149,15 @@ class Node:
         return "".join(out)
 
     def set_string(self, s: str) -> None:
+        # bs4 parity: the .string setter runs clear(), which EXTRACTS the
+        # immediate children (parent -> None) before appending the string.
+        # Without the detach, a node inside a replaced subtree (nested
+        # <em><em>…) still points at its old parent whose children list no
+        # longer contains it — and next_sibling_tag's index() raises on a
+        # page bs4 handles fine (detached tags just have no siblings).
+        for c in self.children:
+            if isinstance(c, Node):
+                c.parent = None
         self.children = [s]
 
     def find_all(self, tag: str) -> List["Node"]:
@@ -167,10 +176,16 @@ class Node:
         return found
 
     def next_sibling_tag(self, tag: str) -> Optional["Node"]:
+        # detached tags (parent None, or parent whose children no longer
+        # hold self) have no siblings — bs4's find_next_sibling returns
+        # None there, never raises
         if self.parent is None:
             return None
         sibs = self.parent.children
-        i = sibs.index(self)
+        try:
+            i = sibs.index(self)
+        except ValueError:
+            return None
         for s in sibs[i + 1:]:
             if isinstance(s, Node) and s.tag == tag:
                 return s
@@ -179,6 +194,7 @@ class Node:
     def decompose(self) -> None:
         if self.parent is not None:
             self.parent.children.remove(self)
+            self.parent = None  # bs4 parity: decomposed tags are detached
 
 
 class _TreeBuilder(HTMLParser):

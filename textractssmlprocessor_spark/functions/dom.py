@@ -134,19 +134,11 @@ class Node:
     # -- bs4-like accessors ---------------------------------------------------
     @property
     def text(self) -> str:
-        # explicit-stack pre-order walk: a hostile page nests tags
-        # thousands deep (comment spam, broken generators) and a recursive
-        # walk RecursionErrors the UDF's task at ~1000 frames
-        out: List[str] = []
-        stack: List[Union["Node", "Special", str]] = [self]
-        while stack:
-            c = stack.pop()
-            if isinstance(c, str):
-                out.append(c)
-            elif isinstance(c, Node):
-                stack.extend(reversed(c.children))
-            # Special nodes (comments/doctypes/...) carry no .text
-        return "".join(out)
+        # hybrid walk: recursion for real-page depths (faster — no stack
+        # bookkeeping), explicit stack past _ITERATIVE_DEPTH so a hostile
+        # page nesting tags thousands deep (comment spam, broken
+        # generators) cannot RecursionError the UDF's task at ~1000 frames
+        return _text_of(self, 0)
 
     def set_string(self, s: str) -> None:
         # bs4 parity: the .string setter runs clear(), which EXTRACTS the
@@ -161,18 +153,9 @@ class Node:
         self.children = [s]
 
     def find_all(self, tag: str) -> List["Node"]:
-        # iterative pre-order (document order), same depth rationale as text
+        # hybrid pre-order (document order), same depth rationale as text
         found: List[Node] = []
-        stack: List[Node] = [
-            c for c in reversed(self.children) if isinstance(c, Node)
-        ]
-        while stack:
-            cur = stack.pop()
-            if cur.tag == tag:
-                found.append(cur)
-            stack.extend(
-                c for c in reversed(cur.children) if isinstance(c, Node)
-            )
+        _find_into(self, tag, found, 0)
         return found
 
     def next_sibling_tag(self, tag: str) -> Optional["Node"]:
@@ -195,6 +178,54 @@ class Node:
         if self.parent is not None:
             self.parent.children.remove(self)
             self.parent = None  # bs4 parity: decomposed tags are detached
+
+
+# depth at which the tree walkers switch from plain recursion (fast — no
+# stack bookkeeping) to the explicit-stack form (unbounded). Real pages sit
+# far below it; only hostile nests cross, well before Python's ~1000-frame
+# recursion limit can fire.
+_ITERATIVE_DEPTH = 150
+
+
+def _find_into(node: Node, tag: str, found: List[Node], depth: int) -> None:
+    if depth >= _ITERATIVE_DEPTH:
+        stack: List[Node] = [
+            c for c in reversed(node.children) if isinstance(c, Node)
+        ]
+        while stack:
+            cur = stack.pop()
+            if cur.tag == tag:
+                found.append(cur)
+            stack.extend(
+                c for c in reversed(cur.children) if isinstance(c, Node)
+            )
+        return
+    for c in node.children:
+        if isinstance(c, Node):
+            if c.tag == tag:
+                found.append(c)
+            _find_into(c, tag, found, depth + 1)
+
+
+def _text_of(node: Node, depth: int) -> str:
+    if depth >= _ITERATIVE_DEPTH:
+        out: List[str] = []
+        stack: List[Union[Node, Special, str]] = [node]
+        while stack:
+            c = stack.pop()
+            if isinstance(c, str):
+                out.append(c)
+            elif isinstance(c, Node):
+                stack.extend(reversed(c.children))
+            # Special nodes (comments/doctypes/...) carry no .text
+        return "".join(out)
+    parts: List[str] = []
+    for c in node.children:
+        if isinstance(c, str):
+            parts.append(c)
+        elif isinstance(c, Node):
+            parts.append(_text_of(c, depth + 1))
+    return "".join(parts)
 
 
 class _TreeBuilder(HTMLParser):
@@ -285,12 +316,35 @@ def _attr_fragment(key: str, value: AttrValue) -> str:
     return f" {key}={quote}{value}{quote}"
 
 
-def serialize(node: Node, out: List[str], raw: bool = False) -> None:
-    # Explicit work stack, not recursion: real crawl pages nest thousands
-    # of tags deep and must serialize instead of RecursionError-ing the
-    # task. Entries are (item, raw-flag, is_close_marker); a non-void
-    # node pushes its close marker BENEATH its children so it emits after
-    # them (LIFO), byte-identical to the recursive form.
+def serialize(
+    node: Node, out: List[str], raw: bool = False, _depth: int = 0
+) -> None:
+    # Hybrid: plain recursion for real-page depths (fast), explicit work
+    # stack past _ITERATIVE_DEPTH so a hostile page nesting thousands of
+    # tags deep serializes instead of RecursionError-ing the task.
+    if _depth < _ITERATIVE_DEPTH:
+        if node.tag is not None:
+            attrs = "".join(
+                _attr_fragment(k, v) for k, v in node.attrs.items()
+            )
+            if node.tag in VOID_ELEMENTS:
+                out.append(f"<{node.tag}{attrs}/>")
+                return
+            out.append(f"<{node.tag}{attrs}>")
+            raw = raw or node.tag in RAW_TEXT_ELEMENTS
+        for c in node.children:
+            if isinstance(c, str):
+                out.append(c if raw else _escape(c))
+            elif isinstance(c, Special):
+                out.append(c.serialized())
+            else:
+                serialize(c, out, raw, _depth + 1)
+        if node.tag is not None:
+            out.append(f"</{node.tag}>")
+        return
+    # Iterative fallback: entries are (item, raw-flag, is_close_marker); a
+    # non-void node pushes its close marker BENEATH its children so it
+    # emits after them (LIFO), byte-identical to the recursive form.
     stack: list = [(node, raw, False)]
     while stack:
         item, r, closing = stack.pop()

@@ -66,9 +66,34 @@ def _serialize(elem: ET.Element, out: List[str]) -> None:
     """lxml-style serialization: attribute order preserved, empty elements
     self-closed as ``<tag/>`` (no space), text escaped minimally.
 
-    Explicit work stack, not recursion (same rationale as dom.serialize):
-    a hostile page can carry well-formed allowed-tag nests thousands deep
-    and must serialize instead of RecursionError-ing the task."""
+    Hybrid recursion (same rationale and switch depth as dom.serialize):
+    plain recursion for real-content depths, explicit work stack past
+    _ITERATIVE_DEPTH so a hostile page carrying well-formed allowed-tag
+    nests thousands deep serializes instead of RecursionError-ing the
+    task."""
+    _serialize_from(elem, out, 0)
+
+
+_ITERATIVE_DEPTH = 150
+
+
+def _serialize_from(elem: ET.Element, out: List[str], depth: int) -> None:
+    if depth < _ITERATIVE_DEPTH:
+        out.append(f"<{elem.tag}")
+        for k, v in elem.attrib.items():
+            out.append(f' {k}="{_escape_attr(v)}"')
+        if elem.text is None and len(elem) == 0:
+            out.append("/>")
+        else:
+            out.append(">")
+            if elem.text:
+                out.append(_escape_text(elem.text))
+            for child in elem:
+                _serialize_from(child, out, depth + 1)
+            out.append(f"</{elem.tag}>")
+        if elem.tail:
+            out.append(_escape_text(elem.tail))
+        return
     stack: List[tuple] = [(elem, False)]
     while stack:
         e, closing = stack.pop()

@@ -101,3 +101,21 @@ def test_media_parsers_contained_on_garbage():
                 fn(payload)
             except Exception:
                 pass  # contained by the dispatch layer's catch
+
+
+def test_charset_decode_total_on_garbage():
+    """decode_payload (the fused UDF's first step) must return
+    (str, str) for ANY byte string — BOM fragments, truncated meta
+    declarations, random binary."""
+    rng = random.Random(7)
+    magics = [b"", b"\xef\xbb\xbf", b"\xff\xfe", b"\xfe\xff",
+              b"<meta charset=", b'<meta http-equiv="Content-Type"',
+              b"\x00\x00\xfe\xff"]
+    from textractssmlprocessor_spark.operators.charset import decode_payload
+
+    for _ in range(2000):
+        p = rng.choice(magics) + bytes(
+            rng.randrange(256) for _ in range(rng.randrange(0, 300))
+        )
+        t, cs = decode_payload(p)
+        assert isinstance(t, str) and isinstance(cs, str)

@@ -75,7 +75,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # SQL-checked queries (Spark DataFrame vs DuckDB oracle)
 # ---------------------------------------------------------------------------
 
-WORD_RE = r"\b[\w-]+\b"
+# ONE portable definition (textstats.WORD_RE docstring has the
+# Java-vs-RE2 \b rationale); the SQL twin below interpolates the same
+# string so the engines can never drift
+from textractssmlprocessor_spark.operators.textstats import WORD_RE
 BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
@@ -206,9 +209,11 @@ def q_text_profile(spark, sf_dir):
     sc_cols = script_columns(script_seed)
     profile = d.select(
         "doc_id",
-        F.round(alpha / n, 6).alias("alpha_ratio"),
-        F.round(punct / n, 6).alias("punct_ratio"),
-        F.round(alpha / words.cast("double"), 6).alias("mean_word_len"),
+        # try_divide: empty text makes every denominator 0 and ANSI division
+        # raises; DuckDB yields NULL on /0, and try_divide is that exact mirror
+        F.round(F.try_divide(alpha, n), 6).alias("alpha_ratio"),
+        F.round(F.try_divide(punct, n), 6).alias("punct_ratio"),
+        F.round(F.try_divide(alpha, words.cast("double")), 6).alias("mean_word_len"),
         words.cast("bigint").alias("n_words"),
         lang_id(F.col("text")).alias("lang_pred"),
         F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias(
@@ -674,7 +679,10 @@ def q_url_normalize(spark, sf_dir):
         robots_verdicts,
     )
 
-    src_num = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    # nullif: a digit-less source extracts '' and ANSI cast('') raises;
+    # NULL src_num routes the %2 branch to the no-extra-rule default on
+    # both engines (oracle mirrors with try_cast)
+    src_num = F.nullif(F.regexp_extract("source", r"(\d+)", 1), F.lit("")).cast("int")
     host = F.concat(F.lit("host-"), F.col("source"), F.lit(".example.org"))
     robots_txt = F.concat(
         F.lit("# crawl policy\nUser-agent: googlebot\nDisallow: /\n\n"
@@ -1420,7 +1428,9 @@ def q_translation_ratio(spark, sf_dir):
             "doc_id",
             lw.cast("bigint").alias("latin_words"),
             ew.cast("bigint").alias("english_words"),
-            F.round(ew / lw.cast("double"), 6).alias("ratio"),
+            # try_divide: 0 latin words (empty text) must yield NULL ratio
+            # (row then drops at the filter) exactly as DuckDB's /0 does
+            F.round(F.try_divide(ew, lw.cast("double")), 6).alias("ratio"),
         )
         .filter((F.col("ratio") < 0.95) | (F.col("ratio") > 3.0))
     )
@@ -1447,13 +1457,15 @@ def q_running_durations(spark, sf_dir):
     # millisecond truncation, folded onto the running-duration alignment
     def fmt(ms):
         total = ms / F.lit(1000.0)
-        return F.format_string(
+        # NULL propagates (align._format_time_col rule): format_string
+        # would render NULL duration as 'null:null:null,null'
+        return F.when(ms.isNull(), F.lit(None).cast("string")).otherwise(F.format_string(
             "%02d:%02d:%02d,%03d",
             F.floor(total / 3600),
             F.floor((total % 3600) / 60),
             F.floor(total % 60),
             F.floor((total % 1) * 1000),
-        )
+        ))
 
     start = F.col("end_ms") - F.col("duration_ms")
     return run.select(
@@ -1580,7 +1592,11 @@ def q_display_titles(spark, sf_dir):
     return d.select(
         "doc_id",
         F.trim(disp).alias("display_text"),
-        F.array_join(F.slice(lines, 1, run_len), "\n").alias("title"),
+        # coalesce mirrors the oracle's slice-coalesce: NULL text (NULL
+        # lines array) must yield title '' on both engines
+        F.coalesce(
+            F.array_join(F.slice(lines, 1, run_len), "\n"), F.lit("")
+        ).alias("title"),
         run_len.cast("bigint").alias("n_title_lines"),
     )
 
@@ -2078,7 +2094,7 @@ def q_boilerplate_lines(spark, sf_dir):
     words = F.size(F.regexp_extract_all("text", F.lit(WORD_RE), F.lit(0)))
     perdoc = d.select(
         url_host(F.col("url")).alias("host"),
-        F.round(alpha / F.length("text").cast("double"), 6).alias("q"),
+        F.round(F.try_divide(alpha, F.length("text").cast("double")), 6).alias("q"),
         (words >= 30).alias("ok"),
     )
     hq = host_quality_rollup(
@@ -2438,7 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles
 # ---------------------------------------------------------------------------
 
-_WORD_RE_SQL = r"\b[\w-]+\b"
+_WORD_RE_SQL = WORD_RE  # same pattern string; quote/backslash-free
 _BPE_RE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
@@ -2553,6 +2569,21 @@ def _hits_sql(iterations: int = 3) -> str:
     return ",\n            ".join(parts)
 
 
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine mirroring similarity.cosine's zero-norm guard: Spark
+    emits 0.0 when either norm is 0 (CASE-guarded try-division), DuckDB's
+    list_cosine_similarity emits -1.0 — silently re-ranking zero vectors
+    to the bottom instead of the middle. NULLs propagate through the ELSE
+    branch in both engines."""
+    # the zero test MULTIPLIES the norms so a NULL side stays NULL: with
+    # OR, "zero-vector OR NULL" short-circuits to 0.0 while Spark's
+    # norm-product guard (0 * NULL = NULL) propagates the NULL
+    return (
+        f"(CASE WHEN list_dot_product({a}, {a}) * list_dot_product({b}, {b}) = 0 "
+        f"THEN 0.0 ELSE list_cosine_similarity({a}, {b}) END)"
+    )
+
+
 def _kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64,
                 src: str = "embeddings") -> str:
     """CTE chain replaying kmeans_centroids' exact trajectory in DuckDB:
@@ -2563,13 +2594,17 @@ def _kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64,
     ``src`` names the (vec_id, embedding) table/CTE to train on."""
     parts = [
         f"e AS (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS v FROM {src})",
-        f"c0 AS (SELECT vec_id::INT AS cell, v AS cvec FROM e ORDER BY vec_id LIMIT {k})",
+        # v IS NOT NULL mirrors default_centroids' NULL-embedding filter
+        f"c0 AS (SELECT vec_id::INT AS cell, v AS cvec FROM e "
+        f"WHERE v IS NOT NULL ORDER BY vec_id LIMIT {k})",
     ]
     for t in range(1, iters + 1):
         parts.append(
+            # NULL-v rows never assign (Spark: NULL cell, dropped at the
+            # mean's posexplode); zero-norm sims are 0.0 per _cos_sql
             f"s{t} AS (SELECT e.vec_id AS id, e.v, c.cell, "
-            "round(list_cosine_similarity(e.v, c.cvec), 6) AS sim "
-            f"FROM e CROSS JOIN c{t-1} c)"
+            f"round({_cos_sql('e.v', 'c.cvec')}, 6) AS sim "
+            f"FROM e CROSS JOIN c{t-1} c WHERE e.v IS NOT NULL)"
         )
         parts.append(
             f"a{t} AS (SELECT id, v, cell FROM (SELECT id, v, cell, "
@@ -2603,12 +2638,15 @@ def _redact_pii_sql() -> str:
 
     return f"""
         WITH d AS (
+            -- outer coalesce mirrors redact_pii's NULL-text totality (counts
+            -- 0, redacted ''): the seed concat NULL-propagates identically in
+            -- both engines, then the operator coalesces
             SELECT doc_id,
-                   CASE WHEN doc_id % 3 = 0
+                   coalesce(CASE WHEN doc_id % 3 = 0
                         THEN text || ' Contact user' || doc_id::VARCHAR
                              || '@example.com or 555-123-4567 from 192.168.0.'
                              || (doc_id % 256)::VARCHAR || '.'
-                        ELSE text END AS text
+                        ELSE text END, '') AS text
             FROM documents
         ),
         s1 AS (
@@ -2698,9 +2736,11 @@ def oracle_sql() -> dict[str, str]:
     jac = "len(list_intersect(sa.sh, sb.sh)) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE"
     minhash_pairs_ctes = f"""
             d AS ({_DOCS_WITH_DUPES_SQL}),
+            -- blank/NULL docs are excluded from the whole near-dup
+            -- family (dedup._shingleable's quadratic-clique guard)
             sh AS (SELECT doc_id AS id,
                           list_distinct(list_transform({shingles}, s -> substr(md5(s), 1, 8))) AS sh
-                   FROM d),
+                   FROM d WHERE regexp_matches(text, '\\S')),
             sig AS (SELECT id, sh, [{minhash}] AS mh FROM sh),
             banded AS (SELECT id, unnest([{bands}]) AS bucket FROM sig),
             cand AS (
@@ -2810,9 +2850,13 @@ def oracle_sql() -> dict[str, str]:
                    round(length(text)/1000000.0*100, 6) AS polly_cost_long_form,
                    len(regexp_extract_all(text, '{_WORD_RE_SQL}'))::BIGINT AS n_words,
                    len(regexp_extract_all(text, '{_BPE_RE_SQL}'))::BIGINT AS n_tokens,
-                   array_to_string(regexp_extract_all(text, '{_WORD_RE_SQL}')[1:5], ' ')
-                   || (CASE WHEN len(regexp_extract_all(text, '{_WORD_RE_SQL}')) > 5 THEN '...' ELSE '' END)
-                   AS preview,
+                   -- NULL text -> NULL (Spark concat NULL-propagates);
+                   -- wordless text -> '' (DuckDB's empty-list slice is
+                   -- NULL — the CLAUDE.md slice gotcha — so coalesce)
+                   CASE WHEN text IS NULL THEN NULL ELSE
+                   coalesce(array_to_string(regexp_extract_all(text, '{_WORD_RE_SQL}')[1:5], ' ')
+                   || (CASE WHEN len(regexp_extract_all(text, '{_WORD_RE_SQL}')) > 5 THEN '...' ELSE '' END), '')
+                   END AS preview,
                    CASE WHEN (('0x' || substr(md5('v1' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000) < 9000 THEN 'train'
                         WHEN (('0x' || substr(md5('v1' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000) < 9500 THEN 'val'
                         ELSE 'test' END AS split,
@@ -2932,8 +2976,11 @@ def oracle_sql() -> dict[str, str]:
                    -- charset branch: expected sniff outcome of the Spark
                    -- side's constructed payloads (chr(233) = 'é', the
                    -- cp1252 meaning of the injected 0xE9 byte)
-                   CASE doc_id % 6 WHEN 1 THEN 'cp1252' WHEN 2 THEN 'cp1252'
-                        WHEN 4 THEN 'utf-16-le' ELSE 'utf-8' END AS charset,
+                   -- NULL text -> NULL payload on the Spark side (concat
+                   -- NULL-propagates), so the sniff outcome is NULL too
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE CASE doc_id % 6 WHEN 1 THEN 'cp1252' WHEN 2 THEN 'cp1252'
+                             WHEN 4 THEN 'utf-16-le' ELSE 'utf-8' END END AS charset,
                    CASE doc_id % 6
                         WHEN 1 THEN at || chr(233) || '  '
                         WHEN 2 THEN '<meta charset="windows-1252">' || at || chr(233)
@@ -2944,7 +2991,7 @@ def oracle_sql() -> dict[str, str]:
 
         "pack_shards": f"""
             WITH t AS (
-                SELECT doc_id, len(regexp_extract_all(coalesce(text, ''), '\\b[\\w-]+\\b'))::BIGINT AS n_tokens
+                SELECT doc_id, len(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9_](?:[A-Za-z0-9_-]*[A-Za-z0-9_])?'))::BIGINT AS n_tokens
                 FROM documents
             ),
             {zorder_ctes},
@@ -3049,9 +3096,9 @@ def oracle_sql() -> dict[str, str]:
                 ) p LEFT JOIN cms ON cms.r = p.i AND cms.b = p.b
             )
             SELECT count(*)::BIGINT AS n_docs,
-                   sum(len(regexp_extract_all(coalesce(text, ''), '\\b[\\w-]+\\b')))::BIGINT AS n_tokens,
-                   min(len(regexp_extract_all(coalesce(text, ''), '\\b[\\w-]+\\b')))::BIGINT AS min_tokens,
-                   max(len(regexp_extract_all(coalesce(text, ''), '\\b[\\w-]+\\b')))::BIGINT AS max_tokens,
+                   sum(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9_](?:[A-Za-z0-9_-]*[A-Za-z0-9_])?')))::BIGINT AS n_tokens,
+                   min(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9_](?:[A-Za-z0-9_-]*[A-Za-z0-9_])?')))::BIGINT AS min_tokens,
+                   max(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9_](?:[A-Za-z0-9_-]*[A-Za-z0-9_])?')))::BIGINT AS max_tokens,
                    count(DISTINCT lang)::BIGINT AS n_langs,
                    sum(length(text))::BIGINT AS total_character_count,
                    round(sum(length(text))/1000000.0*20, 6) AS total_gpt_cost,
@@ -3150,7 +3197,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             base AS (
                 SELECT doc_id, lang,
-                       len(regexp_extract_all(text, '\\b[\\w-]+\\b'))::BIGINT AS n_words,
+                       len(regexp_extract_all(text, '[A-Za-z0-9_](?:[A-Za-z0-9_-]*[A-Za-z0-9_])?'))::BIGINT AS n_words,
                        length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
                        len(regexp_extract_all(text, '#|\\.\\.\\.|{_ell}')) AS syms,
                        string_split(text, chr(10)) AS lines,
@@ -3326,7 +3373,7 @@ def oracle_sql() -> dict[str, str]:
                 WITH ru AS (
                     SELECT doc_id,
                            'host-' || source || '.example.org' AS host,
-                           regexp_extract(source, '([0-9]+)', 1)::INT AS sn,
+                           try_cast(regexp_extract(source, '([0-9]+)', 1) AS INT) AS sn,
                            CASE WHEN doc_id % 9 = 0 THEN '/admin/public/y' || doc_id::VARCHAR
                                 WHEN doc_id % 3 = 0 THEN '/admin/x' || doc_id::VARCHAR
                                 ELSE '/page/' || doc_id::VARCHAR END AS path
@@ -3368,18 +3415,23 @@ def oracle_sql() -> dict[str, str]:
                            md5(regexp_replace(lower(trim(text || ' updated')), '\\s+', ' ', 'g')) AS fp_upd
                     FROM documents
                 ),
-                o AS (SELECT url, fp AS old_fp FROM pg),
+                -- presence rides its own flag: a NULL-text page's NULL
+                -- fingerprint must not read as row-absence ('added'), and
+                -- NULL-vs-NULL digests compare null-safely ('unchanged')
+                -- — mirroring delta.crawl_delta's presence columns
+                o AS (SELECT url, fp AS old_fp, 1 AS o_present FROM pg),
                 n AS (
-                    SELECT url, CASE WHEN doc_id % 7 = 0 THEN fp_upd ELSE fp END AS new_fp
+                    SELECT url, CASE WHEN doc_id % 7 = 0 THEN fp_upd ELSE fp END AS new_fp,
+                           1 AS n_present
                     FROM pg WHERE doc_id % 10 != 0
                     UNION ALL
-                    SELECT 'https://host-' || source || '.example.org/p/new' || doc_id::VARCHAR, fp
+                    SELECT 'https://host-' || source || '.example.org/p/new' || doc_id::VARCHAR, fp, 1
                     FROM pg WHERE doc_id % 13 = 0
                 )
                 SELECT coalesce(o.url, n.url) AS url,
-                       CASE WHEN o.old_fp IS NULL THEN 'added'
-                            WHEN n.new_fp IS NULL THEN 'removed'
-                            WHEN o.old_fp = n.new_fp THEN 'unchanged'
+                       CASE WHEN o.o_present IS NULL THEN 'added'
+                            WHEN n.n_present IS NULL THEN 'removed'
+                            WHEN o.old_fp IS NOT DISTINCT FROM n.new_fp THEN 'unchanged'
                             ELSE 'changed' END AS status
                 FROM o FULL OUTER JOIN n ON o.url = n.url
             )
@@ -3446,7 +3498,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": f"""
             WITH base AS (
                 SELECT doc_id, text,
-                       len(regexp_extract_all(text, '\\b[\\w-]+\\b'))::BIGINT AS n_words,
+                       len(regexp_extract_all(text, '[A-Za-z0-9_](?:[A-Za-z0-9_-]*[A-Za-z0-9_])?'))::BIGINT AS n_words,
                        length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
                        len(regexp_extract_all(text, '#|\\.\\.\\.|{_ell}')) AS syms,
                        string_split(text, chr(10)) AS lines,
@@ -3836,7 +3888,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT host, count(*)::BIGINT AS n_docs,
                        round(avg(round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
                                        / length(text)::DOUBLE, 6)), 6) AS mean_score,
-                       round(avg((len(regexp_extract_all(text, '\\b[\\w-]+\\b')) >= 30)::INT::DOUBLE), 6) AS pass_frac
+                       round(avg((len(regexp_extract_all(text, '[A-Za-z0-9_](?:[A-Za-z0-9_-]*[A-Za-z0-9_])?')) >= 30)::INT::DOUBLE), 6) AS pass_frac
                 FROM d GROUP BY host
             )
         """,
@@ -4013,17 +4065,30 @@ def oracle_sql() -> dict[str, str]:
                        NULL::VARCHAR AS text
                 FROM d GROUP BY 2
             ),
+            -- REPLAY the construction (concat_ws skips NULL text in both
+            -- engines) and the regex re-split: hardcoded idx 0..3 rows
+            -- drift as soon as a document's own text contains blank lines
+            -- (the blank-line regex split then yields more paragraphs) or is NULL
+            -- (every index shifts down one)
+            bodies AS (
+                SELECT doc_id AS id,
+                       concat_ws(chr(10) || chr(10),
+                           text,
+                           'Subscribe to our newsletter for updates.',
+                           CASE WHEN doc_id % 3 = 0
+                                THEN 'Copyright 2024 Example Org. All rights reserved.'
+                                ELSE 'Unique closing ' || doc_id::VARCHAR END,
+                           CASE WHEN doc_id % 5 = 0
+                                THEN '   ' ELSE 'tail ' || doc_id::VARCHAR END
+                       ) AS body
+                FROM documents
+            ),
+            parts AS (
+                SELECT id, string_split_regex(body, '\\n\\n+') AS ps FROM bodies
+            ),
             paras AS (
-                SELECT doc_id AS id, 0 AS idx, text AS para FROM documents
-                UNION ALL
-                SELECT doc_id, 1, 'Subscribe to our newsletter for updates.' FROM documents
-                UNION ALL
-                SELECT doc_id, 2, CASE WHEN doc_id % 3 = 0
-                       THEN 'Copyright 2024 Example Org. All rights reserved.'
-                       ELSE 'Unique closing ' || doc_id::VARCHAR END FROM documents
-                UNION ALL
-                SELECT doc_id, 3, CASE WHEN doc_id % 5 = 0
-                       THEN '   ' ELSE 'tail ' || doc_id::VARCHAR END FROM documents
+                SELECT id, (g.i - 1)::INT AS idx, ps[g.i] AS para
+                FROM parts, unnest(generate_series(1, len(ps)::BIGINT)) AS g(i)
             ),
             ranked AS (
                 SELECT id, idx, para,
@@ -4055,22 +4120,27 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT * FROM para_tab
             UNION ALL SELECT * FROM rebuilt
             UNION ALL
-            SELECT 'incr', md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
-                   doc_id, NULL::BIGINT, NULL::BIGINT, NULL::VARCHAR
-            FROM documents
-            WHERE md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) NOT IN (
-                SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
-                FROM documents WHERE doc_id % 3 = 0
+            -- NOT EXISTS, not NOT IN: a NULL fingerprint in the history
+            -- (NULL-text doc) three-values NOT IN to zero rows, while the
+            -- Spark side's left_anti keeps every non-matching row
+            SELECT 'incr', n.f, n.doc_id, NULL::BIGINT, NULL::BIGINT, NULL::VARCHAR
+            FROM (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+                  FROM documents) n
+            WHERE NOT EXISTS (
+                SELECT 1 FROM documents h
+                WHERE h.doc_id % 3 = 0
+                  AND md5(regexp_replace(lower(trim(h.text)), '\\s+', ' ', 'g')) = n.f
             )
             UNION ALL
             -- bloom variant: exact-by-construction (sketch-then-verify),
             -- so the oracle is the identical anti-join
-            SELECT 'bloom', md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
-                   doc_id, NULL::BIGINT, NULL::BIGINT, NULL::VARCHAR
-            FROM documents
-            WHERE md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) NOT IN (
-                SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
-                FROM documents WHERE doc_id % 3 = 0
+            SELECT 'bloom', n.f, n.doc_id, NULL::BIGINT, NULL::BIGINT, NULL::VARCHAR
+            FROM (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+                  FROM documents) n
+            WHERE NOT EXISTS (
+                SELECT 1 FROM documents h
+                WHERE h.doc_id % 3 = 0
+                  AND md5(regexp_replace(lower(trim(h.text)), '\\s+', ' ', 'g')) = n.f
             )
             UNION ALL
             -- mh_incr variant: near-dup-against-history — replay the
@@ -4083,7 +4153,7 @@ def oracle_sql() -> dict[str, str]:
                 WITH dd AS ({_DOCS_WITH_DUPES_SQL}),
                 sh2 AS (SELECT doc_id AS id, doc_id % 3 = 0 AS is_hist,
                                list_distinct(list_transform({shingles}, s -> substr(md5(s), 1, 8))) AS sh
-                        FROM dd),
+                        FROM dd WHERE regexp_matches(text, '\\S')),  -- _shingleable guard
                 sig2 AS (SELECT id, is_hist, [{minhash}] AS mh FROM sh2),
                 banded2 AS (SELECT id, is_hist, unnest([{bands}]) AS bucket FROM sig2)
                 SELECT DISTINCT n.id
@@ -4096,7 +4166,7 @@ def oracle_sql() -> dict[str, str]:
             WITH d AS ({_DOCS_WITH_DUPES_SQL}),
             sh AS (SELECT doc_id AS id,
                           list_distinct(list_transform({shingles}, s -> substr(md5(s), 1, 8))) AS sh
-                   FROM d),
+                   FROM d WHERE regexp_matches(text, '\\S')),  -- _shingleable guard
             sizes AS (SELECT id, len(sh) AS n_sh FROM sh),
             ex AS (SELECT id, unnest(sh) AS shingle FROM sh),
             keep AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 1000),
@@ -4149,8 +4219,8 @@ def oracle_sql() -> dict[str, str]:
             {_kmeans_sql(8, 2, src="sd_base")},
             sd_scored AS (
                 SELECT e.vec_id AS id, e.v, c.cell,
-                       round(list_cosine_similarity(e.v, c.cvec), 6) AS sim
-                FROM e CROSS JOIN c2 c
+                       round({_cos_sql('e.v', 'c.cvec')}, 6) AS sim
+                FROM e CROSS JOIN c2 c WHERE e.v IS NOT NULL
             ),
             sd_assigned AS (
                 SELECT id, v, cell, sim AS centroid_sim FROM (
@@ -4163,7 +4233,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT a.id AS id_a, b.id AS id_b
                 FROM sd_assigned a JOIN sd_assigned b
                   ON a.cell = b.cell AND a.id < b.id
-                WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.999
+                WHERE round({_cos_sql('a.v', 'b.v')}, 6) >= 0.999
             ),
             sd_edges AS (
                 SELECT id_a AS a2, id_b AS b2 FROM sd_pairs
@@ -4203,7 +4273,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'brute' AS method, vec_id::BIGINT AS hit_id, cosine_sim AS score FROM (
                 WITH e AS (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS v FROM embeddings),
                 q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
-                SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS cosine_sim
+                SELECT vec_id, round({_cos_sql('v', 'qv')}, 6) AS cosine_sim
                 FROM e, q WHERE vec_id != 0
                 ORDER BY cosine_sim DESC, vec_id LIMIT 10
             )
@@ -4230,7 +4300,7 @@ def oracle_sql() -> dict[str, str]:
                     xor(qbucket, 64), xor(qbucket, 128)]) AS probe
                 FROM q
                 )
-                SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS cosine_sim
+                SELECT vec_id, round({_cos_sql('v', 'qv')}, 6) AS cosine_sim
                 FROM e, probes WHERE vec_id != 0 AND bucket = probe
                 ORDER BY cosine_sim DESC, vec_id LIMIT 10
             )
@@ -4239,8 +4309,8 @@ def oracle_sql() -> dict[str, str]:
                 WITH {_kmeans_sql(8, 2)},
                 scored AS (
                     SELECT e.vec_id AS id, e.v, c.cell,
-                           round(list_cosine_similarity(e.v, c.cvec), 6) AS sim
-                    FROM e CROSS JOIN c2 c
+                           round({_cos_sql('e.v', 'c.cvec')}, 6) AS sim
+                    FROM e CROSS JOIN c2 c WHERE e.v IS NOT NULL
                 ),
                 assigned AS (
                     SELECT id, v, cell FROM (
@@ -4250,7 +4320,7 @@ def oracle_sql() -> dict[str, str]:
                     ) WHERE rn = 1
                 ),
                 q AS (SELECT v AS qvec, cell AS qcell FROM assigned WHERE id = 0)
-                SELECT id AS vec_id, round(list_cosine_similarity(v, qvec), 6) AS cosine_sim
+                SELECT id AS vec_id, round({_cos_sql('v', 'qvec')}, 6) AS cosine_sim
                 FROM assigned, q WHERE id != 0 AND cell = qcell
                 ORDER BY cosine_sim DESC, vec_id LIMIT 10
             )
@@ -4286,12 +4356,12 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY score DESC, doc_id LIMIT 10
             )
         """,
-        "knn_join": """
+        "knn_join": f"""
             WITH e AS (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS v FROM embeddings),
             q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 4),
             s AS (
                 SELECT q.q_id, e.vec_id,
-                       round(list_cosine_similarity(e.v, q.qv), 6) AS cosine_sim
+                       round({_cos_sql('e.v', 'q.qv')}, 6) AS cosine_sim
                 FROM e CROSS JOIN q WHERE e.vec_id != q.q_id
             )
             SELECT q_id, vec_id, cosine_sim FROM (
@@ -4755,6 +4825,10 @@ def oracle_sql() -> dict[str, str]:
                    least(128, octet_length(encode(text)) - (g.i - 1) * 128)::BIGINT AS frame_bytes
             FROM documents,
                  unnest(generate_series(1, greatest(ceil(octet_length(encode(text)) / 128.0)::BIGINT, 1))) AS g(i)
+            -- NULL text must emit NO frames (Spark's NULL payload -> no
+            -- rows); without this, DuckDB's NULL-ignoring greatest/least
+            -- fabricate one phantom 128-byte frame per NULL doc
+            WHERE text IS NOT NULL
         """,
         "ocr_lines": f"""
             WITH {_BLOCKS_SQL},

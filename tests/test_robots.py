@@ -376,3 +376,32 @@ def test_verdicts_wildcard_and_anchor_rules(spark):
         1: False, 2: True, 3: True, 4: False, 5: False,
         6: True, 7: False, 8: True, 9: False, 10: True,
     }
+
+
+def test_parse_robots_null_host_row_dropped(spark):
+    """A NULL-host row (malformed crawl record) must not flow into the
+    non-nullable rules schema — the Arrow writer NPEs on the schema lie
+    and kills the task. NULL hosts can never match the verdict equijoin,
+    so the parser drops them; other hosts' rules are unaffected."""
+    from pyspark.sql import functions as F
+
+    from textractssmlprocessor_spark.operators.robots import (
+        parse_robots,
+        robots_verdicts,
+    )
+
+    tbl = spark.createDataFrame(
+        [(None, "User-agent: *\nDisallow: /x\n"),
+         ("h.example.org", "User-agent: *\nDisallow: /blocked\n")],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots(tbl)
+    rows = rules.collect()
+    assert {r["host"] for r in rows} == {"h.example.org"}
+
+    urls = spark.createDataFrame(
+        [(1, "https://h.example.org/blocked/p"), (2, None)],
+        "doc_id bigint, url string",
+    )
+    out = robots_verdicts(urls, rules).toPandas()
+    assert len(out) == 2  # NULL url row survives as allowed (no host match)

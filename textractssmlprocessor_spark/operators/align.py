@@ -91,18 +91,26 @@ def _format_time_col(seconds) -> F.Column:
     minutes = F.floor((total % 3600) / 60)
     secs = F.floor(total % 60)
     millis = F.floor((total % 1) * 1000)
-    return F.format_string("%02d:%02d:%02d,%03d", hours, minutes, secs, millis)
+    # NULL must propagate: format_string renders a NULL arg as the literal
+    # string 'null' ("null:null:null,null"), silently corrupting timestamps
+    return F.when(
+        total.isNull(), F.lit(None).cast("string")
+    ).otherwise(
+        F.format_string("%02d:%02d:%02d,%03d", hours, minutes, secs, millis)
+    )
 
 
 def _format_time_ms_col(ms) -> F.Column:
     """HH:MM:SS,mmm from INTEGER milliseconds — exact (no float truncation),
     for timestamps that originated as ,mmm text (parse_srt roundtrips)."""
-    return F.format_string(
-        "%02d:%02d:%02d,%03d",
-        F.floor(ms / 3600000),
-        F.floor((ms % 3600000) / 60000),
-        F.floor((ms % 60000) / 1000),
-        ms % 1000,
+    return F.when(ms.isNull(), F.lit(None).cast("string")).otherwise(
+        F.format_string(
+            "%02d:%02d:%02d,%03d",
+            F.floor(ms / 3600000),
+            F.floor((ms % 3600000) / 60000),
+            F.floor((ms % 60000) / 1000),
+            ms % 1000,
+        )
     )
 
 

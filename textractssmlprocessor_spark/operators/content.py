@@ -189,11 +189,18 @@ def c4_line_columns(col: Column, min_words: int = 3) -> dict[str, Column]:
     )
     text = F.array_join(kept, "\n")
     n_sent = F.size(F.regexp_extract_all(text, F.lit("[.!?]"), F.lit(0)))
-    keep = (
-        (n_sent >= 5)
-        & ~F.lower(col).contains("lorem ipsum")
-        & ~col.contains("{")
-    ).cast("bigint")
+    # coalesce: a VERDICT must be total — NULL text three-values the
+    # conjunction to NULL, but "no document" is "not kept" (0), exactly
+    # what the oracle's CASE WHEN ... ELSE 0 emits (curate_corpus'
+    # quality-gate rule, applied here)
+    keep = F.coalesce(
+        (
+            (n_sent >= 5)
+            & ~F.lower(col).contains("lorem ipsum")
+            & ~col.contains("{")
+        ).cast("bigint"),
+        F.lit(0),
+    )
     return {
         "c4_text": text,
         "c4_n_lines_kept": F.size(kept).cast("bigint"),

@@ -1153,7 +1153,13 @@ def media_metadata(
                         else (media_type if p is not None else None)
                         for d, a, p in zip(dims, auds, payloads)
                     ],
-                    "n_bytes": [len(p) if p is not None else 0 for p in payloads],
+                    # NULL payload -> NULL n_bytes: "no media" is not a
+                    # zero-byte media object (media_type/content_hash are
+                    # already NULL on this row; 0 here was the one
+                    # inconsistent field)
+                    "n_bytes": [
+                        len(p) if p is not None else None for p in payloads
+                    ],
                     "content_hash": [
                         hashlib.md5(bytes(p)).hexdigest() if p is not None else None
                         for p in payloads

@@ -100,6 +100,11 @@ def parse_robots(
         for pdf in batches:
             hosts, rules_, paths = [], [], []
             for host, text in zip(pdf[host_col], pdf[text_col]):
+                if host is None:
+                    # a NULL host can never match the verdict equijoin, and
+                    # emitting it would break the non-nullable output schema
+                    # (Arrow NPEs on the schema lie) — drop the dead row
+                    continue
                 for rule, path in _parse_robots_txt(
                     text if text is not None else "", agent
                 ):

@@ -206,7 +206,12 @@ def _assign_expr(
     sims = F.array(*[_sim(cvec) for _, cvec in cent_rows])
     cell_lits = F.array(*[F.lit(c) for c, _ in cent_rows])
     best_pos = F.array_position(sims, F.array_max(sims))  # 1-based first max
-    return F.element_at(cell_lits, best_pos.cast("int"))
+    # NULL vector -> NULL cell, explicitly: with all-NULL sims the
+    # max/position chain otherwise lands on the LAST cell (observed), so
+    # an un-embeddable row would silently join a real cell's pair set
+    return F.when(v.isNull(), F.lit(None).cast("int")).otherwise(
+        F.element_at(cell_lits, best_pos.cast("int"))
+    )
 
 
 def ivf_assign(

@@ -20,7 +20,14 @@ import re
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-WORD_RE = r"\b[\w-]+\b"
+# Column-layer word pattern, ENGINE-PORTABLE (no \b): Java's \b is
+# Unicode-aware while its \w is ASCII, so '\b[\w-]+\b' diverges from
+# RE2 (ASCII \b) next to non-ASCII letters. This boundary-free form —
+# word-char span with interior hyphens/underscores — yields the IDENTICAL
+# match set to the ASCII-\b reading in both engines (one match per
+# [\w-]+ run containing a word char, trimmed to its word-char ends).
+# Reference parity (Python re, Unicode \w) lives in _WORD_PY below.
+WORD_RE = r"[A-Za-z0-9_](?:[A-Za-z0-9_-]*[A-Za-z0-9_])?"
 
 # PRE-tokenizer (GPT-2-style match classes): letter runs, digit runs, or
 # single non-space symbols — identical semantics in Java regex (Spark)

@@ -32,10 +32,18 @@ def value_hash(df) -> tuple[int, list, str]:
     for row in pdf.itertuples(index=False):
         cells = []
         for v in row:
-            if isinstance(v, float):
-                cells.append(f"{v:.6f}")
-            elif v is None or (isinstance(v, float) and v != v):
+            # NULL canonicalization FIRST: pandas renders a NULL-bearing
+            # int/bool column as float NaN on one engine and object None
+            # on the other (dtype-dependent), so NaN/None/pd.NA must all
+            # hash identically or a NULL cell reads as an engine diff.
+            # (The DRIVER's comparator is stricter — contract outputs on
+            # the testdata corpora must still never carry NULL numeric/
+            # boolean cells, per the CLAUDE.md invariant; this helper is
+            # also used on fuzz corpora where NULL outputs are legal.)
+            if v is None or v is pd.NA or (isinstance(v, float) and v != v):
                 cells.append("NULL")
+            elif isinstance(v, float):
+                cells.append(f"{v:.6f}")
             else:
                 cells.append(str(v))
         rows.append("|".join(cells))

@@ -267,3 +267,17 @@ def test_nested_em_matches_bs4_detach_semantics():
     serialize '<em>ab</em>c' -> bare-wrapper strip -> '<speak>abc</speak>'."""
     out = convert_html_to_ssml("<em>a<em>b</em></em>c<strong>d</strong>")
     assert out == "<speak>abc</speak>"
+
+
+def test_em_inside_h4_is_detached_not_fatal():
+    """<h4><em>…</em></h4> — the single most common heading shape: the h4
+    loop's set_string detaches the inner <em> BEFORE the em loop reaches
+    it (bs4 clear() extraction), so the em's own mutation lands off-tree
+    and the output equals the em-less heading byte-for-byte."""
+    with_em = convert_html_to_ssml("<h4><em>Chapter</em></h4><p>Body.</p>")
+    without = convert_html_to_ssml("<h4>Chapter</h4><p>Body.</p>")
+    assert with_em == without
+    assert with_em == (
+        "<speak>&lt;break time='500ms'/&gt;Chapter"
+        "&lt;break time='2s'/&gt;Body.</speak>"
+    )

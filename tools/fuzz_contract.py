@@ -56,6 +56,10 @@ ASCII_BITS = [
     "   ",
     "\n\n\n",
     "line one\nline one\nline two\n",
+    "crlf one.\r\ncrlf two.\r\n",        # CRLF endings (c4 '\r+$' strip)
+    "supercalifragilistic" * 40,         # one 800-char token, no spaces
+    "ALL CAPS TITLE LINE\nbody text follows here.",
+    "- bullet one\n- bullet two\n* bullet three",
 ]
 
 

@@ -2901,8 +2901,11 @@ def oracle_sql() -> dict[str, str]:
                 )
             ),
             lcounts AS (
+                -- lang IS NOT NULL mirrors train_langid_nb's unlabeled-row
+                -- drop (a NULL label must not mint a class)
                 SELECT lang, cell, count(*)::BIGINT AS c
-                FROM lcells WHERE doc_id % 2 = 0 GROUP BY 1, 2
+                FROM lcells WHERE doc_id % 2 = 0 AND lang IS NOT NULL
+                GROUP BY 1, 2
             ),
             ltot AS (SELECT lang, sum(c)::DOUBLE AS n_lang FROM lcounts GROUP BY 1),
             lw AS (
@@ -2911,7 +2914,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             ldocs AS (
                 SELECT lang, count(*)::DOUBLE AS n_docs
-                FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+                FROM documents WHERE doc_id % 2 = 0 AND lang IS NOT NULL
+                GROUP BY 1
             ),
             lstats AS (
                 SELECT d.lang,

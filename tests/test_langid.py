@@ -135,6 +135,56 @@ def test_deterministic_tiebreak(spark):
     assert row["lang_model_margin"] == 0.0
 
 
+def test_null_labels_do_not_train_a_class(spark, corpus):
+    """Unlabeled (NULL-lang) rows are dropped before fitting: a NULL
+    class would score prior-only, never match a weight row, and flip
+    zero-feature ties between Spark (NULLS FIRST asc) and ANSI/DuckDB
+    (NULLS LAST) — the divergence fuzz seed 4 caught on an equal-priors
+    corpus. Flooding training with unlabeled rows must change NOTHING."""
+    from textractssmlprocessor_spark.operators.langid import (
+        langid_scores,
+        train_langid_nb,
+    )
+
+    labeled = corpus.filter(F.col("doc_id") % 2 == 0)
+    flooded = labeled.unionByName(
+        corpus.select(
+            (F.col("doc_id") + 50000).alias("doc_id"),
+            "text",
+            F.lit(None).cast("string").alias("lang"),
+        )
+    )
+    w_a, s_a = train_langid_nb(labeled, buckets=512)
+    w_b, s_b = train_langid_nb(flooded, buckets=512)
+    assert s_b.filter(F.col("lang").isNull()).count() == 0
+    assert sorted(map(tuple, s_a.collect())) == sorted(map(tuple, s_b.collect()))
+    # zero-gram docs tie across classes on a balanced corpus; the argmax
+    # must be a REAL language in every case, never NULL
+    probe = spark.createDataFrame([(1, ""), (2, None)], "doc_id bigint, text string")
+    for r in langid_scores(probe, w_b, s_b, buckets=512).collect():
+        assert r["lang_model_pred"] is not None
+
+
+def test_all_null_labels_degrade_to_empty_model(spark):
+    """A corpus with NO labeled rows fits zero classes: stats/weights are
+    empty, scoring yields zero rows (the degenerate-input invariant), and
+    materialization round-trips the empty tables without error."""
+    from textractssmlprocessor_spark.operators.langid import (
+        langid_scores,
+        materialize_langid_model,
+        train_langid_nb,
+    )
+
+    unlabeled = spark.createDataFrame(
+        [(1, "some text", None), (2, None, None)],
+        "doc_id bigint, text string, lang string",
+    )
+    weights, stats = train_langid_nb(unlabeled, buckets=256)
+    assert weights.count() == 0 and stats.count() == 0
+    w_l, s_l = materialize_langid_model(weights, stats)
+    assert langid_scores(unlabeled, w_l, s_l, buckets=256).count() == 0
+
+
 def test_materialized_model_replays_identically(spark, corpus):
     from textractssmlprocessor_spark.operators.langid import (
         langid_scores,

@@ -114,7 +114,16 @@ def train_langid_nb(
     - ``lang_stats``: (lang, default_w, log_prior) where default_w is the
       unseen-cell log-likelihood ln(alpha / (n_lang + alpha*B)) and
       log_prior = ln(docs_lang / docs_total), both rounded to 6.
+
+    Rows with a NULL ``label_col`` are dropped before fitting: unlabeled
+    data cannot train a supervised class, and keeping them would mint a
+    NULL "language" that scores prior-only, never matches a weight row,
+    and wins zero-feature ties under Spark's NULLS-FIRST ascending sort
+    while losing them under DuckDB/ANSI NULLS-LAST — the engine
+    divergence the differential fuzz gate caught on an equal-priors
+    corpus (tools/fuzz_contract.py seed 4).
     """
+    labeled = labeled.where(F.col(label_col).isNotNull())
     cells = char_gram_cells(
         labeled, id_col, text_col, n, buckets, extra_cols=(label_col,)
     )
@@ -210,8 +219,14 @@ def langid_scores(
         ).alias("score"),
     )
     # n_langs rows per document — the window partitions by id, so there is
-    # no hot key at any corpus size.
-    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("lang"))
+    # no hot key at any corpus size. Tie-break pins NULLS LAST explicitly:
+    # Spark's bare asc() is NULLS FIRST, DuckDB/ANSI default is NULLS
+    # LAST, so a NULL class label (impossible from train_langid_nb, but
+    # possible from a hand-built model table) must not flip the argmax
+    # between engines.
+    w = Window.partitionBy("id").orderBy(
+        F.desc("score"), F.asc_nulls_last("lang")
+    )
     ranked = scored.select(
         "id", "lang", "score", "n_grams", F.row_number().over(w).alias("rn")
     ).filter(F.col("rn") <= 2)

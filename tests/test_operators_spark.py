@@ -2654,3 +2654,31 @@ def test_crawl_delta_null_text_is_presence_not_absence(spark):
         "u4": "unchanged",  # NULL -> NULL: identically absent content
         "u5": "added",
     }
+
+
+def test_synchronized_texts_null_discipline(spark):
+    """ANSI string_agg semantics (fuzz seed 6): NULL chunks drop from the
+    join; a project whose chunks are ALL NULL yields NULL documents, not
+    '' — distinct from a project whose one chunk is the empty string."""
+    from textractssmlprocessor_spark.operators.extract import (
+        synchronized_texts,
+    )
+
+    chunks = spark.createDataFrame(
+        [
+            ("mixed", 1, "a", "<speak>a</speak>"),
+            ("mixed", 2, None, None),
+            ("mixed", 3, "c", "<speak>c</speak>"),
+            ("allnull", 1, None, None),
+            ("allnull", 2, None, None),
+            ("empty", 1, "", "<speak></speak>"),
+        ],
+        "url string, chunk_number int, extracted_text string, ssml string",
+    )
+    rows = {r["url"]: r for r in synchronized_texts(chunks).collect()}
+    assert rows["mixed"]["original_text"] == "a\n\nc"
+    assert rows["mixed"]["translated_text"] == "<speak>a</speak>\n\n<speak>c</speak>"
+    assert rows["allnull"]["original_text"] is None
+    assert rows["allnull"]["translated_text"] is None
+    assert rows["empty"]["original_text"] == ""
+    assert rows["empty"]["translated_text"] == "<speak></speak>"

@@ -27,7 +27,7 @@ Scale properties (the parts that must survive 1000 executors / 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .udfs import clean_document_udf, clean_plaintext_udf
@@ -123,20 +123,27 @@ def synchronized_texts(
     The reference reads its JSONL translation log; in this engine the chunk
     table IS the log (original=extracted_text, translated=ssml — the T14
     write side), so the read-back is one groupBy with order-stable array
-    concat (collect_list alone has no post-shuffle order guarantee)."""
+    concat (collect_list alone has no post-shuffle order guarantee).
+
+    NULL discipline (ANSI string_agg semantics, fuzz seed 6): NULL chunks
+    are skipped from the join, and a project whose chunks are ALL NULL
+    yields a NULL document, not '' — Spark's bare array_join would render
+    "no content" and "empty content" identically, where every SQL engine's
+    string_agg keeps them distinct."""
     pair = F.struct(
         F.col(order_col).alias("i"),
         F.col(original_col).alias("o"),
         F.col(translated_col).alias("t"),
     )
     ordered = F.array_sort(F.collect_list(pair))
+
+    def _agg(field: str, src: str) -> Column:
+        joined = F.array_join(F.transform(ordered, lambda s: s[field]), "\n\n")
+        return F.when(F.count(F.col(src)) > 0, joined)
+
     return chunks.groupBy(project_col).agg(
-        F.array_join(F.transform(ordered, lambda s: s["o"]), "\n\n").alias(
-            "original_text"
-        ),
-        F.array_join(F.transform(ordered, lambda s: s["t"]), "\n\n").alias(
-            "translated_text"
-        ),
+        _agg("o", original_col).alias("original_text"),
+        _agg("t", translated_col).alias("translated_text"),
     )
 
 

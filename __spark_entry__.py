@@ -78,8 +78,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # ONE portable definition (textstats.WORD_RE docstring has the
 # Java-vs-RE2 \b rationale); the SQL twin below interpolates the same
 # string so the engines can never drift
-from textractssmlprocessor_spark.operators.textstats import WORD_RE
-BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+from textractssmlprocessor_spark.operators.textstats import PRETOK_RE, WORD_RE
+BPE_RE = PRETOK_RE
 
 
 def q_doc_stats(spark, sf_dir):
@@ -165,8 +165,16 @@ def q_text_profile(spark, sf_dir):
 
     d = _docs(spark, sf_dir)
     # NFD seed: e + COMBINING ACUTE (U+0301), i + COMBINING DIAERESIS
-    # (U+0308) - NFC must compose both; the ASCII tail passes unchanged
-    nfd_seed = F.concat(F.lit(NFD_SAMPLE), F.substring("text", 1, 16))
+    # (U+0308) - NFC must compose both; the ASCII tail passes unchanged.
+    # NUL is stripped from the tail in BOTH engines: DuckDB's
+    # nfc_normalize truncates at an embedded \x00 (C-string semantics)
+    # where Python's unicodedata keeps it — NUL-safety of the Spark op
+    # itself is pinned by test_hostile_fuzz, so the probe input stays
+    # NUL-free (fuzz seed 17).
+    nfd_seed = F.concat(
+        F.lit(NFD_SAMPLE),
+        F.regexp_replace(F.substring("text", 1, 16), r"\x00", ""),
+    )
     moji_seed = F.when(
         F.col("doc_id") % 3 == 0, F.lit(MOJIBAKE_SAMPLE)
     ).otherwise(F.substring("text", 1, 8))
@@ -216,7 +224,7 @@ def q_text_profile(spark, sf_dir):
         F.round(F.try_divide(alpha, words.cast("double")), 6).alias("mean_word_len"),
         words.cast("bigint").alias("n_words"),
         lang_id(F.col("text")).alias("lang_pred"),
-        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias(
+        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"[ \t\n\x0b\f\r]+", " ")).alias(
             "fingerprint"
         ),
         "nfc_text",
@@ -1291,15 +1299,15 @@ def q_cleaning_suite(spark, sf_dir):
         lambda x: ~(
             (F.upper(x) == x)
             & (F.lower(x) != x)
-            & (F.size(F.filter(F.split(x, r"\s+", -1), lambda w: w != "")) < 5)
+            & (F.size(F.filter(F.split(x, r"[ \t\n\x0b\f\r]+", -1), lambda w: w != "")) < 5)
         ),
     )
     # F3+F4: nested [Note:]s, empty tags, then stray brackets
     note_re = r"(?si)\[Note:(?:[^\[\]]|\[(?:[^\[\]]|\[(?:[^\[\]]|\[[^\[\]]*\])*\])*\])*\]"
     tn = F.regexp_replace("tn", note_re, "")
-    tn = F.regexp_replace(tn, r"<p>\s*</p>", "")
-    tn = F.regexp_replace(tn, r"<br>\s*", "")
-    tn = F.regexp_replace(tn, r"<small>\s*</small>", "")
+    tn = F.regexp_replace(tn, r"<p>[ \t\n\x0b\f\r]*</p>", "")
+    tn = F.regexp_replace(tn, r"<br>[ \t\n\x0b\f\r]*", "")
+    tn = F.regexp_replace(tn, r"<small>[ \t\n\x0b\f\r]*</small>", "")
     tn = F.regexp_replace(tn, r"(?s)\[.*?\]", "")
     # F5: strip tags, squeeze spaces, drop blank lines
     tc = F.regexp_replace("tc", r"<[^>]+>", "")
@@ -1385,7 +1393,7 @@ def q_punctuation_rule(spark, sf_dir):
         .otherwise(F.concat(F.lit("<speak>"), F.col("text"), F.lit("</speak>")))
         .alias("ssml"),
     )
-    matches = F.regexp_extract_all("ssml", F.lit(r"(</?[^>]+>)\s*([.,:;])"), F.lit(0))
+    matches = F.regexp_extract_all("ssml", F.lit(r"(</?[^>]+>)[ \t\n\x0b\f\r]*([.,:;])"), F.lit(0))
     out = d.select("doc_id", F.explode(matches).alias("m"))
     out = out.withColumn("tag", F.regexp_extract("m", r"^(</?[^>]+>)", 1)).filter(
         ~F.col("tag").isin("<phoneme>", "</phoneme>", "<lang>", "</lang>")
@@ -1418,7 +1426,7 @@ def q_translation_ratio(spark, sf_dir):
         .alias("ssml"),
     )
     clean_en = F.regexp_replace(
-        F.regexp_replace("ssml", r"(?s)<\s*sub\s+[^>]*>.*?</\s*sub\s*>", ""),
+        F.regexp_replace("ssml", r"(?s)<[ \t\n\x0b\f\r]*sub[ \t\n\x0b\f\r]+[^>]*>.*?</[ \t\n\x0b\f\r]*sub[ \t\n\x0b\f\r]*>", ""),
         r"<[^>]+>", "",
     )
     lw = F.size(F.regexp_extract_all("latin", F.lit(WORD_RE), F.lit(0)))
@@ -1579,8 +1587,8 @@ def q_display_titles(spark, sf_dir):
     )
     pieces = F.filter(F.split("ssml", r"<[^>]+>", -1), lambda p: p != "")
     disp = F.array_join(pieces, "\n")
-    disp = F.regexp_replace(disp, r"(?s)\n\s*\n", "\n\n")
-    disp = F.regexp_replace(disp, r"(?s)(\n\s*){2,}", "\n\n")
+    disp = F.regexp_replace(disp, r"(?s)\n[ \t\n\x0b\f\r]*\n", "\n\n")
+    disp = F.regexp_replace(disp, r"(?s)(\n[ \t\n\x0b\f\r]*){2,}", "\n\n")
     lines = F.transform(F.split("t", "\n", -1), lambda x: F.trim(x))
     is_title = lambda x: (F.upper(x) == x) & (F.lower(x) != x) & (x != "")  # noqa: E731
     # position of first non-title line = length of the leading title run
@@ -2455,7 +2463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _WORD_RE_SQL = WORD_RE  # same pattern string; quote/backslash-free
-_BPE_RE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_BPE_RE_SQL = BPE_RE  # identical escape text parses the same in Java + RE2
 
 
 def _url_suspect_re_sql() -> str:
@@ -2719,8 +2727,8 @@ def oracle_sql() -> dict[str, str]:
 
     shingles = (
         "list_distinct(list_transform("
-        "generate_series(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 2, 1)), "
-        "i -> array_to_string(string_split_regex(trim(lower(text)), '\\s+')[i:i+2], ' ')))"
+        "generate_series(1, greatest(len(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')) - 2, 1)), "
+        "i -> array_to_string(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')[i:i+2], ' ')))"
     )
 
     minhash = ", ".join(
@@ -2886,7 +2894,7 @@ def oracle_sql() -> dict[str, str]:
             -- with (score desc, lang) tie-break
             lnorm AS (
                 SELECT doc_id, lang,
-                       regexp_replace(lower(text), '\\s+', ' ', 'g') AS s
+                       regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS s
                 FROM documents
             ),
             lcells AS (
@@ -2961,8 +2969,8 @@ def oracle_sql() -> dict[str, str]:
                          / len(regexp_extract_all(text, '{_WORD_RE_SQL}'))::DOUBLE, 6) AS mean_word_len,
                    len(regexp_extract_all(text, '{_WORD_RE_SQL}'))::BIGINT AS n_words,
                    substr(list_min([{lang_keys}]), 7, 2) AS lang_pred,
-                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
-                   nfc_normalize({_nfd_sql} || substr(text, 1, 16)) AS nfc_text,
+                   md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fingerprint,
+                   nfc_normalize({_nfd_sql} || regexp_replace(substr(text, 1, 16), '\\x00', '', 'g')) AS nfc_text,
                    (CASE WHEN doc_id % 3 = 0
                          THEN len(regexp_extract_all({_moji_sql}, {_moji_re_sql}))
                          ELSE len(regexp_extract_all(substr(text, 1, 8), {_moji_re_sql}))
@@ -3118,7 +3126,7 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii": _redact_pii_sql(),
         "contamination": """
             WITH ws AS (
-                SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+                SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS w
                 FROM documents
             ),
             sh AS (
@@ -3136,7 +3144,7 @@ def oracle_sql() -> dict[str, str]:
             -- full 8-grams, corpus-duplicated hashes, first-occurrence
             -- exempt, gaps-and-islands span merge
             es_ws AS (
-                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+                SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS ws
                 FROM documents WHERE text IS NOT NULL
             ),
             es_grams AS (
@@ -3205,9 +3213,9 @@ def oracle_sql() -> dict[str, str]:
                        length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
                        len(regexp_extract_all(text, '#|\\.\\.\\.|{_ell}')) AS syms,
                        string_split(text, chr(10)) AS lines,
-                       string_split_regex(trim(text), '\\s+') AS ws,
+                       string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS ws,
                        ((CASE WHEN regexp_matches(lower(text), '\\bthe\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\band\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bof\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bto\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bin\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bis\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bthat\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bwith\\b') THEN 1 ELSE 0 END)) AS stops,
-                       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+                       md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fp
                 FROM d
             ),
             flags AS (
@@ -3415,8 +3423,8 @@ def oracle_sql() -> dict[str, str]:
                 WITH pg AS (
                     SELECT doc_id, source,
                            'https://host-' || source || '.example.org/p/' || doc_id::VARCHAR AS url,
-                           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
-                           md5(regexp_replace(lower(trim(text || ' updated')), '\\s+', ' ', 'g')) AS fp_upd
+                           md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fp,
+                           md5(regexp_replace(lower(trim(text || ' updated')), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fp_upd
                     FROM documents
                 ),
                 -- presence rides its own flag: a NULL-text page's NULL
@@ -3506,7 +3514,7 @@ def oracle_sql() -> dict[str, str]:
                        length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
                        len(regexp_extract_all(text, '#|\\.\\.\\.|{_ell}')) AS syms,
                        string_split(text, chr(10)) AS lines,
-                       list_filter(string_split_regex(trim(text), '\\s+'), w -> w != '') AS ws
+                       list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+'), w -> w != '') AS ws
                 FROM documents
             ),
             m AS (
@@ -3710,7 +3718,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        list_filter(list_transform(string_split(t, chr(10)), p -> trim(p)), p -> p != '') AS kl,
                        list_filter(list_transform(string_split_regex(t, '\\n{2,}'), p -> trim(p)), p -> p != '') AS kp,
-                       list_filter(string_split_regex(trim(lower(t)), '\\s+'), w -> w != '') AS ws
+                       list_filter(string_split_regex(trim(lower(t)), '[ \\t\\n\\x0b\\f\\r]+'), w -> w != '') AS ws
                 FROM d
             ),
             b AS (
@@ -3734,11 +3742,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM chc GROUP BY doc_id
             ),
             -- full Gopher battery replay (textstats.gopher_repetition):
-            -- words = non-empty \\s+ split of trim(lower(t));
+            -- words = non-empty ws-class split of trim(lower(t));
             -- total_chars = sum of word lengths (separators excluded)
             gw AS (
                 SELECT doc_id,
-                       list_filter(string_split_regex(trim(lower(t)), '\\s+'), w -> w != '') AS ws
+                       list_filter(string_split_regex(trim(lower(t)), '[ \\t\\n\\x0b\\f\\r]+'), w -> w != '') AS ws
                 FROM d
             ),
             gwords AS (
@@ -3913,8 +3921,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             m AS (
                 SELECT url,
-                       regexp_extract_all(html, '(?is)<a\\s[^>]*?href\\s*=\\s*["'']([^"'']*)["''][^>]*>(.*?)</a>', 1) AS hrefs,
-                       regexp_extract_all(html, '(?is)<a\\s[^>]*?href\\s*=\\s*["'']([^"'']*)["''][^>]*>(.*?)</a>', 2) AS anchors
+                       regexp_extract_all(html, '(?is)<a[ \\t\\n\\x0b\\f\\r][^>]*?href[ \\t\\n\\x0b\\f\\r]*=[ \\t\\n\\x0b\\f\\r]*["'']([^"'']*)["''][^>]*>(.*?)</a>', 1) AS hrefs,
+                       regexp_extract_all(html, '(?is)<a[ \\t\\n\\x0b\\f\\r][^>]*?href[ \\t\\n\\x0b\\f\\r]*=[ \\t\\n\\x0b\\f\\r]*["'']([^"'']*)["''][^>]*>(.*?)</a>', 2) AS anchors
                 FROM d
             ),
             links AS (
@@ -3944,13 +3952,13 @@ def oracle_sql() -> dict[str, str]:
             tcell AS (
                 SELECT url, tno, rno,
                        list_transform(regexp_extract_all(rh, '{TABLE_CELL_RE}', 1),
-                           c -> trim(regexp_replace(regexp_replace(c, '{_MC_TAG_RE}', ' ', 'g'), '\\s+', ' ', 'g'))) AS cells
+                           c -> trim(regexp_replace(regexp_replace(c, '{_MC_TAG_RE}', ' ', 'g'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS cells
                 FROM trw
             ),
             hd AS (
                 SELECT url, (g.i - 1)::BIGINT AS link_no,
                        regexp_extract(fr[g.i], '{HEADING_LEVEL_RE}', 1)::BIGINT AS n,
-                       trim(regexp_replace(regexp_replace(fr[g.i], '{_MC_TAG_RE}', ' ', 'g'), '\\s+', ' ', 'g')) AS anchor
+                       trim(regexp_replace(regexp_replace(fr[g.i], '{_MC_TAG_RE}', ' ', 'g'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS anchor
                 FROM hm, unnest(generate_series(1, len(fr))) AS g(i)
             ),
             {_pagerank_sql(iterations=3, damping=0.85)},
@@ -3997,10 +4005,10 @@ def oracle_sql() -> dict[str, str]:
                   FROM pages),
             ex AS (SELECT url, unnest(bl) AS raw, generate_subscripts(bl, 1) AS pos FROM b),
             f AS (SELECT url, pos,
-                         trim(regexp_replace(regexp_replace(raw, '{_MC_TAG_RE}', ' ', 'g'), '\\s+', ' ', 'g')) AS txt,
+                         trim(regexp_replace(regexp_replace(raw, '{_MC_TAG_RE}', ' ', 'g'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS txt,
                          coalesce(list_sum(list_transform(
                              regexp_extract_all(raw, '{_MC_ANCHOR_RE}', 1),
-                             a -> length(trim(regexp_replace(regexp_replace(a, '{_MC_TAG_RE}', ' ', 'g'), '\\s+', ' ', 'g'))))), 0) AS lc
+                             a -> length(trim(regexp_replace(regexp_replace(a, '{_MC_TAG_RE}', ' ', 'g'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))))), 0) AS lc
                   FROM ex),
             k AS (SELECT url, pos, txt FROM f
                   WHERE txt != '' AND len(string_split(txt, ' ')) >= 10
@@ -4036,7 +4044,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             pm AS (
                 SELECT url,
-                       nullif(trim(regexp_replace(regexp_extract(mh, '{PG_TITLE_RE}', 1), '\\s+', ' ', 'g')), '') AS pg_title,
+                       nullif(trim(regexp_replace(regexp_extract(mh, '{PG_TITLE_RE}', 1), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), '') AS pg_title,
                        coalesce(nullif(regexp_extract(mh, '{PG_DESC_NAME_FIRST_RE}', 1), ''),
                                 nullif(regexp_extract(mh, '{PG_DESC_CONTENT_FIRST_RE}', 1), '')) AS pg_description,
                        lower(nullif(regexp_extract(mh, '{PG_LANG_RE}', 1), '')) AS pg_lang,
@@ -4046,7 +4054,7 @@ def oracle_sql() -> dict[str, str]:
                        nullif(trim(regexp_replace(lower(coalesce(
                            nullif(regexp_extract(mh, '{PG_ROBOTS_NAME_FIRST_RE}', 1), ''),
                            nullif(regexp_extract(mh, '{PG_ROBOTS_CONTENT_FIRST_RE}', 1), ''),
-                           '')), '\\s*,\\s*', ',', 'g')), '') AS pg_robots
+                           '')), '[ \\t\\n\\x0b\\f\\r]*,[ \\t\\n\\x0b\\f\\r]*', ',', 'g')), '') AS pg_robots
                 FROM meta
             )
             SELECT t.url,
@@ -4062,7 +4070,7 @@ def oracle_sql() -> dict[str, str]:
             WITH d AS ({_DOCS_WITH_DUPES_SQL}),
             doc_tab AS (
                 SELECT 'doc' AS variant,
-                       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+                       md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fingerprint,
                        min(doc_id) AS keep_id,
                        NULL::BIGINT AS keep_idx,
                        count(*)::BIGINT AS n_dupes,
@@ -4096,10 +4104,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             ranked AS (
                 SELECT id, idx, para,
-                       md5(regexp_replace(lower(trim(para)), '\\s+', ' ', 'g')) AS f,
-                       row_number() OVER (PARTITION BY md5(regexp_replace(lower(trim(para)), '\\s+', ' ', 'g'))
+                       md5(regexp_replace(lower(trim(para)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS f,
+                       row_number() OVER (PARTITION BY md5(regexp_replace(lower(trim(para)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))
                                           ORDER BY id, idx) AS rn,
-                       count(*) OVER (PARTITION BY md5(regexp_replace(lower(trim(para)), '\\s+', ' ', 'g'))) AS cnt
+                       count(*) OVER (PARTITION BY md5(regexp_replace(lower(trim(para)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS cnt
                 FROM paras WHERE length(trim(para)) >= 1
             ),
             para_tab AS (
@@ -4128,23 +4136,23 @@ def oracle_sql() -> dict[str, str]:
             -- (NULL-text doc) three-values NOT IN to zero rows, while the
             -- Spark side's left_anti keeps every non-matching row
             SELECT 'incr', n.f, n.doc_id, NULL::BIGINT, NULL::BIGINT, NULL::VARCHAR
-            FROM (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+            FROM (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS f
                   FROM documents) n
             WHERE NOT EXISTS (
                 SELECT 1 FROM documents h
                 WHERE h.doc_id % 3 = 0
-                  AND md5(regexp_replace(lower(trim(h.text)), '\\s+', ' ', 'g')) = n.f
+                  AND md5(regexp_replace(lower(trim(h.text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) = n.f
             )
             UNION ALL
             -- bloom variant: exact-by-construction (sketch-then-verify),
             -- so the oracle is the identical anti-join
             SELECT 'bloom', n.f, n.doc_id, NULL::BIGINT, NULL::BIGINT, NULL::VARCHAR
-            FROM (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+            FROM (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS f
                   FROM documents) n
             WHERE NOT EXISTS (
                 SELECT 1 FROM documents h
                 WHERE h.doc_id % 3 = 0
-                  AND md5(regexp_replace(lower(trim(h.text)), '\\s+', ' ', 'g')) = n.f
+                  AND md5(regexp_replace(lower(trim(h.text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) = n.f
             )
             UNION ALL
             -- mh_incr variant: near-dup-against-history — replay the
@@ -4268,7 +4276,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_groups": f"""
             WITH d AS ({_DOCS_WITH_DUPES_SQL}),
-            w AS (SELECT doc_id AS id, list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS ws FROM d),
+            w AS (SELECT doc_id AS id, list_distinct(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS ws FROM d),
             h AS (SELECT id, ({simhash_bits})::BIGINT AS simhash FROM w)
             SELECT simhash, count(*)::BIGINT AS n_docs, min(id) AS min_id
             FROM h GROUP BY simhash HAVING count(*) > 1
@@ -4455,7 +4463,7 @@ def oracle_sql() -> dict[str, str]:
                            list_transform(string_split(tl, chr(10)),
                                x -> trim(regexp_replace(x, chr(13) || '+$', ''))),
                            x -> regexp_matches(x, '[.!?"'']$')
-                                AND len(list_filter(string_split_regex(x, '\\s+'), w -> w != '')) >= 3
+                                AND len(list_filter(string_split_regex(x, '[ \\t\\n\\x0b\\f\\r]+'), w -> w != '')) >= 3
                                 AND NOT contains(lower(x), 'javascript')) AS kept
                 FROM d
             )
@@ -4463,7 +4471,7 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(
                        list_filter(string_split(th, chr(10)),
                            x -> NOT (upper(x) = x AND lower(x) != x
-                                     AND len(list_filter(string_split_regex(x, '\\s+'), w -> w != '')) < 5)),
+                                     AND len(list_filter(string_split_regex(x, '[ \\t\\n\\x0b\\f\\r]+'), w -> w != '')) < 5)),
                        chr(10)) AS no_headers,
                    regexp_replace(
                      regexp_replace(
@@ -4471,9 +4479,9 @@ def oracle_sql() -> dict[str, str]:
                          regexp_replace(
                            regexp_replace(tn,
                              '(?si)\\[Note:(?:[^\\[\\]]|\\[(?:[^\\[\\]]|\\[(?:[^\\[\\]]|\\[[^\\[\\]]*\\])*\\])*\\])*\\]', '', 'g'),
-                           '<p>\\s*</p>', '', 'g'),
-                         '<br>\\s*', '', 'g'),
-                       '<small>\\s*</small>', '', 'g'),
+                           '<p>[ \\t\\n\\x0b\\f\\r]*</p>', '', 'g'),
+                         '<br>[ \\t\\n\\x0b\\f\\r]*', '', 'g'),
+                       '<small>[ \\t\\n\\x0b\\f\\r]*</small>', '', 'g'),
                      '(?s)\\[.*?\\]', '', 'g') AS no_notes,
                    array_to_string(
                        list_filter(
@@ -4536,7 +4544,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ),
             m AS (
-                SELECT doc_id, unnest(regexp_extract_all(ssml, '(</?[^>]+>)\\s*([.,:;])')) AS m
+                SELECT doc_id, unnest(regexp_extract_all(ssml, '(</?[^>]+>)[ \\t\\n\\x0b\\f\\r]*([.,:;])')) AS m
                 FROM d
             )
             SELECT doc_id, regexp_extract(m, '^(</?[^>]+>)', 1) AS tag
@@ -4563,7 +4571,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        len(regexp_extract_all(latin, '{_WORD_RE_SQL}'))::BIGINT AS latin_words,
                        len(regexp_extract_all(
-                           regexp_replace(regexp_replace(ssml, '(?s)<\\s*sub\\s+[^>]*>.*?</\\s*sub\\s*>', '', 'g'),
+                           regexp_replace(regexp_replace(ssml, '(?s)<[ \\t\\n\\x0b\\f\\r]*sub[ \\t\\n\\x0b\\f\\r]+[^>]*>.*?</[ \\t\\n\\x0b\\f\\r]*sub[ \\t\\n\\x0b\\f\\r]*>', '', 'g'),
                                           '<[^>]+>', '', 'g'),
                            '{_WORD_RE_SQL}'))::BIGINT AS english_words
                 FROM d
@@ -4628,7 +4636,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'char' AS variant, doc_id, fingerprint FROM (
                 WITH d AS (
                     SELECT doc_id,
-                           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nrm
+                           regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS nrm
                     FROM documents
                 ),
                 h AS (
@@ -4652,7 +4660,7 @@ def oracle_sql() -> dict[str, str]:
                 WITH d AS (
                     SELECT doc_id,
                            string_split(
-                               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                               regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'),
                                ' ') AS ws
                     FROM documents
                 ),
@@ -4817,8 +4825,8 @@ def oracle_sql() -> dict[str, str]:
                    trim(regexp_replace(
                        regexp_replace(
                            array_to_string(list_filter(string_split_regex(ssml, '<[^>]+>'), p -> p != ''), chr(10)),
-                           '(?s)\\n\\s*\\n', chr(10) || chr(10), 'g'),
-                       '(?s)(\\n\\s*){2,}', chr(10) || chr(10), 'g')) AS display_text,
+                           '(?s)\\n[ \\t\\n\\x0b\\f\\r]*\\n', chr(10) || chr(10), 'g'),
+                       '(?s)(\\n[ \\t\\n\\x0b\\f\\r]*){2,}', chr(10) || chr(10), 'g')) AS display_text,
                    coalesce(array_to_string(lines[1:run_len], chr(10)), '') AS title,
                    run_len::BIGINT AS n_title_lines
             FROM r

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .textstats import WS_CLASS, WS_PLUS
+
 # split at block-level tag boundaries (open or close). No \b after the
 # tag name: Java \b is Unicode-aware while RE2's is ASCII, so the two
 # engines disagree when arbitrary document text puts a non-ASCII letter
@@ -41,8 +43,8 @@ _TAG_NAMES = (
     r"nav|header|footer|aside|section|article|main|blockquote|pre|form|"
     r"fieldset|figure|figcaption"
 )
-BLOCK_SPLIT_RE = rf"(?i)</?(?:{_TAG_NAMES})(?:\s[^>]*)?/?>|<br\s*/?>"
-ANCHOR_TEXT_RE = r"(?is)<a(?:\s[^>]*)?>(.*?)</a>"
+BLOCK_SPLIT_RE = rf"(?i)</?(?:{_TAG_NAMES})(?:[ \t\n\x0b\f\r][^>]*)?/?>|<br[ \t\n\x0b\f\r]*/?>"
+ANCHOR_TEXT_RE = r"(?is)<a(?:[ \t\n\x0b\f\r][^>]*)?>(.*?)</a>"
 TAG_RE = r"(?is)<[^>]*>"
 # script/style/noscript BODIES are not visible text: stripping only the
 # tags would let JS/CSS source land in block text, pass the word-count
@@ -50,9 +52,9 @@ TAG_RE = r"(?is)<[^>]*>"
 # these first). No backreferences — RE2 has none — so the close tag is
 # spelled out per element.
 SCRIPT_STYLE_RE = (
-    r"(?is)<script(?:\s[^>]*)?>.*?</script\s*>"
-    r"|<style(?:\s[^>]*)?>.*?</style\s*>"
-    r"|<noscript(?:\s[^>]*)?>.*?</noscript\s*>"
+    r"(?is)<script(?:[ \t\n\x0b\f\r][^>]*)?>.*?</script[ \t\n\x0b\f\r]*>"
+    r"|<style(?:[ \t\n\x0b\f\r][^>]*)?>.*?</style[ \t\n\x0b\f\r]*>"
+    r"|<noscript(?:[ \t\n\x0b\f\r][^>]*)?>.*?</noscript[ \t\n\x0b\f\r]*>"
 )
 
 
@@ -60,7 +62,7 @@ def _block_text(raw: Column) -> Column:
     """Visible text of one block: tags -> space, whitespace collapsed,
     space-trimmed (Spark trim and DuckDB trim both strip spaces only)."""
     return F.trim(
-        F.regexp_replace(F.regexp_replace(raw, TAG_RE, " "), r"\s+", " ")
+        F.regexp_replace(F.regexp_replace(raw, TAG_RE, " "), WS_PLUS, " ")
     )
 
 
@@ -182,7 +184,7 @@ def c4_line_columns(col: Column, min_words: int = 3) -> dict[str, Column]:
         lines,
         lambda x: x.rlike(C4_TERMINAL_RE)
         & (
-            F.size(F.filter(F.split(x, r"\s+", -1), lambda w: w != ""))
+            F.size(F.filter(F.split(x, WS_PLUS, -1), lambda w: w != ""))
             >= F.lit(min_words)
         )
         & ~F.lower(x).contains("javascript"),
@@ -417,46 +419,46 @@ def badword_hits_join(
 #     '' on no match).
 # --------------------------------------------------------------------------
 
-PG_TITLE_RE = r"(?is)<title(?:\s[^>]*)?>([^<]*)"
-PG_LANG_RE = r"(?is)<html[^>]*?\slang\s*=\s*[\"\x27]?([a-zA-Z-]+)"
+PG_TITLE_RE = r"(?is)<title(?:[ \t\n\x0b\f\r][^>]*)?>([^<]*)"
+PG_LANG_RE = r"(?is)<html[^>]*?[ \t\n\x0b\f\r]lang[ \t\n\x0b\f\r]*=[ \t\n\x0b\f\r]*[\"\x27]?([a-zA-Z-]+)"
 # content captures also exclude '>' (not just quotes): on a malformed
 # page with an unterminated attribute, a quotes-only class would run to
 # the next quote ANYWHERE in the document — '>' bounds the capture to
 # the element (a legit '>' in content should be &gt; anyway)
 PG_DESC_NAME_FIRST_RE = (
-    r"(?is)<meta\s[^>]*?name\s*=\s*[\"\x27]description[\"\x27]"
-    r"[^>]*?content\s*=\s*[\"\x27]([^\"\x27>]*)"
+    r"(?is)<meta[ \t\n\x0b\f\r][^>]*?name[ \t\n\x0b\f\r]*=[ \t\n\x0b\f\r]*[\"\x27]description[\"\x27]"
+    r"[^>]*?content[ \t\n\x0b\f\r]*=[ \t\n\x0b\f\r]*[\"\x27]([^\"\x27>]*)"
 )
 PG_DESC_CONTENT_FIRST_RE = (
-    r"(?is)<meta\s[^>]*?content\s*=\s*[\"\x27]([^\"\x27>]*)[\"\x27]"
-    r"[^>]*?name\s*=\s*[\"\x27]description[\"\x27]"
+    r"(?is)<meta[ \t\n\x0b\f\r][^>]*?content[ \t\n\x0b\f\r]*=[ \t\n\x0b\f\r]*[\"\x27]([^\"\x27>]*)[\"\x27]"
+    r"[^>]*?name[ \t\n\x0b\f\r]*=[ \t\n\x0b\f\r]*[\"\x27]description[\"\x27]"
 )
 # robots meta directive (noindex/nofollow/...): the in-page complement
 # to robots.txt (operators/robots.py governs FETCHING; this governs
 # indexing/link-following of an already-fetched page — a corpus that
 # honors publisher intent filters on it)
 PG_ROBOTS_NAME_FIRST_RE = (
-    r"(?is)<meta\s[^>]*?name\s*=\s*[\"\x27]robots[\"\x27]"
-    r"[^>]*?content\s*=\s*[\"\x27]([^\"\x27>]*)"
+    r"(?is)<meta[ \t\n\x0b\f\r][^>]*?name[ \t\n\x0b\f\r]*=[ \t\n\x0b\f\r]*[\"\x27]robots[\"\x27]"
+    r"[^>]*?content[ \t\n\x0b\f\r]*=[ \t\n\x0b\f\r]*[\"\x27]([^\"\x27>]*)"
 )
 PG_ROBOTS_CONTENT_FIRST_RE = (
-    r"(?is)<meta\s[^>]*?content\s*=\s*[\"\x27]([^\"\x27>]*)[\"\x27]"
-    r"[^>]*?name\s*=\s*[\"\x27]robots[\"\x27]"
+    r"(?is)<meta[ \t\n\x0b\f\r][^>]*?content[ \t\n\x0b\f\r]*=[ \t\n\x0b\f\r]*[\"\x27]([^\"\x27>]*)[\"\x27]"
+    r"[^>]*?name[ \t\n\x0b\f\r]*=[ \t\n\x0b\f\r]*[\"\x27]robots[\"\x27]"
 )
 PG_OG_TITLE_RE = (
-    r"(?is)<meta\s[^>]*?property\s*=\s*[\"\x27]og:title[\"\x27]"
-    r"[^>]*?content\s*=\s*[\"\x27]([^\"\x27>]*)"
+    r"(?is)<meta[ \t\n\x0b\f\r][^>]*?property[ \t\n\x0b\f\r]*=[ \t\n\x0b\f\r]*[\"\x27]og:title[\"\x27]"
+    r"[^>]*?content[ \t\n\x0b\f\r]*=[ \t\n\x0b\f\r]*[\"\x27]([^\"\x27>]*)"
 )
 # publication date: the two leading head-level sources, captured as the
 # bare YYYY-MM-DD prefix (time-of-day/zone tails vary too much to carry;
 # \d is ASCII in both Java's default mode and RE2)
 PG_PUBLISHED_RE = (
-    r"(?is)<meta\s[^>]*?property\s*=\s*"
+    r"(?is)<meta[ \t\n\x0b\f\r][^>]*?property[ \t\n\x0b\f\r]*=[ \t\n\x0b\f\r]*"
     r"[\"\x27]article:published_time[\"\x27]"
-    r"[^>]*?content\s*=\s*[\"\x27](\d{4}-\d{2}-\d{2})"
+    r"[^>]*?content[ \t\n\x0b\f\r]*=[ \t\n\x0b\f\r]*[\"\x27](\d{4}-\d{2}-\d{2})"
 )
 PG_TIME_TAG_RE = (
-    r"(?is)<time\s[^>]*?datetime\s*=\s*[\"\x27](\d{4}-\d{2}-\d{2})"
+    r"(?is)<time[ \t\n\x0b\f\r][^>]*?datetime[ \t\n\x0b\f\r]*=[ \t\n\x0b\f\r]*[\"\x27](\d{4}-\d{2}-\d{2})"
 )
 
 
@@ -485,7 +487,7 @@ def page_metadata(col: Column) -> dict[str, Column]:
     title = F.nullif(
         F.trim(
             F.regexp_replace(
-                F.regexp_extract(h, PG_TITLE_RE, 1), r"\s+", " "
+                F.regexp_extract(h, PG_TITLE_RE, 1), WS_PLUS, " "
             )
         ),
         F.lit(""),
@@ -510,7 +512,7 @@ def page_metadata(col: Column) -> dict[str, Column]:
                             F.lit(""),
                         )
                     ),
-                    r"\s*,\s*",
+                    WS_CLASS + "*," + WS_CLASS + "*",
                     ",",
                 )
             ),
@@ -532,7 +534,7 @@ def page_metadata(col: Column) -> dict[str, Column]:
 # digit), and nested headings end at the FIRST close tag (lazy body).
 # --------------------------------------------------------------------------
 
-HEADING_RE = r"(?is)<h([1-6])(?:\s[^>]*)?>(.*?)</h[1-6]\s*>"
+HEADING_RE = r"(?is)<h([1-6])(?:[ \t\n\x0b\f\r][^>]*)?>(.*?)</h[1-6][ \t\n\x0b\f\r]*>"
 HEADING_LEVEL_RE = r"(?is)<h([1-6])"
 
 
@@ -558,7 +560,7 @@ def heading_outline(
         .alias("level"),
         F.trim(
             F.regexp_replace(
-                F.regexp_replace("frag", TAG_RE, " "), r"\s+", " "
+                F.regexp_replace("frag", TAG_RE, " "), WS_PLUS, " "
             )
         ).alias("heading"),
     )
@@ -579,9 +581,9 @@ def heading_outline(
 # expanded.
 # --------------------------------------------------------------------------
 
-TABLE_RE = r"(?is)<table(?:\s[^>]*)?>(.*?)</table\s*>"
-TABLE_TR_RE = r"(?is)<tr(?:\s[^>]*)?>(.*?)</tr\s*>"
-TABLE_CELL_RE = r"(?is)<t[dh](?:\s[^>]*)?>(.*?)</t[dh]\s*>"
+TABLE_RE = r"(?is)<table(?:[ \t\n\x0b\f\r][^>]*)?>(.*?)</table[ \t\n\x0b\f\r]*>"
+TABLE_TR_RE = r"(?is)<tr(?:[ \t\n\x0b\f\r][^>]*)?>(.*?)</tr[ \t\n\x0b\f\r]*>"
+TABLE_CELL_RE = r"(?is)<t[dh](?:[ \t\n\x0b\f\r][^>]*)?>(.*?)</t[dh][ \t\n\x0b\f\r]*>"
 
 
 def table_rows(
@@ -608,7 +610,7 @@ def table_rows(
     cells = F.transform(
         F.regexp_extract_all("rowhtml", F.lit(TABLE_CELL_RE), F.lit(1)),
         lambda c: F.trim(
-            F.regexp_replace(F.regexp_replace(c, TAG_RE, " "), r"\s+", " ")
+            F.regexp_replace(F.regexp_replace(c, TAG_RE, " "), WS_PLUS, " ")
         ),
     )
     return rows.select(

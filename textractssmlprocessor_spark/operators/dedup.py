@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .textstats import fingerprint
+from .textstats import WS_PLUS, fingerprint
 
 
 def _shingleable(df: DataFrame, text_col: str) -> DataFrame:
@@ -122,7 +122,7 @@ def word_shingles(text_col, n: int = 3):
     chars) per document. zip_with lambdas reference only their arguments;
     the shifted slices each evaluate the split once, so the chain is
     O(n) passes over the array."""
-    words = F.split(F.trim(F.lower(text_col)), r"\s+")
+    words = F.split(F.trim(F.lower(text_col)), WS_PLUS)
     grams = words
     for j in range(1, n):
         grams = F.zip_with(
@@ -613,7 +613,7 @@ def exact_substring_spans(
     from pyspark.sql import Window as W
 
     df = df.filter(F.col(text_col).isNotNull())
-    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    norm = F.regexp_replace(F.trim(F.col(text_col)), WS_PLUS, " ")
     words = df.select(
         F.col(id_col).alias("id"), F.posexplode(F.split(norm, " ")).alias("pos", "w")
     )
@@ -690,7 +690,7 @@ def drop_duplicate_spans(
     are few — then an anti range-filter and order-stable reassembly."""
     ids = df.select(F.col(id_col).alias("id")).dropDuplicates(["id"])
     spans = exact_substring_spans(df, id_col, text_col, k, hash_fn, keep_first=True)
-    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    norm = F.regexp_replace(F.trim(F.col(text_col)), WS_PLUS, " ")
     words = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.posexplode(F.split(norm, " ")).alias("pos", "w")
     )
@@ -760,7 +760,7 @@ def winnow_fingerprint_table(
     # is a row-field read; the regexp runs once per document.
     nrm = df.select(
         F.col(id_col).alias("id"),
-        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ").alias(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), WS_PLUS, " ").alias(
             "_nrm"
         ),
     )
@@ -808,7 +808,7 @@ def winnow_word_fingerprint_table(
     from pyspark.sql import Window as W
 
     df = df.filter(F.col(text_col).isNotNull())
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), WS_PLUS, " ")
     words = df.select(
         F.col(id_col).alias("id"), F.posexplode(F.split(norm, " ")).alias("pos", "w")
     )
@@ -845,7 +845,7 @@ def simhash16(text_col):
     composing into an operator: used directly, the 16 per-bit aggregates
     each embed this expression as their child, re-running split+md5 16x
     per row (simhash_groups does the materialized split)."""
-    words = F.array_distinct(F.split(F.trim(F.lower(text_col)), r"\s+"))
+    words = F.array_distinct(F.split(F.trim(F.lower(text_col)), WS_PLUS))
     return simhash16_from_hashes(F.transform(words, lambda w: F.md5(w)))
 
 
@@ -881,7 +881,7 @@ def simhash_groups(
         # tokenize+hash chain (16x the work, the same re-evaluation family
         # as the higher-order-lambda trap)
         F.transform(
-            F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")),
+            F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), WS_PLUS)),
             lambda w: F.md5(w),
         ).alias("_wh"),
     )

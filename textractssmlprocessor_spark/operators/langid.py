@@ -44,13 +44,14 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import _spread
+from .textstats import WS_PLUS
 
 
 def _norm(col: Column) -> Column:
     """Lowercase + collapse ASCII whitespace runs to single spaces —
     both operations byte-identical between Java regex and DuckDB RE2
     (Java's default \\s is ASCII, matching RE2's)."""
-    return F.regexp_replace(F.lower(col), r"\s+", " ")
+    return F.regexp_replace(F.lower(col), WS_PLUS, " ")
 
 
 def char_gram_cells(

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .textstats import WS_CLASS, WS_ESC
+
 LINE_BAND = 0.02  # vertical quantization: blocks within 2% page height align
 
 
@@ -67,7 +69,10 @@ def blocks_to_lines(blocks: DataFrame, line_band: float = LINE_BAND) -> DataFram
 # Shared with the DuckDB oracle via import (__spark_entry__.py) — the
 # em dash must not be hand-pasted into two engines' patterns (CLAUDE.md
 # non-ASCII convention). Uppercase folios (IV, XII) match too.
-FOLIO_RE = r"^\s*[-—.\s]*(\d+|[ivxlcdmIVXLCDM]+)[-—.\s]*\s*$"
+FOLIO_RE = (
+    rf"^{WS_CLASS}*[-—.{WS_ESC}]*"
+    rf"(\d+|[ivxlcdmIVXLCDM]+)[-—.{WS_ESC}]*{WS_CLASS}*$"
+)
 
 
 def is_page_number_line(col) -> F.Column:

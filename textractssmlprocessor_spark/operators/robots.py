@@ -229,7 +229,7 @@ def sitemap_entries(
 
     def field(name: str) -> Column:
         raw = F.regexp_extract(
-            F.col("_b"), rf"(?s)<{name}>\s*(.*?)\s*</{name}>", 1
+            F.col("_b"), rf"(?s)<{name}>[ \t\n\x0b\f\r]*(.*?)[ \t\n\x0b\f\r]*</{name}>", 1
         )
         unescaped = F.regexp_replace(raw, "&lt;", "<")
         unescaped = F.regexp_replace(unescaped, "&gt;", ">")

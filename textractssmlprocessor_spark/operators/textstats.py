@@ -29,11 +29,22 @@ from pyspark.sql import functions as F
 # Reference parity (Python re, Unicode \w) lives in _WORD_PY below.
 WORD_RE = r"[A-Za-z0-9_](?:[A-Za-z0-9_-]*[A-Za-z0-9_])?"
 
+# ENGINE-PORTABLE whitespace class. Java's ASCII \s is [ \t\n\x0b\f\r]
+# but RE2's \s OMITS \x0b (vertical tab) — so every mirrored tokenizer /
+# normalizer that wrote '\s' in both engines silently diverged on VT-
+# bearing crawl text (caught by tools/fuzz_contract.py seed 17). The
+# escape spellings below parse identically in Java, RE2, and Python re,
+# so BOTH engines take their pattern from this ONE constant; never write
+# a bare \s in an oracle-mirrored pattern again.
+WS_ESC = r" \t\n\x0b\f\r"
+WS_CLASS = "[" + WS_ESC + "]"
+WS_PLUS = WS_CLASS + "+"
+
 # PRE-tokenizer (GPT-2-style match classes): letter runs, digit runs, or
 # single non-space symbols — identical semantics in Java regex (Spark)
 # and RE2 (DuckDB oracle). This is the split BEFORE any BPE merge; see
 # count_tokens_bpe for the real merges-table count.
-PRETOK_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+PRETOK_RE = rf"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS_ESC}]"
 BPE_TOKEN_RE = PRETOK_RE  # historical alias (pre-rename callers)
 
 _WORD_PY = re.compile(r"\b[\w-]+\b")
@@ -189,7 +200,7 @@ def count_tokens_bpe(
     nonalpha = df.select(
         F.col(id_col).alias("id"),
         F.size(
-            F.regexp_extract_all(text, F.lit(r"[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
+            F.regexp_extract_all(text, F.lit(rf"[0-9]+|[^A-Za-z0-9{WS_ESC}]"), F.lit(0))
         ).cast("bigint").alias("_n_other"),
     )
     words = df.select(
@@ -395,7 +406,7 @@ def gopher_columns(col: Column) -> dict[str, Column]:
     `gopher_pass` is the conjunction with the paper's thresholds."""
     # filter the split: Spark trim strips SPACES only, so text starting
     # with \n/\t yields a phantom '' word that deflates alpha_word_frac
-    words = F.filter(F.split(F.trim(col), r"\s+"), lambda w: w != "")
+    words = F.filter(F.split(F.trim(col), WS_PLUS), lambda w: w != "")
     n_words = F.size(F.regexp_extract_all(col, F.lit(WORD_RE), F.lit(0)))
     alpha_chars = F.length(F.regexp_replace(col, r"[^A-Za-z]", ""))
     nzw = F.when(n_words > 0, n_words.cast("double")).otherwise(F.lit(None))
@@ -544,7 +555,7 @@ def repetition_stats(
         dup_frac(F.split(col, "\n")).alias("dup_line_frac"),
         dup_frac(F.split(col, r"\n{2,}")).alias("dup_para_frac"),
         F.filter(
-            F.split(F.trim(F.lower(col)), r"\s+"), lambda w: w != ""
+            F.split(F.trim(F.lower(col)), WS_PLUS), lambda w: w != ""
         ).alias("_ws"),
     ).select(
         "id",
@@ -613,7 +624,7 @@ def repetition_stats(
 
 
 def normalize_for_fingerprint(col: Column) -> Column:
-    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.regexp_replace(F.lower(F.trim(col)), WS_PLUS, " ")
 
 
 def fingerprint(col: Column) -> Column:
@@ -877,7 +888,7 @@ def gopher_repetition(
         F.col(id_col).alias("id"),
         col.alias("_t"),
         F.filter(
-            F.split(F.trim(F.lower(col)), r"\s+"), lambda w: w != ""
+            F.split(F.trim(F.lower(col)), WS_PLUS), lambda w: w != ""
         ).alias("_ws"),
     )
     lines = _dup_char_cols(

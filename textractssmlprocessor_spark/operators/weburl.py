@@ -145,7 +145,7 @@ def url_dedup(
     )
 
 
-LINK_RE = r"""(?is)<a\s[^>]*?href\s*=\s*["']([^"']*)["'][^>]*>(.*?)</a>"""
+LINK_RE = r"""(?is)<a[ \t\n\x0b\f\r][^>]*?href[ \t\n\x0b\f\r]*=[ \t\n\x0b\f\r]*["']([^"']*)["'][^>]*>(.*?)</a>"""
 
 
 def extract_links(
@@ -298,13 +298,13 @@ def cap_per_host(
 # are matched with their own pattern (RE2 has no lookaround). og:url is the
 # fallback signal. All three are RE2/Java-portable single-pass regexps.
 CANONICAL_REL_FIRST_RE = (
-    r"""(?is)<link\s[^>]*?rel\s*=\s*["']canonical["'][^>]*?href\s*=\s*["']([^"']*)["']"""
+    r"""(?is)<link[ \t\n\x0b\f\r][^>]*?rel[ \t\n\x0b\f\r]*=[ \t\n\x0b\f\r]*["']canonical["'][^>]*?href[ \t\n\x0b\f\r]*=[ \t\n\x0b\f\r]*["']([^"']*)["']"""
 )
 CANONICAL_HREF_FIRST_RE = (
-    r"""(?is)<link\s[^>]*?href\s*=\s*["']([^"']*)["'][^>]*?rel\s*=\s*["']canonical["']"""
+    r"""(?is)<link[ \t\n\x0b\f\r][^>]*?href[ \t\n\x0b\f\r]*=[ \t\n\x0b\f\r]*["']([^"']*)["'][^>]*?rel[ \t\n\x0b\f\r]*=[ \t\n\x0b\f\r]*["']canonical["']"""
 )
 OG_URL_RE = (
-    r"""(?is)<meta\s[^>]*?property\s*=\s*["']og:url["'][^>]*?content\s*=\s*["']([^"']*)["']"""
+    r"""(?is)<meta[ \t\n\x0b\f\r][^>]*?property[ \t\n\x0b\f\r]*=[ \t\n\x0b\f\r]*["']og:url["'][^>]*?content[ \t\n\x0b\f\r]*=[ \t\n\x0b\f\r]*["']([^"']*)["']"""
 )
 
 

@@ -60,6 +60,10 @@ ASCII_BITS = [
     "supercalifragilistic" * 40,         # one 800-char token, no spaces
     "ALL CAPS TITLE LINE\nbody text follows here.",
     "- bullet one\n- bullet two\n* bullet three",
+    "vt\x0bsep\x0bwords",                # \x0b: in Java \s, NOT in RE2 \s
+    "form\x0cfeed here",                 # \f: in both engines' \s
+    "nul\x00byte mid-string",            # NUL inside a valid UTF-8 string
+    "ctrl\x01\x1f\x7fchars",             # C0/DEL controls
 ]
 
 

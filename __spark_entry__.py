@@ -2106,7 +2106,8 @@ def q_boilerplate_lines(spark, sf_dir):
         (words >= 30).alias("ok"),
     )
     hq = host_quality_rollup(
-        perdoc, "q", pass_col="ok", min_mean=0.7, min_pass_frac=0.5
+        perdoc, "q", pass_col="ok", min_mean=0.7, min_pass_frac=0.5,
+        score_scale=1_000_000,  # q is 6-rounded: exact-integer mean path
     ).select(
         F.lit("host_quality").alias("variant"),
         F.col("host").alias("key"),
@@ -3897,11 +3898,23 @@ def oracle_sql() -> dict[str, str]:
                    n_docs, mean_score, pass_frac,
                    (mean_score >= 0.7 AND pass_frac >= 0.5)::BIGINT
             FROM (
+                -- exact-integer mean (host_quality_rollup score_scale
+                -- path): sum of round(q*1e6) as BIGINT, ONE division —
+                -- avg() of 6-rounded values sits on a .5e-6 boundary
+                -- whenever the scaled sum is odd and a cross-engine ulp
+                -- flips round(,6) (fuzz seed 18)
                 SELECT host, count(*)::BIGINT AS n_docs,
-                       round(avg(round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                                       / length(text)::DOUBLE, 6)), 6) AS mean_score,
-                       round(avg((len(regexp_extract_all(text, '[A-Za-z0-9_](?:[A-Za-z0-9_-]*[A-Za-z0-9_])?')) >= 30)::INT::DOUBLE), 6) AS pass_frac
-                FROM d GROUP BY host
+                       round(sum(round(q * 1000000, 0)::BIGINT)::DOUBLE
+                             / (count(q) * 1000000)::DOUBLE, 6) AS mean_score,
+                       round(sum(ok::BIGINT)::DOUBLE
+                             / count(ok)::DOUBLE, 6) AS pass_frac
+                FROM (
+                    SELECT host,
+                           round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                                 / length(text)::DOUBLE, 6) AS q,
+                           (len(regexp_extract_all(text, '[A-Za-z0-9_](?:[A-Za-z0-9_-]*[A-Za-z0-9_])?')) >= 30)::INT AS ok
+                    FROM d
+                ) GROUP BY host
             )
         """,
         "extract_links": f"""

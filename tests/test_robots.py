@@ -168,6 +168,36 @@ def test_host_quality_rollup(spark):
     assert nop["mixed.net"]["pass_frac"] is None
 
 
+def test_host_quality_rollup_score_scale_exact(spark):
+    """score_scale path (fuzz seed 18): the mean of 6-rounded scores is
+    an exact-integer sum + one division, so a .5e-6 boundary (any odd
+    scaled sum at n=2) cannot flip on a cross-engine ulp. Values match
+    the avg() path on its own terms, NULL scores stay excluded from the
+    denominator, and an all-NULL host degrades to NULL."""
+    from textractssmlprocessor_spark.operators.weburl import (
+        host_quality_rollup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # odd scaled sum: 0.768663 + 0.768664 = 1.537327e6 units
+            ("edge.org", 0.768663, True), ("edge.org", 0.768664, True),
+            ("nulls.net", 0.5, True), ("nulls.net", None, None),
+            ("void.io", None, None),
+        ],
+        "host string, q double, ok boolean",
+    )
+    got = {r["host"]: r for r in host_quality_rollup(
+        docs, "q", pass_col="ok", score_scale=1_000_000
+    ).collect()}
+    assert got["edge.org"]["mean_score"] == round(1537327 / 2e6, 6)
+    assert got["nulls.net"]["mean_score"] == 0.5      # NULL not in denom
+    assert got["nulls.net"]["pass_frac"] == 1.0
+    assert got["nulls.net"]["n_docs"] == 2
+    assert got["void.io"]["mean_score"] is None
+    assert got["void.io"]["pass_frac"] is None
+
+
 def test_crawl_frontier_round_robin(spark):
     from textractssmlprocessor_spark.operators.weburl import crawl_frontier_order
 

@@ -388,6 +388,7 @@ def host_quality_rollup(
     pass_col: str | None = None,
     min_mean: float = 0.5,
     min_pass_frac: float = 0.5,
+    score_scale: int | None = None,
 ) -> DataFrame:
     """Domain-level curation (the RefinedWeb/C4 move): aggregate a per-
     document quality signal to its host and emit a per-host verdict, so
@@ -403,17 +404,43 @@ def host_quality_rollup(
     pass_col), and ``host_verdict`` = mean_score >= min_mean AND (no
     pass_col OR pass_frac >= min_pass_frac).
 
+    ``score_scale`` (e.g. 1_000_000 for scores pre-rounded to 6
+    decimals): compute the mean via an EXACT integer sum and ONE final
+    division instead of avg(). avg() of pre-rounded values lands on an
+    exact .5e-6 rounding boundary whenever the scaled sum is odd — at
+    n_docs=2 that is half of all hosts — and a cross-engine ulp in the
+    accumulated double then flips round(,6)'s last digit (fuzz seed 18).
+    The integer path is deterministic: the sum is exact below 2^53 and a
+    single IEEE division of identical operands is correctly rounded
+    identically everywhere. Leave None for unrounded score columns
+    (logprobs, logits), where plain avg() is the right semantics.
+
     Scale shape: ONE groupBy(host) with map-side partials; Zipf-head
     hosts tree-reduce through partial aggregation, and AQE skew-split
     handles the residue — never a per-host window."""
+    if score_scale is None:
+        mean = F.round(F.avg(score_col), 6)
+    else:
+        # denominators count NON-NULL scores, matching avg()'s skip
+        mean = F.round(
+            F.sum(F.round(F.col(score_col) * score_scale, 0).cast("bigint"))
+            .cast("double")
+            / (F.count(F.col(score_col)) * F.lit(score_scale)).cast("double"),
+            6,
+        )
     aggs = [
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.round(F.avg(score_col), 6).alias("mean_score"),
+        mean.alias("mean_score"),
     ]
     if pass_col is not None:
+        # 0/1 integer sum + one division — deterministic for the same
+        # reason as the score_scale path (a bare avg() of ints may
+        # accumulate incrementally in either engine)
         aggs.append(
             F.round(
-                F.avg(F.col(pass_col).cast("int").cast("double")), 6
+                F.sum(F.col(pass_col).cast("bigint")).cast("double")
+                / F.count(F.col(pass_col)).cast("double"),
+                6,
             ).alias("pass_frac")
         )
     out = df.groupBy(F.col(host_col).alias("host")).agg(*aggs)

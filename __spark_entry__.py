@@ -155,6 +155,7 @@ def q_text_profile(spark, sf_dir):
     # clean rows must pass through BYTE-UNCHANGED, which the oracle checks
     # by emitting the raw else-branch). One scan, all map-side.
     from textractssmlprocessor_spark.operators.textnorm import (
+        MOJIBAKE_LEAD_CLASS,
         MOJIBAKE_SAMPLE,
         NFD_SAMPLE,
         mojibake_artifacts,
@@ -175,9 +176,17 @@ def q_text_profile(spark, sf_dir):
         F.lit(NFD_SAMPLE),
         F.regexp_replace(F.substring("text", 1, 16), r"\x00", ""),
     )
+    # else-branch seed is stripped of the mojibake LEAD chars in BOTH
+    # engines: fuzz text can carry ORGANIC mojibake ('cafÃ©' is in the
+    # corpus vocabulary), which Spark's gated repair would fix while the
+    # oracle's pass-through branch cannot mirror the iterative repair —
+    # stripping the leads makes the branch provably repair-free instead
+    # of assumed so (fuzz seed 13).
     moji_seed = F.when(
         F.col("doc_id") % 3 == 0, F.lit(MOJIBAKE_SAMPLE)
-    ).otherwise(F.substring("text", 1, 8))
+    ).otherwise(
+        F.regexp_replace(F.substring("text", 1, 8), MOJIBAKE_LEAD_CLASS, "")
+    )
     d = d.withColumn("_nfd", nfd_seed).withColumn("_moji", moji_seed)
     d = with_nfc_text(d, text_col="_nfd", out_col="nfc_text")
     d = repair_mojibake(d, text_col="_moji", out_col="moji_fixed")
@@ -1534,8 +1543,12 @@ def q_numeric_chunk_sort(spark, sf_dir):
     # distinct values here); row_number within key by fname + key offsets
     from textractssmlprocessor_spark.operators.ordering import blocked_row_number
 
+    # doc_id is the final tie-break: fnames are synthesized mod 7/991, so
+    # two doc_ids congruent mod 6937 (the fuzz corpora's sparse huge ids)
+    # produce the SAME fname and an (key, fname)-only order leaves their
+    # relative rank engine-dependent (fuzz seed 13).
     key = F.regexp_extract("fname", r"_chunk_(\d+)\.txt$", 1).cast("bigint")
-    return blocked_row_number(d, key, ["fname"], out="rank").select(
+    return blocked_row_number(d, key, ["fname", "doc_id"], out="rank").select(
         "doc_id", "fname", "rank"
     )
 
@@ -2494,8 +2507,9 @@ def _sql_str(s: str) -> str:
     return "(" + " || ".join(parts or ["''"]) + ")"
 
 
-def _textnorm_sql_consts() -> tuple[str, str, str, str]:
+def _textnorm_sql_consts() -> tuple[str, str, str, str, str]:
     from textractssmlprocessor_spark.operators.textnorm import (
+        MOJIBAKE_LEAD_CLASS,
         MOJIBAKE_RE,
         MOJIBAKE_SAMPLE,
         MOJIBAKE_SAMPLE_FIXED,
@@ -2507,10 +2521,17 @@ def _textnorm_sql_consts() -> tuple[str, str, str, str]:
         _sql_str(MOJIBAKE_SAMPLE),
         _sql_str(MOJIBAKE_RE),
         _sql_str(MOJIBAKE_SAMPLE_FIXED),
+        _sql_str(MOJIBAKE_LEAD_CLASS),
     )
 
 
-_nfd_sql, _moji_sql, _moji_re_sql, _moji_fixed_sql = _textnorm_sql_consts()
+(
+    _nfd_sql,
+    _moji_sql,
+    _moji_re_sql,
+    _moji_fixed_sql,
+    _moji_leads_sql,
+) = _textnorm_sql_consts()
 
 
 def _pagerank_sql(iterations: int = 3, damping: float = 0.85) -> str:
@@ -2974,10 +2995,13 @@ def oracle_sql() -> dict[str, str]:
                    nfc_normalize({_nfd_sql} || regexp_replace(substr(text, 1, 16), '\\x00', '', 'g')) AS nfc_text,
                    (CASE WHEN doc_id % 3 = 0
                          THEN len(regexp_extract_all({_moji_sql}, {_moji_re_sql}))
-                         ELSE len(regexp_extract_all(substr(text, 1, 8), {_moji_re_sql}))
+                         ELSE len(regexp_extract_all(
+                             regexp_replace(substr(text, 1, 8), {_moji_leads_sql}, '', 'g'),
+                             {_moji_re_sql}))
                     END)::BIGINT AS moji_hits,
                    CASE WHEN doc_id % 3 = 0 THEN {_moji_fixed_sql}
-                        ELSE substr(text, 1, 8) END AS moji_fixed,
+                        ELSE regexp_replace(substr(text, 1, 8), {_moji_leads_sql}, '', 'g')
+                   END AS moji_fixed,
                    {script_frac_sql},
                    CASE WHEN length(st) > 0
                         THEN substr(least({script_keys_sql}), 9, 16) END AS script_pred,
@@ -4623,7 +4647,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT doc_id, fname,
-                   row_number() OVER (ORDER BY regexp_extract(fname, '_chunk_(\\d+)\\.txt$', 1)::BIGINT, fname)::BIGINT AS rank
+                   row_number() OVER (ORDER BY regexp_extract(fname, '_chunk_(\\d+)\\.txt$', 1)::BIGINT, fname, doc_id)::BIGINT AS rank
             FROM d
         """,
         "sessionize_events": """

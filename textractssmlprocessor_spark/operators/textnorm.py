@@ -23,6 +23,15 @@ from pyspark.sql import functions as F
 # DuckDB oracle embeds the same pattern).
 MOJIBAKE_RE = "\u00c3[\u0080-\u00ff]|\u00e2\u20ac.|\u00c2[\u00a0-\u00bf]"
 
+# The three lead characters every MOJIBAKE_RE alternation starts with.
+# Stripping these from a probe input makes it provably repair-free
+# (mojibake_artifacts == 0, so the gated repair UDF is the identity) \u2014
+# used by dual-engine probes whose oracle branch cannot mirror the
+# iterative repair on ORGANIC mojibake in fuzz text (fuzz seed 13:
+# a corpus doc whose first 8 chars contained 'caf\u00c3\u00a9' made Spark repair
+# what the oracle's pass-through branch left untouched).
+MOJIBAKE_LEAD_CLASS = "[\u00c2\u00c3\u00e2]"
+
 
 def mojibake_artifacts(col: Column) -> Column:
     """Count of mojibake artifact sequences (0 = clean). Native regex —

@@ -162,7 +162,10 @@ def q_text_profile(spark, sf_dir):
         repair_mojibake,
         with_nfc_text,
     )
-    from textractssmlprocessor_spark.operators.textstats import lang_id
+    from textractssmlprocessor_spark.operators.textstats import (
+        fold_lower,
+        lang_id,
+    )
 
     d = _docs(spark, sf_dir)
     # NFD seed: e + COMBINING ACUTE (U+0301), i + COMBINING DIAERESIS
@@ -233,9 +236,9 @@ def q_text_profile(spark, sf_dir):
         F.round(F.try_divide(alpha, words.cast("double")), 6).alias("mean_word_len"),
         words.cast("bigint").alias("n_words"),
         lang_id(F.col("text")).alias("lang_pred"),
-        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"[ \t\n\x0b\f\r]+", " ")).alias(
-            "fingerprint"
-        ),
+        F.md5(
+            F.regexp_replace(fold_lower(F.trim("text")), r"[ \t\n\x0b\f\r]+", " ")
+        ).alias("fingerprint"),
         "nfc_text",
         mojibake_artifacts(F.col("_moji")).cast("bigint").alias("moji_hits"),
         "moji_fixed",
@@ -533,7 +536,7 @@ def q_curate_corpus(spark, sf_dir):
     d = _docs(spark, sf_dir).select("doc_id", body.alias("text"), "lang")
     exact = d.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat(F.lit("  "), F.upper("text"), F.lit("  ")).alias("text"),
+        F.concat(F.lit("  "), _ascii_upper("text"), F.lit("  ")).alias("text"),
         F.col("lang"),
     )
     corpus = d.unionByName(exact)
@@ -959,13 +962,23 @@ def q_repetition_stats(spark, sf_dir):
     return rep.join(battery, "doc_id")
 
 
+def _ascii_upper(col):
+    """ASCII-only uppercase for dupe-corpus synthesis: Java's upper()
+    applies full SpecialCasing (one ß -> 'SS', ligature expansion) where
+    DuckDB/utf8proc applies the simple map (ß unchanged), so a plain
+    upper(text) synthesis diverges on German/ligature payloads (fuzz
+    seed 21, 'straße'). A 26-letter translate is byte-identical in both
+    engines and still exercises the case+whitespace dedup normalization."""
+    return F.translate(F.col(col) if isinstance(col, str) else col, "abcdefghijklmnopqrstuvwxyz", "ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+
+
 def _docs_with_dupes(spark, sf_dir):
     """documents ∪ deterministic near/exact copies (dedup test corpus):
     exact copies differ only in case+whitespace; near copies append a word."""
     d = _docs(spark, sf_dir).select("doc_id", "text")
     exact = d.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat(F.lit("  "), F.upper("text"), F.lit("  ")).alias("text"),
+        F.concat(F.lit("  "), _ascii_upper("text"), F.lit("  ")).alias("text"),
     )
     near = d.filter(F.col("doc_id") % 11 == 0).select(
         (F.col("doc_id") + 2000000).alias("doc_id"),
@@ -977,7 +990,7 @@ def _docs_with_dupes(spark, sf_dir):
 _DOCS_WITH_DUPES_SQL = """
     SELECT doc_id, text FROM documents
     UNION ALL
-    SELECT doc_id + 1000000, '  ' || upper(text) || '  ' FROM documents WHERE doc_id % 7 = 0
+    SELECT doc_id + 1000000, '  ' || translate(text, 'abcdefghijklmnopqrstuvwxyz', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ') || '  ' FROM documents WHERE doc_id % 7 = 0
     UNION ALL
     SELECT doc_id + 2000000, text || ' appended tail token' FROM documents WHERE doc_id % 11 = 0
 """
@@ -1421,7 +1434,17 @@ def q_single_letters_rule(spark, sf_dir):
         .otherwise(F.col("text"))
         .alias("t"),
     )
-    hits = F.regexp_extract_all("t", F.lit(r"\b[B-HJ-NP-Zb-hj-np-ru-z]\b"), F.lit(0))
+    # ASCII word-RUN form, not '\b...\b': a single letter matches iff it
+    # is a complete [A-Za-z0-9_] run — exactly RE2's ASCII-\b reading
+    # (which the oracle keeps), where Java's Unicode \b treats combining
+    # marks / astral letters as word chars and diverges on Zalgo-adjacent
+    # text (fuzz seed 21)
+    from textractssmlprocessor_spark.operators.textstats import ASCII_NONWORD_PLUS
+
+    hits = F.filter(
+        F.split("t", ASCII_NONWORD_PLUS, -1),
+        lambda w: w.rlike("^[B-HJ-NP-Zb-hj-np-ru-z]$"),
+    )
     return d.select("doc_id", F.explode(hits).alias("letter"))
 
 
@@ -2749,8 +2772,8 @@ def oracle_sql() -> dict[str, str]:
 
     shingles = (
         "list_distinct(list_transform("
-        "generate_series(1, greatest(len(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')) - 2, 1)), "
-        "i -> array_to_string(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')[i:i+2], ' ')))"
+        "generate_series(1, greatest(len(string_split_regex(trim(lower(translate(text, (chr(304) || chr(931)), ('i' || chr(963))))), '[ \\t\\n\\x0b\\f\\r]+')) - 2, 1)), "
+        "i -> array_to_string(string_split_regex(trim(lower(translate(text, (chr(304) || chr(931)), ('i' || chr(963))))), '[ \\t\\n\\x0b\\f\\r]+')[i:i+2], ' ')))"
     )
 
     minhash = ", ".join(
@@ -2991,7 +3014,7 @@ def oracle_sql() -> dict[str, str]:
                          / len(regexp_extract_all(text, '{_WORD_RE_SQL}'))::DOUBLE, 6) AS mean_word_len,
                    len(regexp_extract_all(text, '{_WORD_RE_SQL}'))::BIGINT AS n_words,
                    substr(list_min([{lang_keys}]), 7, 2) AS lang_pred,
-                   md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fingerprint,
+                   md5(regexp_replace(lower(translate(trim(text), (chr(304) || chr(931)), ('i' || chr(963)))), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fingerprint,
                    nfc_normalize({_nfd_sql} || regexp_replace(substr(text, 1, 16), '\\x00', '', 'g')) AS nfc_text,
                    (CASE WHEN doc_id % 3 = 0
                          THEN len(regexp_extract_all({_moji_sql}, {_moji_re_sql}))
@@ -3085,7 +3108,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "corpus_report": """
             WITH tk AS (
-                SELECT list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), t -> t != '') AS toks
+                SELECT list_filter(string_split_regex(lower(translate(coalesce(text, ''), (chr(304) || chr(931)), ('i' || chr(963)))), '[^a-z0-9]+'), t -> t != '') AS toks
                 FROM documents
             ),
             t1 AS (
@@ -3151,7 +3174,7 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii": _redact_pii_sql(),
         "contamination": """
             WITH ws AS (
-                SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS w
+                SELECT doc_id, string_split_regex(trim(lower(translate(text, (chr(304) || chr(931)), ('i' || chr(963))))), '[ \\t\\n\\x0b\\f\\r]+') AS w
                 FROM documents
             ),
             sh AS (
@@ -3229,7 +3252,7 @@ def oracle_sql() -> dict[str, str]:
             d AS (
                 SELECT doc_id, text, lang FROM d0
                 UNION ALL
-                SELECT doc_id + 1000000, '  ' || upper(text) || '  ', lang
+                SELECT doc_id + 1000000, '  ' || translate(text, 'abcdefghijklmnopqrstuvwxyz', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ') || '  ', lang
                 FROM d0 WHERE doc_id % 7 = 0
             ),
             base AS (
@@ -3240,7 +3263,7 @@ def oracle_sql() -> dict[str, str]:
                        string_split(text, chr(10)) AS lines,
                        string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS ws,
                        ((CASE WHEN regexp_matches(lower(text), '\\bthe\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\band\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bof\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bto\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bin\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bis\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bthat\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bwith\\b') THEN 1 ELSE 0 END)) AS stops,
-                       md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fp
+                       md5(regexp_replace(lower(translate(trim(text), (chr(304) || chr(931)), ('i' || chr(963)))), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fp
                 FROM d
             ),
             flags AS (
@@ -3448,8 +3471,8 @@ def oracle_sql() -> dict[str, str]:
                 WITH pg AS (
                     SELECT doc_id, source,
                            'https://host-' || source || '.example.org/p/' || doc_id::VARCHAR AS url,
-                           md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fp,
-                           md5(regexp_replace(lower(trim(text || ' updated')), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fp_upd
+                           md5(regexp_replace(lower(translate(trim(text), (chr(304) || chr(931)), ('i' || chr(963)))), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fp,
+                           md5(regexp_replace(lower(translate(trim(text || ' updated'), (chr(304) || chr(931)), ('i' || chr(963)))), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fp_upd
                     FROM documents
                 ),
                 -- presence rides its own flag: a NULL-text page's NULL
@@ -3571,7 +3594,7 @@ def oracle_sql() -> dict[str, str]:
             -- same min_count=2 model tables, same interpolation formula
             tk AS (
                 SELECT doc_id,
-                       list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), t -> t != '') AS toks
+                       list_filter(string_split_regex(lower(translate(coalesce(text, ''), (chr(304) || chr(931)), ('i' || chr(963)))), '[^a-z0-9]+'), t -> t != '') AS toks
                 FROM documents
             ),
             uni AS (
@@ -3677,7 +3700,7 @@ def oracle_sql() -> dict[str, str]:
             rb AS (
                 SELECT doc_id,
                        regexp_extract_all(coalesce(text, ''), '[A-Za-z]+') AS aw,
-                       len(regexp_extract_all(lower(coalesce(text, '')), '[aeiouy]+')) AS vr,
+                       len(regexp_extract_all(lower(translate(coalesce(text, ''), (chr(304) || chr(931)), ('i' || chr(963)))), '[aeiouy]+')) AS vr,
                        greatest(len(regexp_extract_all(coalesce(text, ''), '[.!?]+')), 1) AS ns
                 FROM documents
             ),
@@ -4107,7 +4130,7 @@ def oracle_sql() -> dict[str, str]:
             WITH d AS ({_DOCS_WITH_DUPES_SQL}),
             doc_tab AS (
                 SELECT 'doc' AS variant,
-                       md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fingerprint,
+                       md5(regexp_replace(lower(translate(trim(text), (chr(304) || chr(931)), ('i' || chr(963)))), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fingerprint,
                        min(doc_id) AS keep_id,
                        NULL::BIGINT AS keep_idx,
                        count(*)::BIGINT AS n_dupes,
@@ -4141,10 +4164,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             ranked AS (
                 SELECT id, idx, para,
-                       md5(regexp_replace(lower(trim(para)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS f,
-                       row_number() OVER (PARTITION BY md5(regexp_replace(lower(trim(para)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))
+                       md5(regexp_replace(lower(translate(trim(para), (chr(304) || chr(931)), ('i' || chr(963)))), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS f,
+                       row_number() OVER (PARTITION BY md5(regexp_replace(lower(translate(trim(para), (chr(304) || chr(931)), ('i' || chr(963)))), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))
                                           ORDER BY id, idx) AS rn,
-                       count(*) OVER (PARTITION BY md5(regexp_replace(lower(trim(para)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS cnt
+                       count(*) OVER (PARTITION BY md5(regexp_replace(lower(translate(trim(para), (chr(304) || chr(931)), ('i' || chr(963)))), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS cnt
                 FROM paras WHERE length(trim(para)) >= 1
             ),
             para_tab AS (
@@ -4173,23 +4196,23 @@ def oracle_sql() -> dict[str, str]:
             -- (NULL-text doc) three-values NOT IN to zero rows, while the
             -- Spark side's left_anti keeps every non-matching row
             SELECT 'incr', n.f, n.doc_id, NULL::BIGINT, NULL::BIGINT, NULL::VARCHAR
-            FROM (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS f
+            FROM (SELECT doc_id, md5(regexp_replace(lower(translate(trim(text), (chr(304) || chr(931)), ('i' || chr(963)))), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS f
                   FROM documents) n
             WHERE NOT EXISTS (
                 SELECT 1 FROM documents h
                 WHERE h.doc_id % 3 = 0
-                  AND md5(regexp_replace(lower(trim(h.text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) = n.f
+                  AND md5(regexp_replace(lower(translate(trim(h.text), (chr(304) || chr(931)), ('i' || chr(963)))), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) = n.f
             )
             UNION ALL
             -- bloom variant: exact-by-construction (sketch-then-verify),
             -- so the oracle is the identical anti-join
             SELECT 'bloom', n.f, n.doc_id, NULL::BIGINT, NULL::BIGINT, NULL::VARCHAR
-            FROM (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS f
+            FROM (SELECT doc_id, md5(regexp_replace(lower(translate(trim(text), (chr(304) || chr(931)), ('i' || chr(963)))), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS f
                   FROM documents) n
             WHERE NOT EXISTS (
                 SELECT 1 FROM documents h
                 WHERE h.doc_id % 3 = 0
-                  AND md5(regexp_replace(lower(trim(h.text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) = n.f
+                  AND md5(regexp_replace(lower(translate(trim(h.text), (chr(304) || chr(931)), ('i' || chr(963)))), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) = n.f
             )
             UNION ALL
             -- mh_incr variant: near-dup-against-history — replay the
@@ -4313,7 +4336,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_groups": f"""
             WITH d AS ({_DOCS_WITH_DUPES_SQL}),
-            w AS (SELECT doc_id AS id, list_distinct(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS ws FROM d),
+            w AS (SELECT doc_id AS id, list_distinct(string_split_regex(trim(lower(translate(text, (chr(304) || chr(931)), ('i' || chr(963))))), '[ \\t\\n\\x0b\\f\\r]+')) AS ws FROM d),
             h AS (SELECT id, ({simhash_bits})::BIGINT AS simhash FROM w)
             SELECT simhash, count(*)::BIGINT AS n_docs, min(id) AS min_id
             FROM h GROUP BY simhash HAVING count(*) > 1
@@ -4379,7 +4402,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'bm25' AS method, doc_id::BIGINT AS hit_id, score FROM (
                 WITH tk AS (
                     SELECT doc_id,
-                           list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), t -> t != '') AS toks
+                           list_filter(string_split_regex(lower(translate(coalesce(text, ''), (chr(304) || chr(931)), ('i' || chr(963)))), '[^a-z0-9]+'), t -> t != '') AS toks
                     FROM documents
                 ),
                 stats AS (
@@ -4481,7 +4504,7 @@ def oracle_sql() -> dict[str, str]:
                        list_filter(['badword', 'crummy stuff'],
                            w -> contains(
                                ' ' || array_to_string(
-                                   list_filter(string_split_regex(lower(tb), '[^a-z0-9]+'), x -> x != ''),
+                                   list_filter(string_split_regex(lower(translate(tb, (chr(304) || chr(931)), ('i' || chr(963)))), '[^a-z0-9]+'), x -> x != ''),
                                    ' ') || ' ',
                                ' ' || w || ' ')) AS matched
                 FROM d
@@ -4673,7 +4696,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'char' AS variant, doc_id, fingerprint FROM (
                 WITH d AS (
                     SELECT doc_id,
-                           regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS nrm
+                           regexp_replace(lower(translate(trim(text), (chr(304) || chr(931)), ('i' || chr(963)))), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS nrm
                     FROM documents
                 ),
                 h AS (
@@ -4697,7 +4720,7 @@ def oracle_sql() -> dict[str, str]:
                 WITH d AS (
                     SELECT doc_id,
                            string_split(
-                               regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'),
+                               regexp_replace(lower(translate(trim(text), (chr(304) || chr(931)), ('i' || chr(963)))), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'),
                                ' ') AS ws
                     FROM documents
                 ),

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .textstats import WS_CLASS, WS_PLUS
+from .textstats import WS_CLASS, WS_PLUS, fold_lower
 
 # split at block-level tag boundaries (open or close). No \b after the
 # tag name: Java \b is Unicode-aware while RE2's is ASCII, so the two
@@ -187,7 +187,7 @@ def c4_line_columns(col: Column, min_words: int = 3) -> dict[str, Column]:
             F.size(F.filter(F.split(x, WS_PLUS, -1), lambda w: w != ""))
             >= F.lit(min_words)
         )
-        & ~F.lower(x).contains("javascript"),
+        & ~fold_lower(x).contains("javascript"),
     )
     text = F.array_join(kept, "\n")
     n_sent = F.size(F.regexp_extract_all(text, F.lit("[.!?]"), F.lit(0)))
@@ -198,7 +198,7 @@ def c4_line_columns(col: Column, min_words: int = 3) -> dict[str, Column]:
     keep = F.coalesce(
         (
             (n_sent >= 5)
-            & ~F.lower(col).contains("lorem ipsum")
+            & ~fold_lower(col).contains("lorem ipsum")
             & ~col.contains("{")
         ).cast("bigint"),
         F.lit(0),
@@ -255,7 +255,7 @@ def _normalize_entry(entry: str) -> str:
 def badword_tokens(col: Column) -> Column:
     """Normalized token array of a text column (shared by both forms)."""
     return F.filter(
-        F.split(F.lower(F.coalesce(col, F.lit(""))), BADWORD_TOKEN_RE, -1),
+        F.split(fold_lower(F.coalesce(col, F.lit(""))), BADWORD_TOKEN_RE, -1),
         lambda x: x != "",
     )
 
@@ -497,7 +497,7 @@ def page_metadata(col: Column) -> dict[str, Column]:
         "pg_description": F.coalesce(
             _x(PG_DESC_NAME_FIRST_RE), _x(PG_DESC_CONTENT_FIRST_RE)
         ),
-        "pg_lang": F.lower(_x(PG_LANG_RE)),
+        "pg_lang": fold_lower(_x(PG_LANG_RE)),
         "pg_og_title": _x(PG_OG_TITLE_RE),
         "pg_date": F.coalesce(
             _x(PG_PUBLISHED_RE), _x(PG_TIME_TAG_RE)
@@ -505,7 +505,7 @@ def page_metadata(col: Column) -> dict[str, Column]:
         "pg_robots": F.nullif(
             F.trim(
                 F.regexp_replace(
-                    F.lower(
+                    fold_lower(
                         F.coalesce(
                             _x(PG_ROBOTS_NAME_FIRST_RE),
                             _x(PG_ROBOTS_CONTENT_FIRST_RE),

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .textstats import WS_PLUS, fingerprint
+from .textstats import WS_PLUS, fingerprint, fold_lower
 
 
 def _shingleable(df: DataFrame, text_col: str) -> DataFrame:
@@ -122,7 +122,7 @@ def word_shingles(text_col, n: int = 3):
     chars) per document. zip_with lambdas reference only their arguments;
     the shifted slices each evaluate the split once, so the chain is
     O(n) passes over the array."""
-    words = F.split(F.trim(F.lower(text_col)), WS_PLUS)
+    words = F.split(F.trim(fold_lower(text_col)), WS_PLUS)
     grams = words
     for j in range(1, n):
         grams = F.zip_with(
@@ -760,7 +760,7 @@ def winnow_fingerprint_table(
     # is a row-field read; the regexp runs once per document.
     nrm = df.select(
         F.col(id_col).alias("id"),
-        F.regexp_replace(F.lower(F.trim(F.col(text_col))), WS_PLUS, " ").alias(
+        F.regexp_replace(fold_lower(F.trim(F.col(text_col))), WS_PLUS, " ").alias(
             "_nrm"
         ),
     )
@@ -808,7 +808,7 @@ def winnow_word_fingerprint_table(
     from pyspark.sql import Window as W
 
     df = df.filter(F.col(text_col).isNotNull())
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), WS_PLUS, " ")
+    norm = F.regexp_replace(fold_lower(F.trim(F.col(text_col))), WS_PLUS, " ")
     words = df.select(
         F.col(id_col).alias("id"), F.posexplode(F.split(norm, " ")).alias("pos", "w")
     )
@@ -845,7 +845,7 @@ def simhash16(text_col):
     composing into an operator: used directly, the 16 per-bit aggregates
     each embed this expression as their child, re-running split+md5 16x
     per row (simhash_groups does the materialized split)."""
-    words = F.array_distinct(F.split(F.trim(F.lower(text_col)), WS_PLUS))
+    words = F.array_distinct(F.split(F.trim(fold_lower(text_col)), WS_PLUS))
     return simhash16_from_hashes(F.transform(words, lambda w: F.md5(w)))
 
 
@@ -881,7 +881,7 @@ def simhash_groups(
         # tokenize+hash chain (16x the work, the same re-evaluation family
         # as the higher-order-lambda trap)
         F.transform(
-            F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), WS_PLUS)),
+            F.array_distinct(F.split(F.trim(fold_lower(F.col(text_col))), WS_PLUS)),
             lambda w: F.md5(w),
         ).alias("_wh"),
     )

@@ -44,14 +44,15 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import _spread
-from .textstats import WS_PLUS
+from .textstats import WS_PLUS, fold_lower
 
 
 def _norm(col: Column) -> Column:
-    """Lowercase + collapse ASCII whitespace runs to single spaces —
-    both operations byte-identical between Java regex and DuckDB RE2
-    (Java's default \\s is ASCII, matching RE2's)."""
-    return F.regexp_replace(F.lower(col), WS_PLUS, " ")
+    """Case-fold-portable lowercase (textstats.fold_lower — Java's
+    SpecialCasing İ/final-sigma diverge from utf8proc's simple map) +
+    collapse ASCII whitespace runs to single spaces. Both operations
+    byte-identical between Java regex and DuckDB RE2."""
+    return F.regexp_replace(fold_lower(col), WS_PLUS, " ")
 
 
 def char_gram_cells(

@@ -53,14 +53,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from textractssmlprocessor_spark.operators.dedup import _spread
+from textractssmlprocessor_spark.operators.textstats import fold_lower
 
 TOKEN_DELIM_RE = "[^a-z0-9]+"  # same byte semantics in Java regex and RE2
 
 
 def tokens_column(col: Column) -> Column:
-    """Lowercased alphanumeric tokens; NULL text behaves as empty (totality)."""
+    """Case-fold-portably lowercased alphanumeric tokens (fold_lower:
+    Java's İ -> 'i'+combining-dot would SPLIT a token that DuckDB's
+    İ -> 'i' keeps whole); NULL text behaves as empty (totality)."""
     return F.filter(
-        F.split(F.lower(F.coalesce(col, F.lit(""))), TOKEN_DELIM_RE),
+        F.split(fold_lower(F.coalesce(col, F.lit(""))), TOKEN_DELIM_RE),
         lambda t: t != "",
     )
 

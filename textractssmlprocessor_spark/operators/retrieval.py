@@ -52,10 +52,19 @@ from textractssmlprocessor_spark.operators.lm import tokens_column
 
 
 def _tokenize(query: str) -> list[str]:
-    """Driver-side mirror of tokens_column for the (tiny) query string."""
+    """Driver-side mirror of tokens_column for the (tiny) query string —
+    including the case-fold pre-substitution (textstats.CASEFOLD_SRC)."""
     import re
 
-    return [t for t in re.split(r"[^a-z0-9]+", (query or "").lower()) if t]
+    from textractssmlprocessor_spark.operators.textstats import (
+        CASEFOLD_DST,
+        CASEFOLD_SRC,
+    )
+
+    folded = (query or "").translate(
+        {ord(s): d for s, d in zip(CASEFOLD_SRC, CASEFOLD_DST)}
+    )
+    return [t for t in re.split(r"[^a-z0-9]+", folded.lower()) if t]
 
 
 def term_frequencies(

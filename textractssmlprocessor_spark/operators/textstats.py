@@ -47,6 +47,47 @@ WS_PLUS = WS_CLASS + "+"
 PRETOK_RE = rf"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS_ESC}]"
 BPE_TOKEN_RE = PRETOK_RE  # historical alias (pre-rename callers)
 
+# ENGINE-PORTABLE lowercase. Java's lower() applies the full Unicode
+# SpecialCasing map — U+0130 'İ' -> 'i'+U+0307 (combining dot) and
+# word-final capital sigma -> U+03C2 'ς' — while DuckDB/utf8proc applies
+# the simple per-codepoint map (İ -> 'i', every Σ -> 'σ'), so ANY
+# oracle-mirrored lower() over payload text diverges on Turkish/Greek
+# crawl pages (fuzz seed 21 broke nine queries' fingerprints and
+# shingles at once). Pre-substituting exactly the two SpecialCasing
+# lowercase entries (İ and Σ) with their SIMPLE-map targets makes
+# Java's remaining lower() equal the simple map on every input — i.e.
+# ``fold_lower(col) == DuckDB lower(col)`` BY CONSTRUCTION, so oracle
+# SQL may spell either ``lower(x)`` or the explicit
+# ``lower(translate(x, chr(304)||chr(931), 'i'||chr(963)))``; never
+# write a bare F.lower over oracle-compared payload text on the SPARK
+# side again — use fold_lower.
+CASEFOLD_SRC = "İΣ"  # İ  Σ   (the full-vs-simple lowercase divergents)
+CASEFOLD_DST = "iσ"      # i  σ   (their Unicode SIMPLE lowercase targets)
+
+
+def fold_lower(col: Column) -> Column:
+    """Case-fold-portable lowercase: equals DuckDB/utf8proc's simple
+    per-codepoint lower() for ANY input (see CASEFOLD_SRC)."""
+    return F.lower(F.translate(col, CASEFOLD_SRC, CASEFOLD_DST))
+
+
+# ENGINE-PORTABLE word membership (no \b): Java's \b is Unicode-aware
+# (combining marks and astral letters are word chars) while RE2's is
+# ASCII, so '\bthe\b' three-way-diverges on Zalgo/CJK-adjacent text
+# (fuzz seed 21). Spell word membership as maximal ASCII word RUNS —
+# split on ASCII non-word, compare whole tokens — which equals the
+# ASCII-\b reading exactly on ASCII neighborhoods and is deterministic
+# everywhere else.
+ASCII_NONWORD_PLUS = "[^A-Za-z0-9_]+"
+
+
+def ascii_word_runs(col: Column) -> Column:
+    """Lowered (fold_lower) maximal ASCII word runs of a text column."""
+    return F.filter(
+        F.split(fold_lower(col), ASCII_NONWORD_PLUS, -1), lambda w: w != ""
+    )
+
+
 _WORD_PY = re.compile(r"\b[\w-]+\b")
 
 
@@ -331,8 +372,13 @@ STOPWORDS = {
 
 
 def stopword_hits(col: Column, lang: str) -> Column:
-    pattern = r"\b(?:%s)\b" % "|".join(STOPWORDS[lang])
-    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pattern), F.lit(0)))
+    # word-RUN membership, not '\b...\b': Java's Unicode \b vs RE2's
+    # ASCII \b diverge next to combining marks / non-ASCII letters
+    # (fuzz seed 21) — see ASCII_NONWORD_PLUS
+    stops = STOPWORDS[lang]
+    return F.size(
+        F.filter(ascii_word_runs(col), lambda w: w.isin(*stops))
+    )
 
 
 def lang_id(col: Column) -> Column:
@@ -434,9 +480,11 @@ def gopher_columns(col: Column) -> dict[str, Column]:
     nz_all_words = F.when(F.size(words) > 0, F.size(words).cast("double")).otherwise(
         F.lit(None)
     )
+    # word-RUN presence, not rlike('\b...\b'): engine-portable (seed 21)
+    lowered_runs = ascii_word_runs(col)
     stop_present = None
     for w in STOPWORDS["en"]:
-        hit = F.when(F.lower(col).rlike(rf"\b{w}\b"), F.lit(1)).otherwise(F.lit(0))
+        hit = F.when(F.array_contains(lowered_runs, w), F.lit(1)).otherwise(F.lit(0))
         stop_present = hit if stop_present is None else stop_present + hit
     out = {
         "n_words": n_words.cast("bigint"),
@@ -494,8 +542,10 @@ def readability_columns(col: Column) -> dict[str, Column]:
     t = F.coalesce(col, F.lit(""))
     words = F.regexp_extract_all(t, F.lit(READ_WORD_RE), F.lit(0))
     n_words = F.size(words)
+    # fold_lower, not lower: Java's İ -> 'i'+combining-dot SPLITS a vowel
+    # run that DuckDB's İ -> 'i' keeps joined (fuzz seed 21 class)
     vowel_runs = F.size(
-        F.regexp_extract_all(F.lower(t), F.lit(READ_VOWEL_RE), F.lit(0))
+        F.regexp_extract_all(fold_lower(t), F.lit(READ_VOWEL_RE), F.lit(0))
     )
     no_vowel = F.size(
         F.filter(words, lambda w: ~F.lower(w).rlike(READ_VOWEL_RE))
@@ -555,7 +605,7 @@ def repetition_stats(
         dup_frac(F.split(col, "\n")).alias("dup_line_frac"),
         dup_frac(F.split(col, r"\n{2,}")).alias("dup_para_frac"),
         F.filter(
-            F.split(F.trim(F.lower(col)), WS_PLUS), lambda w: w != ""
+            F.split(F.trim(fold_lower(col)), WS_PLUS), lambda w: w != ""
         ).alias("_ws"),
     ).select(
         "id",
@@ -624,7 +674,7 @@ def repetition_stats(
 
 
 def normalize_for_fingerprint(col: Column) -> Column:
-    return F.regexp_replace(F.lower(F.trim(col)), WS_PLUS, " ")
+    return F.regexp_replace(fold_lower(F.trim(col)), WS_PLUS, " ")
 
 
 def fingerprint(col: Column) -> Column:
@@ -888,7 +938,7 @@ def gopher_repetition(
         F.col(id_col).alias("id"),
         col.alias("_t"),
         F.filter(
-            F.split(F.trim(F.lower(col)), WS_PLUS), lambda w: w != ""
+            F.split(F.trim(fold_lower(col)), WS_PLUS), lambda w: w != ""
         ).alias("_ws"),
     )
     lines = _dup_char_cols(

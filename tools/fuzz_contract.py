@@ -39,6 +39,21 @@ UNICODE_BITS = [
     "​­﻿",              # invisibles
     "cafÃ© â€“",  # mojibake
     "–—‘’“”",  # smart punctuation
+    # case-folding adversaries: Java toLowerCase vs utf8proc on the
+    # classic divergence set (Turkish dotted/dotless I, Greek capital
+    # sigma -> final sigma position rules, German sharp s)
+    "İstanbul ISPARTA ılık",
+    "ΣΊΣΥΦΟΣ ΟΔΥΣΣΕΥΣ",
+    "STRASSE straße ß",
+    # combining-char stack (Zalgo): multiple combining marks per base —
+    # stresses \b, script classes, and grapheme-naive slicing
+    "z̀́̂̃a̖̗̘l̙̚go",
+    # bidi controls (RLO/LRO/PDF embedding marks) around ASCII
+    "abc‮ DEF ‬‪ ghi ‬xyz",
+    # fullwidth forms + NBSP/narrow-NBSP word separators
+    "ＦＵＬＬＷＩＤＴＨ nbsp narrow",
+    # astral beyond emoji: Deseret letters (cased astral script) + CJK-B
+    "\U00010400\U00010428 \U00020000\U0002a700",
 ]
 ASCII_BITS = [
     "The quick brown fox jumps over the lazy dog.",

@@ -54,6 +54,10 @@ UNICODE_BITS = [
     "ＦＵＬＬＷＩＤＴＨ nbsp narrow",
     # astral beyond emoji: Deseret letters (cased astral script) + CJK-B
     "\U00010400\U00010428 \U00020000\U0002a700",
+    # caps line carrying a SpecialCasing-upper char (ß): upper(x)==x is
+    # TRUE in utf8proc (simple map keeps ß) but FALSE in Java (full map
+    # expands ß -> SS) — probes the ASCII-anchored title predicates
+    "STRASSE ß HEAD\nMIXED Straße Line\nbody text after.",
 ]
 ASCII_BITS = [
     "The quick brown fox jumps over the lazy dog.",

@@ -968,8 +968,17 @@ def _ascii_upper(col):
     DuckDB/utf8proc applies the simple map (ß unchanged), so a plain
     upper(text) synthesis diverges on German/ligature payloads (fuzz
     seed 21, 'straße'). A 26-letter translate is byte-identical in both
-    engines and still exercises the case+whitespace dedup normalization."""
-    return F.translate(F.col(col) if isinstance(col, str) else col, "abcdefghijklmnopqrstuvwxyz", "ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+    engines and still exercises the case+whitespace dedup normalization.
+
+    Pure-ASCII rows take F.upper instead (UTF8String's ASCII fast path;
+    identical to the 26-letter translate there by case analysis) —
+    unconditional translate allocates + walks a per-char map for every
+    row and cost ~1.4 s on the dedup_exact bench line (same-boot A/B);
+    the DuckDB mirror stays a plain translate, equal on both branches."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(~c.rlike("[^\\x00-\\x7F]"), F.upper(c)).otherwise(
+        F.translate(c, "abcdefghijklmnopqrstuvwxyz", "ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+    )
 
 
 def _docs_with_dupes(spark, sf_dir):

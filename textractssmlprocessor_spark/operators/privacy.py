@@ -17,7 +17,12 @@ EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
 # country code OPTIONAL as a group: national formats like 555-123-4567 and
 # (555) 123-4567 must match, not just +1-prefixed numbers
 PHONE_RE = r"(?:\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}"
-IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+# boundary-FREE: '\b' is Unicode-aware in Java but ASCII in RE2, so a
+# digit abutting a CJK letter or combining mark flips the match between
+# engines (the fuzz seed-21 class). Dropping the anchors over-matches
+# digit runs embedded in longer tokens ('v1.2.3.45' redacts '1.2.3.45')
+# — for a PII scrubber that errs toward MORE redaction, the safe side.
+IPV4_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
 
 REDACTIONS = [
     ("email", EMAIL_RE, "<EMAIL>"),

@@ -58,6 +58,10 @@ UNICODE_BITS = [
     # TRUE in utf8proc (simple map keeps ß) but FALSE in Java (full map
     # expands ß -> SS) — probes the ASCII-anchored title predicates
     "STRASSE ß HEAD\nMIXED Straße Line\nbody text after.",
+    # PII abutting non-ASCII word chars: Java's Unicode \b saw no boundary
+    # between 中/combining-mark and a digit where RE2's ASCII \b did —
+    # probes the boundary-free IPV4_RE
+    "中10.0.0.1 mark̀127.0.0.1 v1.2.3.45 done",
 ]
 ASCII_BITS = [
     "The quick brown fox jumps over the lazy dog.",

@@ -480,12 +480,22 @@ def gopher_columns(col: Column) -> dict[str, Column]:
     nz_all_words = F.when(F.size(words) > 0, F.size(words).cast("double")).otherwise(
         F.lit(None)
     )
-    # word-RUN presence, not rlike('\b...\b'): engine-portable (seed 21)
-    lowered_runs = ascii_word_runs(col)
-    stop_present = None
-    for w in STOPWORDS["en"]:
-        hit = F.when(F.array_contains(lowered_runs, w), F.lit(1)).otherwise(F.lit(0))
-        stop_present = hit if stop_present is None else stop_present + hit
+    # word-RUN presence, not rlike('\b...\b'): engine-portable (seed 21).
+    # ONE array_intersect instead of 8 per-word array_contains: higher-
+    # order expressions are not common-subexpression-eliminated, so a
+    # per-word form re-tokenizes the document 8x; intersect-with-the-
+    # lexicon tokenizes once (set semantics = count of distinct stopwords
+    # present, exactly the old presence sum). coalesce: NULL text must
+    # read 0 like the oracle's CASE ... ELSE 0 (degenerate-input rule).
+    stop_present = F.coalesce(
+        F.size(
+            F.array_intersect(
+                ascii_word_runs(col),
+                F.array(*[F.lit(w) for w in STOPWORDS["en"]]),
+            )
+        ),
+        F.lit(0),
+    )
     out = {
         "n_words": n_words.cast("bigint"),
         "mean_word_len": F.round(mean_word_len, 6),

@@ -4661,7 +4661,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        (n_chars * 20)::BIGINT AS duration_ms,
                        (sum(n_chars * 20) OVER w - n_chars * 20)::BIGINT AS start_ms,
-                       (sum(n_chars * 20) OVER w)::BIGINT AS end_ms
+                       -- coalesce mirrors blocked_running_sum's TOTALITY:
+                       -- the operator defines a leading-NULL prefix as 0
+                       -- (running offsets must exist for every row), where
+                       -- a raw window sum is NULL until the first non-NULL
+                       -- (fuzz seed 42: first doc with NULL n_chars; the
+                       -- stray NULL also promoted the whole pandas column
+                       -- to float, mismatching every row's rendering)
+                       coalesce(sum(n_chars * 20) OVER w, 0)::BIGINT AS end_ms
                 FROM documents
                 WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             )

@@ -119,6 +119,55 @@ def test_ascii_upper_guard_equals_plain_translate(spark, duck):
         assert g == d, (s, g, d)
 
 
+# The ONE documented boundary of equivalence 1: codepoints whose case
+# pairs POSTDATE the oracle engine's Unicode tables. Spark's casing is
+# Unicode-16-era (ICU) while DuckDB/utf8proc here is ~13/14, so these
+# lower() in Spark and pass through DuckDB unchanged. Enumerated by a
+# FULL 0x20..0x10FFFF sweep (one char per row, both engines): Vithkuqi
+# (U+10570.., Unicode 14), Garay (U+10D50.., Unicode 16), Latin
+# Extended-D additions, U+1C89, U+2C2F. A pre-lower translate cannot
+# close this (it cannot stop Spark's lower() from firing), and these
+# historic-script codepoints do not occur in the fuzz vocabulary or any
+# realistic crawl-dedup corpus; production is Spark-only — the skew
+# only affects the TEST oracle. If DuckDB's utf8proc catches up, the
+# exactness test below starts failing and the set shrinks.
+UNICODE_VERSION_SKEW = sorted(
+    [0x1C89, 0x2C2F, 0xA7C0, 0xA7C7, 0xA7C9, 0xA7CB, 0xA7CC, 0xA7D0,
+     0xA7D6, 0xA7D8, 0xA7DA, 0xA7DC, 0xA7F5]
+    + [c for c in range(0x10570, 0x10596)
+       if c not in (0x1057B, 0x1058B, 0x10593)]
+    + list(range(0x10D50, 0x10D66))
+)
+
+
+def test_unicode_version_skew_set_is_exact(spark, duck):
+    # every listed codepoint diverges; every OTHER BMP codepoint (plus
+    # the astral blocks around the listed ones) matches — so the
+    # boundary is exactly this set, not an open-ended disclaimer
+    assert len(UNICODE_VERSION_SKEW) == 70
+    skew = set(UNICODE_VERSION_SKEW)
+    bmp = [c for c in range(0x20, 0x10000) if not 0xD800 <= c <= 0xDFFF]
+    astral_probe = list(range(0x10400, 0x10700)) + list(range(0x10D00, 0x10E00)) + \
+        list(range(0x118A0, 0x11900)) + list(range(0x16E40, 0x16EC0)) + \
+        list(range(0x1E900, 0x1E944))
+    cps = bmp + astral_probe
+    df = spark.createDataFrame([(c, chr(c)) for c in cps], ["cp", "c"])
+    spark_lo = {
+        r["cp"]: r["lo"]
+        for r in df.select("cp", fold_lower(F.col("c")).alias("lo")).collect()
+    }
+    import pandas as pd
+
+    duck.register(
+        "sweep_t", pd.DataFrame({"cp": cps, "c": [chr(c) for c in cps]})
+    )
+    duck_lo = dict(duck.execute("select cp, lower(c) from sweep_t").fetchall())
+    diverged = {c for c in cps if spark_lo[c] != duck_lo[c]}
+    assert diverged == {c for c in cps if c in skew}, (
+        sorted(hex(c) for c in diverged ^ (skew & set(cps)))
+    )
+
+
 def test_ascii_word_runs_drops_empty_and_folds(spark):
     df = spark.createDataFrame([("  İΣ the-AND  ",)], ["t"])
     runs = df.select(ascii_word_runs(F.col("t"))).collect()[0][0]
